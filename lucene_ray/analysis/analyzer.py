@@ -1,0 +1,86 @@
+"""StandardAnalyzer-equivalent analysis chain.
+
+Pipeline = StandardTokenizer -> LowerCaseFilter -> StopFilter, per
+``lucene/core/src/java/org/apache/lucene/analysis/standard/
+StandardAnalyzer.java:85-96``. The default stop set is EMPTY
+(``StandardAnalyzer.java:51-53``); the classic 33-word English list
+(``lucene/analysis/common/.../en/EnglishAnalyzer.java:43-54``) is
+exported as ``ENGLISH_STOP_WORDS``.
+
+StopFilter adds the number of removed tokens to the next token's
+position increment (``FilteringTokenFilter.java:49-58``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from .props import java_lowercase
+from .tokenizer import DEFAULT_MAX_TOKEN_LENGTH, tokenize, tokenize_texts_ascii
+
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+class AnalyzedToken(NamedTuple):
+    term: str
+    position: int  # absolute token position (posInc bookkeeping applied)
+    start: int
+    end: int
+
+
+class StandardAnalyzer:
+    """Callable analysis chain: ``analyzer(text) -> list[str]``.
+
+    Stateless and picklable; build once per actor (``__init__`` of a
+    map_batches class), reuse per batch.
+    """
+
+    def __init__(self, stop_words=frozenset(), max_token_length=DEFAULT_MAX_TOKEN_LENGTH):
+        self.stop_words = frozenset(stop_words)
+        self.max_token_length = max_token_length
+
+    def tokens(self, text: str) -> list[AnalyzedToken]:
+        """Full attribute stream (term, position, offsets)."""
+        out = []
+        pos = -1
+        stop = self.stop_words
+        for tok in tokenize(text, self.max_token_length):
+            term = java_lowercase(tok.text)
+            pos += 1
+            if term in stop:
+                continue
+            out.append(AnalyzedToken(term, pos, tok.start, tok.end))
+        return out
+
+    def __call__(self, text: str) -> list[str]:
+        """Term strings only (the indexing hot path)."""
+        stop = self.stop_words
+        if text.isascii():
+            terms = [t.lower() for t in tokenize_texts_ascii([text])[0]]
+            if len(text) > self.max_token_length:
+                # only then can an over-long token exist; redo precisely
+                if any(len(t) > self.max_token_length for t in terms):
+                    terms = [
+                        java_lowercase(t.text)
+                        for t in tokenize(text, self.max_token_length)
+                    ]
+        else:
+            terms = [java_lowercase(t.text) for t in tokenize(text, self.max_token_length)]
+        if stop:
+            terms = [t for t in terms if t not in stop]
+        return terms
+
+    def analyze_batch(self, texts) -> list[list[str]]:
+        """Vectorized-ish batch analysis; ASCII fast path in bulk."""
+        stop = self.stop_words
+        mtl = self.max_token_length
+        out: list[list[str]] = []
+        for text in texts:
+            if text is None:
+                out.append([])
+                continue
+            out.append(self(text))
+        return out
