@@ -1,0 +1,265 @@
+"""Delta + FOR (frame-of-reference) packed posting blocks with per-block
+block-max impact metadata.
+
+Mirrors the reference postings layout semantics — 128-doc blocks of
+delta-encoded docIDs bit-packed at the block's max bit width, freqs
+packed per block, per-block competitive (freq, norm) impact pairs —
+without replicating its on-disk file format:
+
+- block size 128: ``codecs/lucene90/ForUtil.java:32``
+- impacts / competitive pairs: ``codecs/CompetitiveImpactAccumulator.java``
+- strictly-increasing docIDs enforced: ``Lucene90PostingsWriter.java:231-236``
+
+All kernels are vectorized numpy; no per-element Python loops on the
+pack/unpack hot path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+BLOCK_SIZE = 128
+MAX_IMPACTS_PER_BLOCK = 8
+
+
+class PackedPostings(NamedTuple):
+    """One term's packed postings (possibly multiple concatenated chunks).
+
+    A *chunk* is an independently delta-packed run of docIDs (its first
+    delta is the absolute first docID), so chunks from disjoint doc
+    ranges can be concatenated without repacking — the segment-merge
+    fast path and the hot-term salting path both rely on this.
+    """
+
+    doc_count: int  # total docs across chunks (== df in this posting)
+    ttf: int  # total term frequency
+    docs: bytes  # packed doc deltas: per block [u8 width][packed bits]
+    freqs: bytes  # packed freqs, same block structure
+    block_last_docs: np.ndarray  # int32[nblocks], last docID per block
+    imp_freqs: np.ndarray  # int32, flattened impact pairs
+    imp_norms: np.ndarray  # uint8
+    imp_offsets: np.ndarray  # int32[nblocks+1] prefix offsets into imp_*
+    chunk_doc_counts: np.ndarray  # int32[nchunks], docs per chunk
+
+
+# --- bit packing -----------------------------------------------------------
+
+def _pack_block(vals: np.ndarray) -> bytes:
+    """Bit-pack one block of uint32 values at its max bit width."""
+    n = len(vals)
+    width = int(vals.max()).bit_length() if n else 0
+    if width == 0:
+        return bytes([0])
+    bits = np.unpackbits(vals.astype(">u4").view(np.uint8).reshape(n, 4), axis=1)
+    packed = np.packbits(bits[:, 32 - width:])
+    return bytes([width]) + packed.tobytes()
+
+
+def _unpack_block(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, int]:
+    width = buf[pos]
+    pos += 1
+    if width == 0:
+        return np.zeros(n, dtype=np.uint32), pos
+    nbytes = (n * width + 7) // 8
+    bits = np.unpackbits(np.frombuffer(buf[pos:pos + nbytes], dtype=np.uint8),
+                         count=n * width).reshape(n, width)
+    full = np.zeros((n, 32), dtype=np.uint8)
+    full[:, 32 - width:] = bits
+    vals = np.packbits(full, axis=1).view(">u4").reshape(n).astype(np.uint32)
+    return vals, pos + nbytes
+
+
+def _pack_values(vals: np.ndarray) -> bytes:
+    """Pack an array in BLOCK_SIZE blocks, each at its own width."""
+    out = []
+    for i in range(0, len(vals), BLOCK_SIZE):
+        out.append(_pack_block(vals[i:i + BLOCK_SIZE]))
+    return b"".join(out)
+
+
+def _block_sizes(chunk_doc_counts) -> list[int]:
+    """Block layout of a (possibly multi-chunk) posting: each chunk is
+    blocked independently (full 128s + its own tail)."""
+    sizes = []
+    for c in np.asarray(chunk_doc_counts, dtype=np.int64).tolist():
+        sizes.extend([BLOCK_SIZE] * (c // BLOCK_SIZE))
+        if c % BLOCK_SIZE:
+            sizes.append(c % BLOCK_SIZE)
+    return sizes
+
+
+def _unpack_values(buf: bytes, sizes: list[int]) -> np.ndarray:
+    mv = memoryview(buf)
+    out = np.empty(sum(sizes), dtype=np.uint32)
+    pos = 0
+    i = 0
+    for m in sizes:
+        out[i:i + m], pos = _unpack_block(mv, pos, m)
+        i += m
+    return out
+
+
+# --- impacts ---------------------------------------------------------------
+
+def _skyline(freqs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Competitive (freq, norm) pairs: no pair with freq>= and norm<=.
+
+    Returns (freqs asc, norms asc) — competitive pairs sorted by norm with
+    strictly increasing freq (CompetitiveImpactAccumulator semantics).
+    """
+    # max freq per distinct norm
+    order = np.lexsort((-freqs, norms))
+    n_sorted = norms[order]
+    f_sorted = freqs[order]
+    first = np.ones(len(n_sorted), dtype=bool)
+    first[1:] = n_sorted[1:] != n_sorted[:-1]
+    nu = n_sorted[first]
+    fu = f_sorted[first]  # max freq per norm (first after sort by -freq)
+    # keep pairs whose freq exceeds every smaller-norm pair's freq
+    cummax = np.maximum.accumulate(fu)
+    keep = np.ones(len(fu), dtype=bool)
+    keep[1:] = fu[1:] > cummax[:-1]
+    fu, nu = fu[keep], nu[keep]
+    if len(fu) > MAX_IMPACTS_PER_BLOCK:
+        # conservative downsample: per chunk keep (max freq, min norm),
+        # which dominates every pair in the chunk (upper bound stays safe)
+        idx = np.array_split(np.arange(len(fu)), MAX_IMPACTS_PER_BLOCK)
+        fu = np.array([fu[i].max() for i in idx], dtype=fu.dtype)
+        nu = np.array([nu[i].min() for i in idx], dtype=nu.dtype)
+        # re-skyline after merge (norm mins may now collide/dominate)
+        order2 = np.argsort(nu, kind="stable")
+        fu, nu = fu[order2], nu[order2]
+        cummax = np.maximum.accumulate(fu)
+        keep = np.ones(len(fu), dtype=bool)
+        keep[1:] = fu[1:] > cummax[:-1]
+        fu, nu = fu[keep], nu[keep]
+    return fu.astype(np.int32), nu.astype(np.uint8)
+
+
+def compute_impacts(freqs: np.ndarray, norms: np.ndarray):
+    """Per-128-block impact skylines over aligned (freq, norm) arrays.
+
+    Returns (imp_freqs, imp_norms, imp_offsets) flattened per block.
+    """
+    nblocks = (len(freqs) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    fs, ns, offs = [], [], [0]
+    for b in range(nblocks):
+        sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
+        f, n = _skyline(np.asarray(freqs[sl]), np.asarray(norms[sl]))
+        fs.append(f)
+        ns.append(n)
+        offs.append(offs[-1] + len(f))
+    return (
+        np.concatenate(fs) if fs else np.empty(0, np.int32),
+        np.concatenate(ns) if ns else np.empty(0, np.uint8),
+        np.asarray(offs, dtype=np.int32),
+    )
+
+
+# --- public pack/unpack ----------------------------------------------------
+
+def pack_postings(doc_ids: np.ndarray, freqs: np.ndarray,
+                  norms: np.ndarray) -> PackedPostings:
+    """Pack one term's postings (one chunk).
+
+    ``doc_ids`` must be strictly increasing int32/int64; ``freqs`` >= 1;
+    ``norms`` are the posting docs' norm bytes (for impacts).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    if len(doc_ids) == 0:
+        raise ValueError("empty posting")
+    deltas = np.empty(len(doc_ids), dtype=np.uint32)
+    deltas[0] = doc_ids[0]
+    if len(doc_ids) > 1:
+        d = np.diff(doc_ids)
+        if (d <= 0).any():
+            raise ValueError("docs out of order")  # Lucene90PostingsWriter.java:231
+        deltas[1:] = d
+    nblocks = (len(doc_ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_last = doc_ids[np.minimum(
+        np.arange(1, nblocks + 1) * BLOCK_SIZE - 1, len(doc_ids) - 1)].astype(np.int32)
+    imp_f, imp_n, imp_off = compute_impacts(freqs, np.asarray(norms))
+    return PackedPostings(
+        doc_count=len(doc_ids),
+        ttf=int(freqs.sum()),
+        docs=_pack_values(deltas),
+        freqs=_pack_values(freqs.astype(np.uint32)),
+        block_last_docs=block_last,
+        imp_freqs=imp_f,
+        imp_norms=imp_n,
+        imp_offsets=imp_off,
+        chunk_doc_counts=np.array([len(doc_ids)], dtype=np.int32),
+    )
+
+
+def unpack_postings(p: PackedPostings) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a (possibly multi-chunk) posting -> (doc_ids int64, freqs int32)."""
+    sizes = _block_sizes(p.chunk_doc_counts)
+    deltas = _unpack_values(p.docs, sizes).astype(np.int64)
+    freqs = _unpack_values(p.freqs, sizes).astype(np.int32)
+    # per-chunk cumsum: each chunk's first delta is absolute
+    counts = np.asarray(p.chunk_doc_counts, dtype=np.int64)
+    docs = np.cumsum(deltas)
+    if len(counts) > 1:
+        # Each chunk's deltas sum to its last absolute docID, so the global
+        # cumsum over-counts chunk j by sum(last_doc of chunks < j).
+        blocks_per_chunk = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+        last_block_idx = np.cumsum(blocks_per_chunk) - 1
+        chunk_last = np.asarray(p.block_last_docs, dtype=np.int64)[last_block_idx]
+        corr = np.concatenate([[0], np.cumsum(chunk_last[:-1])])
+        docs = docs - np.repeat(corr, counts)
+    return docs, freqs
+
+
+def concat_postings(chunks: list[PackedPostings]) -> PackedPostings:
+    """Concatenate postings of the SAME term over disjoint, increasing doc
+    ranges (segment merge fast path — no unpack/repack).
+
+    Callers must pass chunks ordered by doc range; validated via
+    block_last_docs monotonicity.
+    """
+    if len(chunks) == 1:
+        return chunks[0]
+    last = -1
+    for c in chunks:
+        first_block_last = int(c.block_last_docs[0])
+        if first_block_last <= last:
+            raise ValueError("merge chunks out of doc order / overlapping")
+        last = int(c.block_last_docs[-1])
+    off_parts = [np.asarray(chunks[0].imp_offsets, dtype=np.int64)]
+    base = int(chunks[0].imp_offsets[-1])
+    for c in chunks[1:]:
+        off_parts.append(np.asarray(c.imp_offsets[1:], dtype=np.int64) + base)
+        base += int(c.imp_offsets[-1])
+    return PackedPostings(
+        doc_count=sum(c.doc_count for c in chunks),
+        ttf=sum(c.ttf for c in chunks),
+        docs=b"".join(c.docs for c in chunks),
+        freqs=b"".join(c.freqs for c in chunks),
+        block_last_docs=np.concatenate([c.block_last_docs for c in chunks]),
+        imp_freqs=np.concatenate([c.imp_freqs for c in chunks]),
+        imp_norms=np.concatenate([c.imp_norms for c in chunks]),
+        imp_offsets=np.concatenate(off_parts).astype(np.int32),
+        chunk_doc_counts=np.concatenate([c.chunk_doc_counts for c in chunks]),
+    )
+
+
+def repack_postings(p: PackedPostings, norms_lookup) -> PackedPostings:
+    """Optimize path: re-block a multi-chunk posting into full 128-doc
+    blocks (recomputing impacts from per-doc norms).
+
+    ``norms_lookup(doc_ids) -> uint8 norms`` supplies the norm bytes
+    (TieredMergePolicy 'forceMerge' analog).
+    """
+    docs, freqs = unpack_postings(p)
+    norms = norms_lookup(docs)
+    return pack_postings(docs, freqs, norms)
+
+
+def unpack_positions_noop(*_a, **_k):
+    """Positions are not indexed in v1 (design slot per SURVEY.md §2.8
+    PhraseQuery); this placeholder documents the extension point."""
+    raise NotImplementedError("positional postings are a v2 design slot")
