@@ -1,0 +1,233 @@
+"""Distributed inverted-index build: a Ray Data streaming pipeline.
+
+Architecture (SURVEY.md §3.1): the reference's DWPT model — N indexing
+threads each building an independent in-RAM segment, flushed when the
+RAM budget is hit (``DocumentsWriterPerThread.java:210-242``,
+``FlushByRamOrCountsPolicy.java:31-104``) — maps to a stateful
+actor-pool ``map_batches`` stage: each *batch* becomes one immutable
+segment (tokenize -> invert -> pack -> flush to Parquet), so worker RAM
+is bounded by ``batch_size`` regardless of corpus size, and the
+streaming executor provides the stall/backpressure control
+(``DocumentsWriterStallControl.java:50-61``) for free.
+
+docIDs are data-derived (a monotone int64 ``id_col``), never
+positional, so results are invariant to batch boundaries, actor
+scheduling, and partition counts — the docBase-prefix-sum determinism
+requirement of SURVEY.md §7.
+
+Scale notes (100 TB): the only all-to-all exchange is the *term-stats*
+aggregate, which moves pre-aggregated (term, df, ttf) rows (a partial
+aggregate per segment, combiner pattern). Posting payloads never
+shuffle at build time; they are written partition-local, one directory
+per segment -> resumable output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..analysis import StandardAnalyzer, int_to_byte4_array
+from ..codecs import pack_postings
+from .manifest import IndexManifest, SegmentInfo, write_manifest
+
+POSTINGS_SCHEMA = pa.schema([
+    ("term", pa.large_string()),
+    ("df", pa.int64()),
+    ("ttf", pa.int64()),
+    ("doc_count", pa.int64()),
+    ("docs", pa.large_binary()),
+    ("freqs", pa.large_binary()),
+    ("block_last_docs", pa.large_list(pa.int32())),
+    ("imp_freqs", pa.large_list(pa.int32())),
+    ("imp_norms", pa.large_list(pa.int32())),
+    ("imp_offsets", pa.large_list(pa.int32())),
+    ("chunk_doc_counts", pa.large_list(pa.int32())),
+])
+
+
+class SegmentIndexer:
+    """Stateful map_batches stage: one batch in -> one segment flushed.
+
+    Analyzer tables are built once per actor (``__init__``), mirroring
+    the reference's per-thread analyzer reuse (``analysis/Analyzer.java``
+    ReuseStrategy). The returned batch is small segment *metadata* only.
+    """
+
+    def __init__(self, out_dir: str, text_col: str, id_col: str,
+                 stored_cols: tuple, stop_words: frozenset):
+        self.out_dir = out_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.stored_cols = tuple(stored_cols)
+        self.analyzer = StandardAnalyzer(stop_words=stop_words)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        if not np.array_equal(order, np.arange(len(doc_ids))):
+            batch = batch.take(pa.array(order))
+            doc_ids = doc_ids[order]
+        texts = batch[self.text_col].to_pylist()
+        term_lists = self.analyzer.analyze_batch(texts)
+
+        doc_lens = np.array([len(t) for t in term_lists], dtype=np.int32)
+        norms = int_to_byte4_array(doc_lens)
+
+        # invert: term -> ([local positions], [freqs]) — local doc order is
+        # already global doc order because id_col is monotone per batch
+        postings: dict[str, list] = defaultdict(lambda: ([], []))
+        for li, terms in enumerate(term_lists):
+            if not terms:
+                continue
+            counts: dict[str, int] = {}
+            for t in terms:
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                sl = postings[t]
+                sl[0].append(li)
+                sl[1].append(c)
+
+        sorted_terms = sorted(postings)  # UTF-8 byte order == Python str order
+        rows = {k: [] for k in ("term", "df", "ttf", "doc_count", "docs", "freqs",
+                                "block_last_docs", "imp_freqs", "imp_norms",
+                                "imp_offsets", "chunk_doc_counts")}
+        for t in sorted_terms:
+            lpos, freqs = postings[t]
+            lpos = np.asarray(lpos, dtype=np.int64)
+            p = pack_postings(doc_ids[lpos], np.asarray(freqs), norms[lpos])
+            rows["term"].append(t)
+            rows["df"].append(p.doc_count)
+            rows["ttf"].append(p.ttf)
+            rows["doc_count"].append(p.doc_count)
+            rows["docs"].append(p.docs)
+            rows["freqs"].append(p.freqs)
+            rows["block_last_docs"].append(p.block_last_docs)
+            rows["imp_freqs"].append(p.imp_freqs)
+            rows["imp_norms"].append(p.imp_norms.astype(np.int32))
+            rows["imp_offsets"].append(p.imp_offsets)
+            rows["chunk_doc_counts"].append(p.chunk_doc_counts)
+        postings_table = pa.Table.from_pydict(rows, schema=POSTINGS_SCHEMA)
+
+        doc_cols = {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "doc_len": pa.array(doc_lens, type=pa.int32()),
+            "norm": pa.array(norms, type=pa.uint8()),
+        }
+        for c in self.stored_cols:
+            doc_cols[c] = batch[c]
+        docs_table = pa.table(doc_cols)
+
+        # deterministic, content-addressed segment id -> resumable
+        min_doc, max_doc = int(doc_ids.min()), int(doc_ids.max())
+        lineage = hashlib.sha1(
+            f"{min_doc}:{max_doc}:{len(doc_ids)}".encode()).hexdigest()[:12]
+        seg_id = f"seg-{min_doc:012d}-{max_doc:012d}-{lineage}"
+        seg_dir = os.path.join(self.out_dir, "segments", seg_id)
+        os.makedirs(seg_dir, exist_ok=True)
+        pq.write_table(postings_table, os.path.join(seg_dir, "postings.parquet"))
+        pq.write_table(docs_table, os.path.join(seg_dir, "docs.parquet"))
+
+        return pa.table({
+            "seg_id": [seg_id],
+            "num_docs": [len(doc_ids)],
+            "min_doc": [min_doc],
+            "max_doc": [max_doc],
+            "sum_doc_len": [int(doc_lens.sum())],
+            "num_terms": [len(sorted_terms)],
+            "lineage": [lineage],
+            "field_doc_count": [int((doc_lens > 0).sum())],
+        })
+
+
+def build_index(
+    source,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stored_cols: tuple = (),
+    stop_words: frozenset = frozenset(),
+    batch_size: int = 8192,
+    concurrency=None,
+    compute_term_stats: bool = True,
+) -> IndexManifest:
+    """Build an inverted index over a Parquet corpus / Dataset.
+
+    ``source``: a parquet path (str) or a ``ray.data.Dataset``.
+    ``id_col`` must be int64, unique and monotone in storage order (the
+    global docID; SURVEY.md §1.2).
+    """
+    if isinstance(source, (str, os.PathLike)) or (
+            isinstance(source, (list, tuple)) and source and isinstance(source[0], str)):
+        cols = list(dict.fromkeys([id_col, text_col, *stored_cols]))
+        ds = ray.data.read_parquet(source, columns=cols)  # prune at the read
+    else:
+        ds = source
+
+    if concurrency is None:
+        # autoscaling actor pool (DWPT pool analog); cap below the cluster
+        # CPU count so upstream read tasks always have a slot (a fixed-size
+        # pool equal to num_cpus deadlocks the streaming executor)
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(1, cpus - 1))
+    fn_kwargs = dict(out_dir=out_dir, text_col=text_col, id_col=id_col,
+                     stored_cols=stored_cols, stop_words=stop_words)
+    meta = ds.map_batches(
+        SegmentIndexer,
+        fn_constructor_kwargs=fn_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    seg_rows = meta.take_all()  # tiny: one row per segment
+
+    segments = [SegmentInfo(
+        seg_id=r["seg_id"], num_docs=int(r["num_docs"]), min_doc=int(r["min_doc"]),
+        max_doc=int(r["max_doc"]), sum_doc_len=int(r["sum_doc_len"]),
+        num_terms=int(r["num_terms"]), lineage=r["lineage"],
+        field_doc_count=int(r["field_doc_count"])) for r in seg_rows]
+    segments.sort(key=lambda s: s.min_doc)
+
+    from .manifest import latest_generation
+    manifest = IndexManifest(
+        generation=latest_generation(out_dir) + 1,
+        num_docs=sum(s.num_docs for s in segments),
+        sum_doc_len=sum(s.sum_doc_len for s in segments),
+        field=text_col,
+        stop_words=sorted(stop_words),
+        segments=segments,
+        field_doc_count=sum(s.field_doc_count for s in segments),
+    )
+    write_manifest(out_dir, manifest)
+
+    if compute_term_stats:
+        compute_global_term_stats(out_dir, manifest)
+    return manifest
+
+
+def compute_global_term_stats(index_dir: str, manifest: IndexManifest) -> None:
+    """Global per-term (df, ttf): the groupby-on-term aggregate.
+
+    Reads only the 3 stat columns of each segment's postings (columnar
+    prune), pre-aggregated per segment already — the shuffle moves tiny
+    rows (SURVEY.md §2.5).
+    """
+    from ray.data.aggregate import Sum
+
+    paths = [os.path.join(index_dir, "segments", s.seg_id, "postings.parquet")
+             for s in manifest.segments]
+    ds = ray.data.read_parquet(paths, columns=["term", "df", "ttf"])
+    stats = ds.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+    out = os.path.join(index_dir, "global", f"term_stats_gen{manifest.generation}")
+    stats.write_parquet(out)

@@ -1,0 +1,21 @@
+"""Query side: BM25 scoring, boolean queries, top-k search."""
+
+from .bm25 import avg_field_length, idf, norm_inverse_cache, score_freqs, score64
+from .query import (
+    BooleanQuery,
+    Query,
+    TermQuery,
+    and_query,
+    or_query,
+    parse_simple,
+    query_terms,
+)
+from .reader import IndexReader, SegmentReader
+from .searcher import Searcher, TopDocs, merge_top_docs
+
+__all__ = [
+    "idf", "avg_field_length", "norm_inverse_cache", "score_freqs", "score64",
+    "Query", "TermQuery", "BooleanQuery", "and_query", "or_query",
+    "parse_simple", "query_terms",
+    "IndexReader", "SegmentReader", "Searcher", "TopDocs", "merge_top_docs",
+]

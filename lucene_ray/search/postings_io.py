@@ -1,0 +1,91 @@
+"""Block-selective posting decode — the skip-list / ImpactsDISI analog.
+
+The packed layout (codecs/postings.py) is sequential blocks of
+``[u8 width][ceil(n*width/8) bytes]``. Scanning only the 1-byte width
+headers yields every block's byte offset without decoding, so a lookup
+of sparse candidate docIDs (conjunction leapfrog, MaxScore non-essential
+terms) decodes *only* the 128-doc blocks that can contain a target —
+the vectorized equivalent of ``Lucene90SkipReader`` +
+``ImpactsDISI.advanceTarget`` block skipping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codecs.postings import BLOCK_SIZE, PackedPostings, _block_sizes, _unpack_block
+
+
+def block_layout(p: PackedPostings):
+    """(sizes, docs_offsets, freqs_offsets, base_docs, doc_starts)
+
+    base_docs[b]  = docID base to add to block b's delta-cumsum
+                    (0 at a chunk start — its first delta is absolute).
+    doc_starts[b] = index of block b's first posting in the flat list.
+    """
+    sizes = np.asarray(_block_sizes(p.chunk_doc_counts), dtype=np.int64)
+    nblocks = len(sizes)
+
+    def offsets(buf: bytes) -> np.ndarray:
+        offs = np.empty(nblocks + 1, dtype=np.int64)
+        offs[0] = 0
+        pos = 0
+        mv = memoryview(buf)
+        for i in range(nblocks):
+            w = mv[pos]
+            pos += 1 + (int(sizes[i]) * w + 7) // 8
+            offs[i + 1] = pos
+        return offs
+
+    # chunk-start flags
+    counts = np.asarray(p.chunk_doc_counts, dtype=np.int64)
+    blocks_per_chunk = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    chunk_first_block = np.concatenate([[0], np.cumsum(blocks_per_chunk)[:-1]])
+    is_chunk_start = np.zeros(nblocks, dtype=bool)
+    is_chunk_start[chunk_first_block] = True
+
+    base_docs = np.empty(nblocks, dtype=np.int64)
+    base_docs[0] = 0
+    blast = np.asarray(p.block_last_docs, dtype=np.int64)
+    base_docs[1:] = blast[:-1]
+    base_docs[is_chunk_start] = 0
+
+    doc_starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    return sizes, offsets(p.docs), offsets(p.freqs), base_docs, doc_starts
+
+
+def decode_block(p: PackedPostings, b: int, layout) -> tuple[np.ndarray, np.ndarray]:
+    """(docs, freqs) of one block."""
+    sizes, doffs, foffs, bases, _ = layout
+    n = int(sizes[b])
+    deltas, _ = _unpack_block(memoryview(p.docs), int(doffs[b]), n)
+    docs = np.cumsum(deltas.astype(np.int64)) + bases[b]
+    freqs, _ = _unpack_block(memoryview(p.freqs), int(foffs[b]), n)
+    return docs, freqs.astype(np.int32)
+
+
+def lookup_postings(p: PackedPostings, targets: np.ndarray,
+                    layout=None) -> np.ndarray:
+    """freq per (sorted, unique) target docID; 0 where the doc is absent.
+
+    Decodes only blocks whose [first, last] doc range intersects a
+    target (binary search on block_last_docs = the skip data).
+    """
+    if layout is None:
+        layout = block_layout(p)
+    blast = np.asarray(p.block_last_docs, dtype=np.int64)
+    # candidate block per target: first block with last_doc >= target
+    bidx = np.searchsorted(blast, targets)
+    out = np.zeros(len(targets), dtype=np.int32)
+    valid = bidx < len(blast)
+    for b in np.unique(bidx[valid]):
+        docs, freqs = decode_block(p, int(b), layout)
+        sel = valid.copy()
+        sel[valid] = bidx[valid] == b
+        t = targets[sel]
+        pos = np.searchsorted(docs, t)
+        ok = (pos < len(docs)) & (docs[np.minimum(pos, len(docs) - 1)] == t)
+        vals = np.zeros(len(t), dtype=np.int32)
+        vals[ok] = freqs[np.minimum(pos, len(docs) - 1)][ok]
+        out[sel] = vals
+    return out

@@ -1,0 +1,299 @@
+"""Top-k BM25 search over an index: per-segment scoring + global merge.
+
+Mirrors the reference query path (SURVEY.md §3.3):
+- global stats computed once per query (TermStates / CollectionStatistics)
+- per-segment scorers: conjunction leads with the rarest term and
+  block-skips the others (ConjunctionDISI leapfrog); disjunction uses
+  MaxScore-style static pruning from block-max impact bounds (the
+  WANDScorer/ImpactsDISI role): terms whose summed score upper bound
+  cannot reach the current threshold are looked up only on candidate
+  docs, never fully decoded
+- top-k ties break toward the lower global docID (HitQueue.java:78-81);
+  cross-segment merge = sort by (-score, doc_id) (TopDocs.merge)
+- scores: float32 per term, summed in double, cast to float
+  (DisjunctionSumScorer semantics)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from . import bm25
+from .postings_io import block_layout, lookup_postings
+from .query import BooleanQuery, Query, TermQuery, query_terms
+from .reader import IndexReader, SegmentReader
+from ..codecs.postings import unpack_postings
+
+
+class TopDocs(NamedTuple):
+    doc_ids: np.ndarray  # int64
+    scores: np.ndarray  # float32, descending (ties: doc_id ascending)
+
+
+def _top_k(docs: np.ndarray, scores: np.ndarray, k: int) -> TopDocs:
+    n = len(docs)
+    if n == 0:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32))
+    if n > 4 * k and n > 2048:
+        # threshold-select then sort the survivors (ties kept)
+        kth = np.partition(scores, n - k)[n - k]
+        mask = scores >= kth
+        docs, scores = docs[mask], scores[mask]
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return TopDocs(docs[order].astype(np.int64), scores[order])
+
+
+def merge_top_docs(parts: list[TopDocs], k: int) -> TopDocs:
+    """TopDocs.merge: score desc, then global docID asc."""
+    if not parts:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32))
+    docs = np.concatenate([p.doc_ids for p in parts])
+    scores = np.concatenate([p.scores for p in parts])
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return TopDocs(docs[order], scores[order])
+
+
+class _TermPlan(NamedTuple):
+    term: str
+    weight: np.float32  # boost * idf (0 df -> weight computed but no postings)
+    df: int
+
+
+class Searcher:
+    """Searches one IndexReader (all or a subset of its segments)."""
+
+    def __init__(self, reader: IndexReader, k1: float = bm25.K1, b: float = bm25.B):
+        self.reader = reader
+        self.k1, self.b = k1, b
+        n = max(reader.doc_count, 1)
+        self.avgdl = bm25.avg_field_length(max(reader.sum_total_term_freq, 1), n)
+        self.cache = bm25.norm_inverse_cache(self.avgdl, k1, b)
+
+    # -- weights ------------------------------------------------------------
+    def _plan(self, q: Query) -> dict:
+        terms = sorted(set(query_terms(q)))
+        stats = self.reader.term_stats(terms)
+        n = self.reader.doc_count
+
+        def tp(tq: TermQuery) -> _TermPlan:
+            df = stats[tq.term][0]
+            w = bm25.term_weight(tq.boost, df, n) if df > 0 else np.float32(0)
+            return _TermPlan(tq.term, w, df)
+
+        if isinstance(q, TermQuery):
+            return {"must": [tp(q)], "should": [], "must_not": [], "filter": [],
+                    "msm": 0}
+        assert isinstance(q, BooleanQuery)
+        return {
+            "must": [tp(t) for t in q.must],
+            "should": [tp(t) for t in q.should],
+            "must_not": [_TermPlan(t.term, np.float32(0), stats[t.term][0])
+                         for t in q.must_not],
+            "filter": [_TermPlan(t.term, np.float32(0), stats[t.term][0])
+                       for t in q.filter],
+            "msm": q.min_should_match,
+        }
+
+    # -- public API ---------------------------------------------------------
+    def search(self, q: Query, k: int = 10) -> TopDocs:
+        plan = self._plan(q)
+        parts = []
+        threshold = -np.inf
+        for sr in self.reader.segments():
+            td = self._search_segment(sr, plan, k, threshold)
+            if len(td.doc_ids):
+                parts.append(td)
+                all_scores = np.concatenate([p.scores for p in parts])
+                if len(all_scores) >= k:
+                    threshold = float(np.partition(all_scores, len(all_scores) - k)
+                                      [len(all_scores) - k])
+        return merge_top_docs(parts, k)
+
+    def count(self, q: Query) -> int:
+        plan = self._plan(q)
+        total = 0
+        for sr in self.reader.segments():
+            docs, _ = self._match_and_score(sr, plan, scoring=False)
+            total += len(docs)
+        return total
+
+    # -- per-segment --------------------------------------------------------
+    def _decode_scored(self, sr: SegmentReader, t: _TermPlan):
+        p = sr.get_postings(t.term)
+        if p is None:
+            return None, None, None
+        docs, freqs = unpack_postings(p)
+        return p, docs, freqs
+
+    def _search_segment(self, sr: SegmentReader, plan: dict, k: int,
+                        threshold: float) -> TopDocs:
+        docs, scores = self._match_and_score(sr, plan, scoring=True,
+                                             k=k, threshold=threshold)
+        if docs is None or len(docs) == 0:
+            return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32))
+        return _top_k(docs, scores, k)
+
+    def _match_and_score(self, sr: SegmentReader, plan: dict, *, scoring: bool,
+                         k: int = 10, threshold: float = -np.inf):
+        must, should = plan["must"], plan["should"]
+        empty = (np.empty(0, np.int64), np.empty(0, np.float32))
+
+        if must or plan["filter"]:
+            cand, sums, match_counts = self._conjunction(sr, plan, scoring)
+            if cand is None or len(cand) == 0:
+                return empty
+        else:
+            if not should:
+                return empty
+            cand, sums, match_counts = self._disjunction(sr, plan, scoring,
+                                                         k, threshold)
+            if cand is None or len(cand) == 0:
+                return empty
+            msm = max(plan["msm"], 1)
+            if msm > 1:
+                keep = match_counts >= msm
+                cand = cand[keep]
+                if sums is not None:
+                    sums = sums[keep]
+
+        # MUST_NOT exclusion (ReqExclScorer)
+        for t in plan["must_not"]:
+            if len(cand) == 0:
+                break
+            p = sr.get_postings(t.term)
+            if p is None:
+                continue
+            freqs = lookup_postings(p, cand)
+            keep = freqs == 0
+            cand = cand[keep]
+            if sums is not None:
+                sums = sums[keep]
+        if len(cand) == 0:
+            return empty
+        if not scoring:
+            return cand, None
+        return cand, sums.astype(np.float32)
+
+    def _conjunction(self, sr: SegmentReader, plan: dict, scoring: bool):
+        """Lead with the rarest required term; block-skip the rest."""
+        must, flt, should = plan["must"], plan["filter"], plan["should"]
+        required = [(t, True) for t in must] + [(t, False) for t in flt]
+        # postings for required terms; any missing -> empty
+        loaded = []
+        for t, scores_q in required:
+            p = sr.get_postings(t.term)
+            if p is None:
+                return None, None, None
+            loaded.append((t, scores_q, p))
+        order = sorted(range(len(loaded)), key=lambda i: loaded[i][2].doc_count)
+        t0, s0, p0 = loaded[order[0]]
+        cand, freqs0 = unpack_postings(p0)
+        term_freqs: dict[int, np.ndarray] = {order[0]: freqs0}
+        for oi in order[1:]:
+            t, scores_q, p = loaded[oi]
+            f = lookup_postings(p, cand)
+            keep = f > 0
+            cand = cand[keep]
+            term_freqs = {i: ff[keep] for i, ff in term_freqs.items()}
+            term_freqs[oi] = f[keep]
+            if len(cand) == 0:
+                return cand, np.empty(0, np.float64), None
+        if not scoring:
+            return cand, None, None
+        norms = sr.norms_for(cand)
+        sums = np.zeros(len(cand), dtype=np.float64)
+        # accumulate in ORIGINAL clause order so scores are bit-identical
+        # regardless of which term led the intersection
+        for i, (t, scores_q, _p) in enumerate(loaded):
+            if scores_q and t.weight > 0:
+                sums += bm25.score_freqs(term_freqs[i], norms, t.weight,
+                                         self.cache).astype(np.float64)
+        # optional SHOULD clauses add score on the conjunction's matches
+        for t in should:
+            p = sr.get_postings(t.term)
+            if p is None or t.weight == 0:
+                continue
+            f = lookup_postings(p, cand)
+            hit = f > 0
+            if hit.any():
+                sums[hit] += bm25.score_freqs(
+                    f[hit], norms[hit], t.weight, self.cache).astype(np.float64)
+        return cand, sums, None
+
+    def _disjunction(self, sr: SegmentReader, plan: dict, scoring: bool,
+                     k: int, threshold: float):
+        """MaxScore-style static pruning from block-max impact bounds."""
+        should = plan["should"]
+        postings = []
+        for t in should:
+            p = sr.get_postings(t.term)
+            if p is not None:
+                postings.append((t, p))
+        if not postings:
+            return None, None, None
+
+        msm = max(plan["msm"], 1)
+        prune = scoring and msm == 1 and len(postings) > 1
+        ubs = np.array([
+            float(bm25.max_block_scores(np.asarray(p.imp_freqs),
+                                        np.asarray(p.imp_norms),
+                                        np.asarray(p.imp_offsets),
+                                        t.weight, self.cache).max())
+            if len(p.imp_freqs) else 0.0
+            for t, p in postings])
+
+        theta = threshold
+        if prune and not np.isfinite(theta):
+            # seed from the highest-upper-bound term's own top-k scores
+            t, p = postings[int(np.argmax(ubs))]
+            docs0, freqs0 = unpack_postings(p)
+            if len(docs0) > k:
+                s0 = bm25.score_freqs(freqs0, sr.norms_for(docs0), t.weight,
+                                      self.cache)
+                theta = float(np.partition(s0, len(s0) - k)[len(s0) - k])
+
+        essential = np.ones(len(postings), dtype=bool)
+        if prune and np.isfinite(theta):
+            order = np.argsort(ubs)  # ascending
+            csum = np.cumsum(ubs[order])
+            non_essential = order[csum < theta]
+            essential[non_essential] = False
+            if not essential.any():
+                essential[int(np.argmax(ubs))] = True
+
+        # candidate set = union of essential terms' docs (full decode)
+        ess_decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        parts_docs = []
+        for i, (t, p) in enumerate(postings):
+            if essential[i]:
+                docs, freqs = unpack_postings(p)
+                ess_decoded[i] = (docs, freqs)
+                parts_docs.append(docs)
+        cand = np.unique(np.concatenate(parts_docs))
+        counts = np.zeros(len(cand), dtype=np.int64)
+        sums = np.zeros(len(cand), dtype=np.float64) if scoring else None
+        norms_cand = sr.norms_for(cand) if scoring else None
+
+        # accumulate in clause order so scores are bit-identical whatever
+        # the essential/non-essential split was
+        for i, (t, p) in enumerate(postings):
+            if i in ess_decoded:
+                docs, freqs = ess_decoded[i]
+                pos = np.searchsorted(cand, docs)
+                counts[pos] += 1
+                if scoring and t.weight > 0:
+                    sums[pos] += bm25.score_freqs(
+                        freqs, norms_cand[pos], t.weight, self.cache
+                    ).astype(np.float64)
+            else:
+                # non-essential: candidate-only lookup (block-skip decode)
+                f = lookup_postings(p, cand)
+                hit = f > 0
+                counts += hit.astype(np.int64)
+                if scoring and t.weight > 0 and hit.any():
+                    sums[hit] += bm25.score_freqs(
+                        f[hit], norms_cand[hit], t.weight, self.cache
+                    ).astype(np.float64)
+        return cand, sums, counts
