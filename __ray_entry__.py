@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself; nothing here (or in lucene_ray)
+initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 + the training-data ops; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. Integer-only
+result schemas are used for ranking queries so value-hashes compare
+exactly (ranks computed from double-precision scores on both sides;
+ties break on doc_id in both).
 """
 
 from __future__ import annotations
@@ -18,27 +16,216 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+K1, B = 1.2, 0.75
+
+# the analyzer on this corpus (lowercase [a-z]+ words, single spaces) is
+# exactly split-on-space; the SQL tokenizer below mirrors it
+_TOKS = ("WITH toks AS (SELECT doc_id, unnest(list_filter("
+         "string_split(text, ' '), x -> x <> '')) AS term FROM documents)")
+
+_DL = ("dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)")
+_STATS = ("stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl, "
+          "sum(dl) * 1.0 / count(*) AS avgdl FROM dl)")
+
+_TERM_A = "data"
+_TERM_B = "merge"
+_AND_TERMS = ["data", "merge", "window"]
+_OR_TERMS = ["spark", "merge", "window"]
+_ANDOR_MUST = "data"
+_ANDOR_SHOULD = ["spark", "window"]
+
+
+def _docp(sf_dir: str) -> str:
+    return f"{sf_dir}/documents.parquet"
+
+
+def _embp(sf_dir: str) -> str:
+    return f"{sf_dir}/embeddings.parquet"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over
+    `documents`, then answer BM25 top-k queries (Lucene float32 mode)."""
+    import pandas as pd
+    from lucene_ray.pipelines.search_queries import bm25_topk_lucene, cached_index
+    from lucene_ray.index.validate import validate_index
+
+    sf = "/root/testdata/sf0.001"
+    idx = cached_index(_docp(sf))
+    errs = validate_index(idx)
+    assert errs == [], errs
+    frames = []
+    for kind, terms in [("term", [_TERM_A]), ("and", _AND_TERMS),
+                        ("or", _OR_TERMS)]:
+        t = bm25_topk_lucene(_docp(sf), terms, kind=kind, k=10).to_pandas()
+        t.insert(0, "query", f"{kind}:{'+'.join(terms)}")
+        frames.append(t)
+    return pd.concat(frames, ignore_index=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_ray.pipelines import dedup, similarity, text_analysis
+    from lucene_ray.pipelines.search_queries import (
+        bm25_topk, bm25_topk_lucene, cached_index, conjunction_docs,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def term_stats(sf_dir):
+        # global (term, df, ttf) produced by the INDEX build's
+        # groupby-on-term aggregate — gates the whole segment pipeline
+        import os
+        import pyarrow.parquet as pq
+        idx = cached_index(_docp(sf_dir))
+        from lucene_ray.index.manifest import read_manifest
+        gen = read_manifest(idx).generation
+        return pq.read_table(os.path.join(idx, "global", f"term_stats_gen{gen}"))
+
+    def coll_stats(sf_dir):
+        import pyarrow as pa
+        from lucene_ray.index.manifest import read_manifest
+        idx = cached_index(_docp(sf_dir))
+        m = read_manifest(idx)
+        return pa.table({"n_docs": [m.num_docs],
+                         "field_docs": [m.field_doc_count],
+                         "sum_dl": [m.sum_doc_len]})
+
+    def doc_norms(sf_dir):
+        return text_analysis.doc_stats(_docp(sf_dir)).select_columns(
+            ["doc_id", "norm"])
+
+    return {
+        # --- index / term dictionary / stats (SURVEY §2.2, §2.5) ---
+        "term_stats": term_stats,
+        "collection_stats": coll_stats,
+        "doc_lengths": lambda sf: text_analysis.doc_lengths(_docp(sf)),
+        "quality_stats": lambda sf: text_analysis.doc_stats(_docp(sf))
+            .select_columns(["doc_id", "n_tokens", "n_uniq_tokens",
+                             "n_chars", "n_bpe_pieces"]),
+        "doc_norms": doc_norms,  # rows-only (SmallFloat not SQL-expressible)
+        "fingerprints": lambda sf: text_analysis.fingerprints(_docp(sf)),
+        "topk_longest_docs": lambda sf: text_analysis.topk_longest_docs(_docp(sf), 20),
+        "lang_id": lambda sf: text_analysis.lang_id(_docp(sf)),  # rows-only
+        # --- BM25 top-k (SURVEY §2.8, §3.3) ---
+        "bm25_term_a": lambda sf: bm25_topk(_docp(sf), [_TERM_A], "term", 10),
+        "bm25_term_b": lambda sf: bm25_topk(_docp(sf), [_TERM_B], "term", 100),
+        "bm25_and": lambda sf: bm25_topk(_docp(sf), _AND_TERMS, "and", 20),
+        "bm25_or": lambda sf: bm25_topk(_docp(sf), _OR_TERMS, "or", 20),
+        "bm25_and_or": lambda sf: bm25_topk(
+            _docp(sf), [_ANDOR_MUST, *_ANDOR_SHOULD], "and_or", 20),
+        "bm25_lucene_f32": lambda sf: bm25_topk_lucene(
+            _docp(sf), _OR_TERMS, "or", 20),  # rows-only (float32 path)
+        "grep_and": lambda sf: conjunction_docs(_docp(sf), [_TERM_A, _TERM_B]),
+        # --- dedup family (training-data ops) ---
+        "dedup_exact": lambda sf: dedup.exact_dedup(_docp(sf)),
+        "dedup_first_per_group": lambda sf: dedup.first_per_group(_docp(sf)),
+        "minhash_candidates": lambda sf: dedup.minhash_lsh_candidates(
+            _docp(sf)),  # rows-only
+        "simhash_table": lambda sf: dedup.simhash_table(_docp(sf))
+            .select_columns(["doc_id", "simhash"]),  # rows-only
+        # --- similarity search ---
+        "knn_top10": lambda sf: similarity.knn_brute(_embp(sf), range(10), 10),
+        "knn_lsh_top10": lambda sf: similarity.knn_lsh(
+            _embp(sf), range(10), 10),  # rows-only (approximate)
+    }
+
+
+def _bm25_single_sql(term: str, k: int) -> str:
+    return f"""
+{_TOKS},
+{_DL},
+{_STATS},
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = '{term}'
+       GROUP BY doc_id),
+params AS (SELECT (SELECT count(*) FROM tf) AS df, n, avgdl FROM stats),
+scored AS (
+  SELECT t.doc_id, t.tf, d.dl,
+         ln(1 + (p.n - p.df + 0.5) / (p.df + 0.5)) * t.tf /
+           (t.tf + {K1} * (1 - {B} + {B} * d.dl / p.avgdl)) AS score
+  FROM tf t JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN params p)
+SELECT doc_id, tf, dl,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _bm25_multi_sql(terms: list[str], k: int, require_all: bool,
+                    must_term: str | None = None) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    having = ""
+    if require_all:
+        having = f"HAVING count(*) = {len(terms)}"
+    elif must_term is not None:
+        having = (f"HAVING count(CASE WHEN pt.term = '{must_term}' THEN 1 END)"
+                  " = 1")
+    return f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({inlist}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id {having})
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_stats": f"""
+{_TOKS}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM toks
+GROUP BY term""",
+        "collection_stats": f"""
+{_TOKS}
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(DISTINCT doc_id) FROM toks) AS field_docs,
+       (SELECT count(*) FROM toks) AS sum_dl""",
+        "doc_lengths": f"""
+{_TOKS}
+SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens
+FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks
+                            GROUP BY doc_id) t ON d.doc_id = t.doc_id""",
+        "quality_stats": """
+SELECT doc_id,
+  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+  len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+      AS n_uniq_tokens,
+  length(text)::BIGINT AS n_chars,
+  coalesce(list_sum(list_transform(list_filter(string_split(text, ' '),
+      x -> x <> ''), x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)::BIGINT
+      AS n_bpe_pieces
+FROM documents""",
+        "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "topk_longest_docs": f"""
+{_TOKS}
+SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+ORDER BY n_tokens DESC, doc_id LIMIT 20""",
+        "bm25_term_a": _bm25_single_sql(_TERM_A, 10),
+        "bm25_term_b": _bm25_single_sql(_TERM_B, 100),
+        "bm25_and": _bm25_multi_sql(_AND_TERMS, 20, require_all=True),
+        "bm25_or": _bm25_multi_sql(_OR_TERMS, 20, require_all=False),
+        "bm25_and_or": _bm25_multi_sql([_ANDOR_MUST, *_ANDOR_SHOULD], 20,
+                                       require_all=False,
+                                       must_term=_ANDOR_MUST),
+        "grep_and": f"""
+{_TOKS}
+SELECT doc_id FROM toks WHERE term IN ('{_TERM_A}', '{_TERM_B}')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY doc_id""",
+        "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "
+                        "GROUP BY text"),
+        "dedup_first_per_group": ("SELECT lang, source, min(doc_id) AS doc_id "
+                                  "FROM documents GROUP BY lang, source"),
+        "knn_top10": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < 10),
+sims AS (SELECT q.qid, e.vec_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+    }

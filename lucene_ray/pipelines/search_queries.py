@@ -1,0 +1,106 @@
+"""Driver-facing BM25 query pipelines over the `documents` table.
+
+Builds (and caches) a real index with the engine, then answers top-k
+queries in `bm25_exact64` similarity mode, returning integer-only
+result tables (doc_id, tf, dl, rank) whose values an ANSI-SQL oracle
+reproduces exactly — the correctness gate for the whole
+index-build + query path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..index import build_index
+from ..search import BooleanQuery, IndexReader, Searcher, TermQuery
+from ..search.postings_io import lookup_postings
+
+_CACHE_ROOT = "/tmp/lucene_ray_cache"
+
+
+def cached_index(doc_path: str, *, batch_size: int = 2048) -> str:
+    """Build-or-reuse an index over a documents parquet file."""
+    key = hashlib.md5(doc_path.encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"docidx-{key}")
+    marker = os.path.join(out, "manifest_0.json")
+    if not os.path.exists(marker):
+        build_index(doc_path, out, text_col="text", id_col="doc_id",
+                    batch_size=batch_size)
+    return out
+
+
+def _query(kind: str, terms: list[str]):
+    if kind == "term":
+        return TermQuery(terms[0])
+    if kind == "and":
+        return BooleanQuery(must=tuple(TermQuery(t) for t in terms))
+    if kind == "or":
+        return BooleanQuery(should=tuple(TermQuery(t) for t in terms))
+    if kind == "and_or":
+        return BooleanQuery(must=(TermQuery(terms[0]),),
+                            should=tuple(TermQuery(t) for t in terms[1:]))
+    raise ValueError(kind)
+
+
+def bm25_topk(doc_path: str, terms: list[str], kind: str = "term",
+              k: int = 10) -> pa.Table:
+    """Top-k doc ids by BM25 (exact64 oracle mode).
+
+    Single-term queries return (doc_id, tf, dl, rank); multi-term return
+    (doc_id, rank). Ranks 1..k by score desc, ties doc_id asc.
+    """
+    idx = cached_index(doc_path)
+    reader = IndexReader(idx)
+    s = Searcher(reader, similarity="bm25_exact64")
+    td = s.search(_query(kind, terms), k=k)
+    ranks = np.arange(1, len(td.doc_ids) + 1, dtype=np.int64)
+    if kind == "term" and len(terms) == 1:
+        tfs = np.zeros(len(td.doc_ids), dtype=np.int64)
+        dls = np.zeros(len(td.doc_ids), dtype=np.int64)
+        for sr in reader.segments():
+            in_seg = ((td.doc_ids >= sr.doc_ids[0]) &
+                      (td.doc_ids <= sr.doc_ids[-1])) if len(sr.doc_ids) else \
+                np.zeros(len(td.doc_ids), bool)
+            if not in_seg.any():
+                continue
+            p = sr.get_postings(terms[0])
+            if p is not None:
+                tfs[in_seg] = lookup_postings(p, td.doc_ids[in_seg])
+            dls[in_seg] = sr.doc_lens_for(td.doc_ids[in_seg])
+        return pa.table({"doc_id": pa.array(td.doc_ids, pa.int64()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "dl": pa.array(dls, pa.int64()),
+                         "rank": pa.array(ranks, pa.int64())})
+    return pa.table({"doc_id": pa.array(td.doc_ids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64())})
+
+
+def conjunction_docs(doc_path: str, terms: list[str]) -> pa.Table:
+    """All doc ids containing every term (match-only, no scoring)."""
+    idx = cached_index(doc_path)
+    s = Searcher(IndexReader(idx))
+    plan = s._plan(_query("and", terms))
+    out = []
+    for sr in s.reader.segments():
+        docs, _ = s._match_and_score(sr, plan, scoring=False)
+        if docs is not None and len(docs):
+            out.append(docs)
+    allp = np.concatenate(out) if out else np.empty(0, np.int64)
+    return pa.table({"doc_id": pa.array(np.sort(allp), pa.int64())})
+
+
+def bm25_topk_lucene(doc_path: str, terms: list[str], kind: str = "term",
+                     k: int = 10) -> pa.Table:
+    """Lucene-exact float32 scoring mode (norm-quantized); returned as
+    (doc_id, rank) — the pytest brute-force oracle gates the scores."""
+    idx = cached_index(doc_path)
+    s = Searcher(IndexReader(idx))
+    td = s.search(_query(kind, terms), k=k)
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+    })

@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (ray.put once, read per actor) with per-batch partial
+  top-k -> tiny driver merge. Exact; the baseline.
+- LSH-bucketed ANN: random-hyperplane signatures route vectors and
+  queries to buckets; query probes its bucket (+ multiprobe neighbors).
+  Approximate; the 100 TB scale path (shuffle moves (bucket, id) rows,
+  matmuls stay bucket-local).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _load_queries(path: str, query_ids: list[int]):
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(query_ids))])
+    order = np.argsort(t.column("vec_id").to_numpy())
+    qids = t.column("vec_id").to_numpy()[order]
+    qmat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)[order]
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    return qids, qmat
+
+
+def knn_brute(path: str, query_ids, k: int = 10,
+              exclude_self: bool = True) -> pa.Table:
+    """Exact cosine top-k for each query vector.
+
+    Returns (qid, vec_id, rank) — rank 1..k by cosine desc, ties by
+    vec_id asc. Distributed: per-batch partial top-k, driver merges the
+    (n_queries x k x n_batches) partials.
+    """
+    query_ids = list(query_ids)
+    qids, qmat = _load_queries(path, query_ids)
+    ref = ray.put((qids, qmat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(ref)
+        vids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = q_mat @ mat.T  # (nq, nb)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(q_ids)):
+            row = sims[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.extend([q_ids[qi]] * len(idx))
+            out_v.extend(vids[idx])
+            out_s.extend(row[idx])
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+
+    # driver merge (tiny)
+    byq: dict[int, list] = {}
+    for r in parts:
+        byq.setdefault(r["qid"], []).append((r["vec_id"], r["sim"]))
+    out_q, out_v, out_r = [], [], []
+    for qid in sorted(byq):
+        cand = byq[qid]
+        if exclude_self:
+            cand = [(v, s) for v, s in cand if v != qid]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (v, s) in enumerate(cand[:k], 1):
+            out_q.append(qid)
+            out_v.append(v)
+            out_r.append(rank)
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_v, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
+
+
+class _HyperplaneLSH:
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 13):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_bits, dim))
+        self.weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        return ((mat @ self.planes.T) > 0) @ self.weights
+
+
+def knn_lsh(path: str, query_ids, k: int = 10, n_bits: int = 8,
+            exclude_self: bool = True) -> pa.Table:
+    """Approximate top-k: hyperplane-LSH bucket + single-bit multiprobe.
+    Same output schema as knn_brute (qid, vec_id, rank)."""
+    query_ids = list(query_ids)
+    qids, qmat = _load_queries(path, query_ids)
+    dim = qmat.shape[1]
+    lsh = _HyperplaneLSH(dim, n_bits)
+    qb = lsh.bucket(qmat)
+    # probe set per query: own bucket + all 1-bit flips
+    probes = {}
+    for qi, b in zip(qids, qb):
+        probes[int(qi)] = {int(b)} | {int(b) ^ (1 << i) for i in range(n_bits)}
+    ref = ray.put((qids, qmat, probes))
+
+    def bucketed_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, probe = ray.get(ref)
+        vids = batch["vec_id"].to_numpy()
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        vb = _HyperplaneLSH(mat.shape[1], n_bits).bucket(mat)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = np.isin(vb, list(probe[int(q_ids[qi])]))
+            if not mask.any():
+                continue
+            row = q_mat[qi] @ mat[mask].T
+            sub = vids[mask]
+            kk = min(k + 1, len(sub))
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.extend([q_ids[qi]] * len(idx))
+            out_v.extend(sub[idx])
+            out_s.extend(row[idx])
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    parts = ds.map_batches(bucketed_topk, batch_format="pyarrow").take_all()
+    byq: dict[int, list] = {}
+    for r in parts:
+        byq.setdefault(r["qid"], []).append((r["vec_id"], r["sim"]))
+    out_q, out_v, out_r = [], [], []
+    for qid in sorted(byq):
+        cand = byq[qid]
+        if exclude_self:
+            cand = [(v, s) for v, s in cand if v != qid]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (v, s) in enumerate(cand[:k], 1):
+            out_q.append(qid)
+            out_v.append(v)
+            out_r.append(rank)
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_v, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
+
+
+def lsh_recall_vs_brute(path: str, query_ids, k: int = 10) -> float:
+    """Recall@k of the LSH variant against the exact baseline."""
+    brute = knn_brute(path, query_ids, k)
+    approx = knn_lsh(path, query_ids, k)
+    b = {}
+    for r in brute.to_pylist():
+        b.setdefault(r["qid"], set()).add(r["vec_id"])
+    a = {}
+    for r in approx.to_pylist():
+        a.setdefault(r["qid"], set()).add(r["vec_id"])
+    recs = [len(b[q] & a.get(q, set())) / max(len(b[q]), 1) for q in b]
+    return float(np.mean(recs)) if recs else 0.0

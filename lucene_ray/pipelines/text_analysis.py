@@ -1,0 +1,185 @@
+"""Text-analysis pipelines over a documents corpus.
+
+Every function takes a parquet path (or directory) holding rows
+``(doc_id:int64, text:string, ...)`` and returns a lazy
+``ray.data.Dataset`` — streaming, vectorized ``map_batches`` stages
+with the analyzer built once per actor. Aggregates pre-combine inside
+batches before any shuffle (combiner pattern).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..analysis import StandardAnalyzer, int_to_byte4_array
+from ..util import default_concurrency
+
+
+def read_documents(path: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(path, columns=list(columns))
+
+
+class TokenizeDocTerms:
+    """(doc_id, text) batches -> exploded (doc_id, term, tf) rows, one
+    row per distinct term per doc (the partial/combiner step for df/ttf)."""
+
+    def __init__(self, stop_words=frozenset()):
+        self.analyzer = StandardAnalyzer(stop_words=stop_words)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_doc, out_term, out_tf = [], [], []
+        for d, text in zip(doc_ids, texts):
+            counts = Counter(self.analyzer(text or ""))
+            out_doc.extend([d] * len(counts))
+            out_term.extend(counts.keys())
+            out_tf.extend(counts.values())
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "term": pa.array(out_term, pa.large_string()),
+            "tf": pa.array(out_tf, pa.int64()),
+        })
+
+
+class TokenizeDocStats:
+    """(doc_id, text) -> per-doc stats (doc_len, uniq, chars, norms...)."""
+
+    def __init__(self, stop_words=frozenset()):
+        self.analyzer = StandardAnalyzer(stop_words=stop_words)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_tok, n_uniq, n_chars, n_bpe = [], [], [], []
+        for text in texts:
+            text = text or ""
+            terms = self.analyzer(text)
+            n_tok.append(len(terms))
+            n_uniq.append(len(set(terms)))
+            n_chars.append(len(text))
+            # BPE-ish piece estimate: greedy <=4-char chunks per token
+            n_bpe.append(sum((len(t) + 3) // 4 for t in terms))
+        doc_lens = np.asarray(n_tok, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_bpe_pieces": pa.array(n_bpe, pa.int64()),
+            "norm": pa.array(int_to_byte4_array(doc_lens).astype(np.int64), pa.int64()),
+        })
+
+
+def doc_term_table(path: str, stop_words=frozenset()) -> ray.data.Dataset:
+    return read_documents(path).map_batches(
+        TokenizeDocTerms, fn_constructor_kwargs={"stop_words": stop_words},
+        batch_format="pyarrow", concurrency=default_concurrency())
+
+
+def term_stats(path: str, stop_words=frozenset()) -> ray.data.Dataset:
+    """(term, df, ttf) — the global term dictionary aggregate."""
+    return doc_term_table(path, stop_words).groupby("term").aggregate(
+        Count(alias_name="df"), Sum("tf", alias_name="ttf"))
+
+
+def doc_stats(path: str, stop_words=frozenset()) -> ray.data.Dataset:
+    return read_documents(path).map_batches(
+        TokenizeDocStats, fn_constructor_kwargs={"stop_words": stop_words},
+        batch_format="pyarrow", concurrency=default_concurrency())
+
+
+def doc_lengths(path: str) -> ray.data.Dataset:
+    return doc_stats(path).select_columns(["doc_id", "n_tokens"])
+
+
+def collection_stats(path: str) -> ray.data.Dataset:
+    """One row: (n_docs, field_docs, sum_dl, max_dl) — CollectionStatistics."""
+    ds = doc_stats(path)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_tokens": batch["n_tokens"],
+            "has_field": pa.compute.cast(
+                pa.compute.greater(batch["n_tokens"], 0), pa.int64()),
+        })
+
+    agg = ds.map_batches(flag, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("has_field", alias_name="field_docs"),
+        Sum("n_tokens", alias_name="sum_dl"),
+        Max("n_tokens", alias_name="max_dl"))
+    return ray.data.from_items([agg])
+
+
+def fingerprints(path: str) -> ray.data.Dataset:
+    """(doc_id, fp): md5 content fingerprint (document identity hash)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fp": pa.array([hashlib.md5((t or "").encode()).hexdigest()
+                            for t in batch["text"].to_pylist()], pa.string()),
+        })
+
+    return read_documents(path).map_batches(fp, batch_format="pyarrow")
+
+
+def topk_longest_docs(path: str, k: int = 20) -> ray.data.Dataset:
+    """sort + limit surface: k longest docs (ties -> lower doc_id)."""
+    return doc_lengths(path).sort(["n_tokens", "doc_id"],
+                                  descending=[True, False]).limit(k)
+
+
+# --- language id (n-gram/function-word heuristic) --------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "une", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "es", "no", "una", "para", "con"},
+}
+
+
+class LangId:
+    """Function-word hit-rate heuristic + script detection for CJK."""
+
+    def __init__(self):
+        self.analyzer = StandardAnalyzer()
+
+    def detect(self, text: str) -> str:
+        if not text:
+            return "unknown"
+        # script check on a sample of codepoints
+        sample = text[:200]
+        cjk = sum(1 for ch in sample if 0x4E00 <= ord(ch) <= 0x9FFF)
+        if cjk > len(sample) * 0.2:
+            return "zh"
+        terms = self.analyzer(text)
+        if not terms:
+            return "unknown"
+        best, best_rate = "unknown", 0.0
+        for lang, markers in _LANG_MARKERS.items():
+            rate = sum(1 for t in terms if t in markers) / len(terms)
+            if rate > best_rate:
+                best, best_rate = lang, rate
+        return best if best_rate > 0.02 else "unknown"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array([self.detect(t or "")
+                                   for t in batch["text"].to_pylist()], pa.string()),
+        })
+
+
+def lang_id(path: str) -> ray.data.Dataset:
+    return read_documents(path).map_batches(
+        LangId, batch_format="pyarrow", concurrency=default_concurrency())

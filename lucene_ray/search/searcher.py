@@ -64,12 +64,32 @@ class _TermPlan(NamedTuple):
 class Searcher:
     """Searches one IndexReader (all or a subset of its segments)."""
 
-    def __init__(self, reader: IndexReader, k1: float = bm25.K1, b: float = bm25.B):
+    def __init__(self, reader: IndexReader, k1: float = bm25.K1, b: float = bm25.B,
+                 similarity: str = "lucene"):
+        """similarity: 'lucene' = exact float32 norm-quantized reference
+        formula; 'bm25_exact64' = double precision with exact doc lengths
+        (the Similarity plug point, SURVEY.md §2.10 — also what an
+        ANSI-SQL oracle computes)."""
         self.reader = reader
         self.k1, self.b = k1, b
+        self.exact64 = similarity == "bm25_exact64"
         n = max(reader.doc_count, 1)
         self.avgdl = bm25.avg_field_length(max(reader.sum_total_term_freq, 1), n)
+        self.avgdl64 = max(reader.sum_total_term_freq, 1) / float(n)
         self.cache = bm25.norm_inverse_cache(self.avgdl, k1, b)
+
+    def _norm_data(self, sr: SegmentReader, cand: np.ndarray) -> np.ndarray:
+        return sr.doc_lens_for(cand) if self.exact64 else sr.norms_for(cand)
+
+    def _scores_term(self, t: "_TermPlan") -> bool:
+        return t.df > 0 if self.exact64 else t.weight > 0
+
+    def _contrib(self, t: "_TermPlan", freqs: np.ndarray,
+                 norm_data: np.ndarray) -> np.ndarray:
+        if self.exact64:
+            return bm25.score64(freqs, norm_data, t.df, self.reader.doc_count,
+                                self.avgdl64, self.k1, self.b)
+        return bm25.score_freqs(freqs, norm_data, t.weight, self.cache).astype(np.float64)
 
     # -- weights ------------------------------------------------------------
     def _plan(self, q: Query) -> dict:
@@ -174,7 +194,7 @@ class Searcher:
             return empty
         if not scoring:
             return cand, None
-        return cand, sums.astype(np.float32)
+        return cand, (sums if self.exact64 else sums.astype(np.float32))
 
     def _conjunction(self, sr: SegmentReader, plan: dict, scoring: bool):
         """Lead with the rarest required term; block-skip the rest."""
@@ -202,24 +222,22 @@ class Searcher:
                 return cand, np.empty(0, np.float64), None
         if not scoring:
             return cand, None, None
-        norms = sr.norms_for(cand)
+        norms = self._norm_data(sr, cand)
         sums = np.zeros(len(cand), dtype=np.float64)
         # accumulate in ORIGINAL clause order so scores are bit-identical
         # regardless of which term led the intersection
         for i, (t, scores_q, _p) in enumerate(loaded):
-            if scores_q and t.weight > 0:
-                sums += bm25.score_freqs(term_freqs[i], norms, t.weight,
-                                         self.cache).astype(np.float64)
+            if scores_q and self._scores_term(t):
+                sums += self._contrib(t, term_freqs[i], norms)
         # optional SHOULD clauses add score on the conjunction's matches
         for t in should:
             p = sr.get_postings(t.term)
-            if p is None or t.weight == 0:
+            if p is None or not self._scores_term(t):
                 continue
             f = lookup_postings(p, cand)
             hit = f > 0
             if hit.any():
-                sums[hit] += bm25.score_freqs(
-                    f[hit], norms[hit], t.weight, self.cache).astype(np.float64)
+                sums[hit] += self._contrib(t, f[hit], norms[hit])
         return cand, sums, None
 
     def _disjunction(self, sr: SegmentReader, plan: dict, scoring: bool,
@@ -235,7 +253,9 @@ class Searcher:
             return None, None, None
 
         msm = max(plan["msm"], 1)
-        prune = scoring and msm == 1 and len(postings) > 1
+        # float32 impact bounds are not safe upper bounds for float64
+        # exact-dl scores; disable pruning in exact64 mode
+        prune = scoring and msm == 1 and len(postings) > 1 and not self.exact64
         ubs = np.array([
             float(bm25.max_block_scores(np.asarray(p.imp_freqs),
                                         np.asarray(p.imp_norms),
@@ -274,7 +294,7 @@ class Searcher:
         cand = np.unique(np.concatenate(parts_docs))
         counts = np.zeros(len(cand), dtype=np.int64)
         sums = np.zeros(len(cand), dtype=np.float64) if scoring else None
-        norms_cand = sr.norms_for(cand) if scoring else None
+        norms_cand = self._norm_data(sr, cand) if scoring else None
 
         # accumulate in clause order so scores are bit-identical whatever
         # the essential/non-essential split was
@@ -283,17 +303,13 @@ class Searcher:
                 docs, freqs = ess_decoded[i]
                 pos = np.searchsorted(cand, docs)
                 counts[pos] += 1
-                if scoring and t.weight > 0:
-                    sums[pos] += bm25.score_freqs(
-                        freqs, norms_cand[pos], t.weight, self.cache
-                    ).astype(np.float64)
+                if scoring and self._scores_term(t):
+                    sums[pos] += self._contrib(t, freqs, norms_cand[pos])
             else:
                 # non-essential: candidate-only lookup (block-skip decode)
                 f = lookup_postings(p, cand)
                 hit = f > 0
                 counts += hit.astype(np.int64)
-                if scoring and t.weight > 0 and hit.any():
-                    sums[hit] += bm25.score_freqs(
-                        f[hit], norms_cand[hit], t.weight, self.cache
-                    ).astype(np.float64)
+                if scoring and self._scores_term(t) and hit.any():
+                    sums[hit] += self._contrib(t, f[hit], norms_cand[hit])
         return cand, sums, counts
