@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "query_p50_ms": ...}
+
+--scaling: runs the index build twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + efficiency = T(32cpu)/(4*T(8cpu)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
+BENCH_SEED = 42
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    from ray.data import DataContext
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def bench_corpus() -> str:
+    """Deterministic synthetic pages corpus, cached on disk."""
+    from lucene_ray.sources import write_pages
+    d = f"/tmp/lucene_ray_bench/pages-{BENCH_DOCS}-{BENCH_SEED}"
+    if not os.path.isdir(d) or not os.listdir(d):
+        write_pages(d, n_rows=BENCH_DOCS, n_parts=32, seed=BENCH_SEED)
+    return d
+
+
+def run_index_build(corpus_dir: str, out_dir: str) -> tuple[float, int]:
+    from lucene_ray.index import build_index
+    t0 = time.perf_counter()
+    m = build_index(corpus_dir, out_dir, text_col="text", id_col="doc_id",
+                    batch_size=4096)
+    return time.perf_counter() - t0, m.num_docs
+
+
+def run_queries(index_dir: str) -> dict[str, float]:
+    """BM25 query latencies over the built index (serving path: index
+    resident in one searcher; p50/p95 per query)."""
+    import numpy as np
+    from lucene_ray.search import IndexReader, Searcher, TermQuery, and_query, or_query
+
+    reader = IndexReader(index_dir)
+    s = Searcher(reader)
+    # query mix from the corpus vocabulary: hot + mid + rare terms
+    stats = reader.term_stats([])  # force load
+    vocab = sorted(reader._term_stats.items(), key=lambda kv: -kv[1][0])
+    hot = [t for t, _ in vocab[:8]]
+    mid = [t for t, _ in vocab[len(vocab) // 3:len(vocab) // 3 + 8]]
+    rare = [t for t, _ in vocab[-8:]]
+    queries = (
+        [TermQuery(t) for t in hot[:3] + mid[:3] + rare[:3]]
+        + [and_query([hot[i], mid[i]]) for i in range(3)]
+        + [or_query([hot[i], mid[i], rare[i]]) for i in range(3)]
+        + [and_query([hot[0], hot[1], mid[0]]),
+           or_query(hot[:5])]
+    )
+    lat = []
+    # warmup (loads segments)
+    s.search(queries[0], k=10)
+    for q in queries:
+        t0 = time.perf_counter()
+        s.search(q, k=10)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(x * 1000 for x in lat)
+    return {
+        "query_p50_ms": statistics.median(lat_ms),
+        "query_p95_ms": lat_ms[int(len(lat_ms) * 0.95) - 1],
+        "query_mean_ms": statistics.mean(lat_ms),
+    }
+
+
+def run_stage_benchmarks(sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    docp = f"{sf_dir}/documents.parquet"
+    embp = f"{sf_dir}/embeddings.parquet"
+
+    from lucene_ray.pipelines import dedup, similarity, text_analysis
+
+    t0 = time.perf_counter()
+    text_analysis.term_stats(docp).materialize()
+    out["term_stats_sec"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.exact_dedup(docp).materialize()
+    out["dedup_exact_sec"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_candidates(docp).materialize()
+    out["minhash_lsh_sec"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    similarity.knn_brute(embp, range(10), 10)
+    out["knn_brute_sec"] = time.perf_counter() - t0
+    return out
+
+
+def run_merge_bench(index_dir: str) -> float:
+    from lucene_ray.index.merge import merge_segments
+    t0 = time.perf_counter()
+    merge_segments(index_dir, segs_per_tier=8)
+    return time.perf_counter() - t0
+
+
+def main_single(num_cpus: int, *, build_only: bool = False) -> dict:
+    _init_ray(num_cpus)
+    corpus = bench_corpus()
+    idx_dir = f"/tmp/lucene_ray_bench/idx-{num_cpus}-{time.time_ns()}"
+    build_sec, n_docs = run_index_build(corpus, idx_dir)
+    result = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "bench_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+    }
+    if build_only:
+        import shutil
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        return result
+    queries = {"index_build_sec": round(build_sec, 3)}
+    queries["merge_sec"] = round(run_merge_bench(idx_dir), 3)
+    queries.update({k: round(v, 3) for k, v in run_queries(idx_dir).items()})
+    queries.update({k: round(v, 3) for k, v in run_stage_benchmarks(SF_DIR).items()})
+    result["queries"] = queries
+    result["query_p50_ms"] = queries["query_p50_ms"]
+    import shutil
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return result
+
+
+def main_scaling() -> dict:
+    """Same build at 8 vs 32 cpus in fresh processes -> efficiency."""
+    # ensure corpus exists before timing children
+    _init_ray(4)
+    bench_corpus()
+    import ray
+    ray.shutdown()
+    runs = {}
+    for n in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n)
+        p = subprocess.run([sys.executable, __file__, "--_child"], env=env,
+                           capture_output=True, text=True, timeout=3600)
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[n] = json.loads(line)
+    tp8 = runs[8]["docs_per_sec"]
+    tp32 = runs[32]["docs_per_sec"]
+    eff = tp32 / (4 * tp8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": SF_DIR,
+        "num_cpus": 32,
+        "docs_per_sec_8cpu": tp8,
+        "docs_per_sec_32cpu": tp32,
+        "queries": {"build_sec_8cpu": runs[8]["value"],
+                    "build_sec_32cpu": runs[32]["value"]},
+    }
+
+
+if __name__ == "__main__":
+    if "--_child" in sys.argv:
+        out = main_single(NUM_CPUS, build_only=True)
+    elif "--scaling" in sys.argv:
+        out = main_scaling()
+    else:
+        out = main_single(NUM_CPUS)
+    print(json.dumps(out))
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()

@@ -39,6 +39,17 @@ from ..analysis import StandardAnalyzer, int_to_byte4_array
 from ..codecs import pack_postings
 from .manifest import IndexManifest, SegmentInfo, write_manifest
 
+def _parquet_files(source) -> list[str]:
+    if isinstance(source, (list, tuple)):
+        return list(source)
+    source = str(source)
+    if os.path.isdir(source):
+        return sorted(
+            os.path.join(source, f) for f in os.listdir(source)
+            if f.endswith(".parquet"))
+    return [source]
+
+
 POSTINGS_SCHEMA = pa.schema([
     ("term", pa.large_string()),
     ("df", pa.int64()),
@@ -71,6 +82,11 @@ class SegmentIndexer:
         self.analyzer = StandardAnalyzer(stop_words=stop_words)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {k: [] for k in ("seg_id", "num_docs", "min_doc", "max_doc",
+                                 "sum_doc_len", "num_terms", "lineage",
+                                 "field_doc_count")})
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(doc_ids, kind="stable")
         if not np.array_equal(order, np.arange(len(doc_ids))):
@@ -166,11 +182,25 @@ def build_index(
     ``id_col`` must be int64, unique and monotone in storage order (the
     global docID; SURVEY.md §1.2).
     """
+    batch_kwargs: dict = {"batch_size": batch_size}
     if isinstance(source, (str, os.PathLike)) or (
             isinstance(source, (list, tuple)) and source and isinstance(source[0], str)):
         cols = list(dict.fromkeys([id_col, text_col, *stored_cols]))
-        ds = ray.data.read_parquet(source, columns=cols)  # prune at the read
+        # one batch == one contiguous read block: size blocks to batch_size
+        # at the read and disable batch coalescing, so every segment is a
+        # contiguous doc range no matter how tasks are scheduled (batch
+        # coalescing would interleave blocks from parallel read tasks and
+        # produce overlapping segments)
+        files = _parquet_files(source)
+        total_rows = sum(pq.read_metadata(f).num_rows for f in files)
+        nblocks = max(1, -(-total_rows // batch_size))
+        ds = ray.data.read_parquet(files, columns=cols,
+                                   override_num_blocks=nblocks)
+        batch_kwargs = {"batch_size": None}
     else:
+        # pre-built Dataset: batch boundaries may interleave, so segments
+        # can overlap in doc range — queries stay correct (docIDs are
+        # data-derived); merge then uses its sort-repack fallback
         ds = source
 
     if concurrency is None:
@@ -185,9 +215,9 @@ def build_index(
         SegmentIndexer,
         fn_constructor_kwargs=fn_kwargs,
         batch_format="pyarrow",
-        batch_size=batch_size,
         concurrency=concurrency,
         zero_copy_batch=True,
+        **batch_kwargs,
     )
     seg_rows = meta.take_all()  # tiny: one row per segment
 

@@ -1,29 +1,34 @@
 """Segment merge: the groupby-on-term shuffle.
 
 Reference semantics (SURVEY.md §3.2): ``TieredMergePolicy.findMerges``
-(segsPerTier=10, maxMergedSegmentBytes cap — ``TieredMergePolicy.java:
-89-95,317``) selects groups of small segments; ``SegmentMerger`` k-way
-merges posting lists per term with docBase remapping
-(``SegmentMerger.java:104-158``, ``MultiTermsEnum``).
+(segsPerTier=10, merged-size cap — ``TieredMergePolicy.java:89-95,317``)
+selects groups of small segments; ``SegmentMerger`` k-way merges posting
+lists per term with docBase remapping (``SegmentMerger.java:104-158``).
 
-Ray-native design: docIDs are already global (data-derived), so merging
-postings of one term across doc-disjoint segments is an ordered *chunk
-concat* — no re-encode. The shuffle is ``groupby('term')`` over the
-segments' posting rows; ``map_groups`` orders chunks by segment doc
-range and concatenates packed blocks. Term-frequency skew (Zipf head):
-with ``salt_buckets > 1`` the first shuffle keys on
-``(term, seg_ord // bucket)`` so one hot term's chunks land on many
-reducers; a second tiny groupby concatenates the per-bucket partials in
-order (salted repartition per the north rule; sub-runs stay doc-sorted
-because bucketing follows segment order).
-
-``repack=True`` additionally re-blocks into full 128-doc blocks and
-recomputes impacts from norms (forceMerge(1) analog).
+Ray-native design:
+- docIDs are already global (data-derived), so merging one term across
+  doc-disjoint segments is an ordered *chunk concat* of packed blocks —
+  no re-encode. Overlapping-range chunks (builds from pre-batched
+  Datasets) fall back to decode + sort + repack using broadcast norms.
+- ALL merge groups run in ONE Ray Data job: segments are read with
+  (group_id, seg_ord) columns, rows get a term-hash ``bucket``, and a
+  single ``groupby((group_id, bucket)).map_groups`` reduces whole
+  buckets of terms per call (amortizing per-group overhead over the
+  vocabulary) and writes its output shard directly into the new
+  segment's directory — no driver materialization.
+- Term-frequency skew (Zipf head): ``salt_buckets > 1`` keys the first
+  shuffle on (term, seg-order-bucket) so a hot term's chunks land on
+  many reducers; a second groupby concatenates partials in order
+  (salted repartition per the north rule; sub-runs stay doc-sorted
+  because salting follows segment order).
+- ``repack=True`` re-blocks into full 128-doc blocks and recomputes
+  impacts from norms (forceMerge(1) analog).
 """
 
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -32,7 +37,13 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..codecs.postings import PackedPostings, concat_postings, repack_postings
+from ..codecs.postings import (
+    PackedPostings,
+    concat_postings,
+    pack_postings,
+    repack_postings,
+    unpack_postings,
+)
 from .builder import POSTINGS_SCHEMA
 from .manifest import IndexManifest, SegmentInfo, read_manifest, write_manifest
 
@@ -89,112 +100,189 @@ _MERGED_COLS = ("term", "df", "ttf", "doc_count", "docs", "freqs",
                 "chunk_doc_counts")
 
 
-def _merge_group_fn(group: pa.Table) -> pa.Table:
-    """map_groups fn: all chunks of one term (or one term-bucket) ->
-    one concatenated posting row. Chunks ordered by segment doc range."""
-    rows = group.to_pylist()
-    rows.sort(key=lambda r: r["seg_ord"])
-    merged = concat_postings([_row_to_packed(r) for r in rows])
+def _merge_one_term(rows: list[dict], norms_data) -> PackedPostings:
+    """All chunk rows of one term (sorted by doc-order key) -> one merged
+    posting. Fast path: ordered concat of packed blocks. Fallback on
+    overlapping doc ranges: decode + sort + repack from norms."""
+    packed = [_row_to_packed(r) for r in rows]
+    try:
+        return concat_postings(packed)
+    except ValueError:
+        if norms_data is None:
+            raise
+        doc_ids_all, norms_all = norms_data
+        docs_parts, freqs_parts = [], []
+        for p in packed:
+            d, f = unpack_postings(p)
+            docs_parts.append(d)
+            freqs_parts.append(f)
+        docs = np.concatenate(docs_parts)
+        freqs = np.concatenate(freqs_parts)
+        order = np.argsort(docs, kind="stable")
+        docs, freqs = docs[order], freqs[order]
+        norms = norms_all[np.searchsorted(doc_ids_all, docs)]
+        return pack_postings(docs, freqs, norms)
+
+
+def _merge_bucket(group: pa.Table, norms_data, repack: bool,
+                  with_okey: bool = False) -> pa.Table:
+    """Merge a whole bucket of terms -> merged posting rows (one/term).
+
+    Chunk order within a term comes from the data itself: ``okey`` =
+    first block's last docID, which orders doc-disjoint chunks without
+    any per-file bookkeeping. ``with_okey`` keeps each term's first okey
+    (partial rows must stay orderable for the second salted level)."""
+    group = group.sort_by([("term", "ascending"), ("okey", "ascending")])
+    rows = group.select(list(_MERGED_COLS) + ["okey"]).to_pylist()
     out = {k: [] for k in _MERGED_COLS}
-    _packed_to_cols(rows[0]["term"], merged, out)
-    out_t = pa.Table.from_pydict(out, schema=POSTINGS_SCHEMA)
-    return out_t.append_column("seg_ord", pa.array([rows[0]["seg_ord"]], pa.int64()))
-
-
-def merge_group(index_dir: str, group: list[SegmentInfo], out_seg_id: str,
-                *, salt_buckets: int = 1, repack: bool = False) -> SegmentInfo:
-    """Merge one group of doc-disjoint segments into a new segment."""
-    group = sorted(group, key=lambda s: s.min_doc)
-    parts = []
-    for ord_, s in enumerate(group):
-        p = os.path.join(index_dir, "segments", s.seg_id, "postings.parquet")
-        ds = ray.data.read_parquet(p)
-        ds = ds.add_column("seg_ord", lambda df, o=ord_: [o] * len(df),
-                           batch_format="pandas")
-        parts.append(ds)
-    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-
-    if salt_buckets > 1:
-        # salted two-level merge: spread each term over `salt_buckets`
-        # reducers keyed by segment-order bucket, then concat partials
-        def add_salt(df, nb=salt_buckets):
-            import pandas as pd
-            bucket = (df["seg_ord"] // max(1, (len(group) + nb - 1) // nb)).astype(str)
-            df["term_salt"] = df["term"] + "\x00" + bucket
-            return df
-        ds = ds.map_batches(add_salt, batch_format="pandas")
-        partial = ds.groupby("term_salt").map_groups(
-            lambda g: _merge_group_fn(g.drop_columns(["term_salt"])),
-            batch_format="pyarrow")
-        merged = partial.groupby("term").map_groups(_merge_group_fn,
-                                                    batch_format="pyarrow")
-    else:
-        merged = ds.groupby("term").map_groups(_merge_group_fn,
-                                               batch_format="pyarrow")
-
-    seg_dir = os.path.join(index_dir, "segments", out_seg_id)
-    os.makedirs(seg_dir, exist_ok=True)
-
-    # docs tables: ordered concat (disjoint sorted ranges)
-    doc_tables = [pq.read_table(os.path.join(index_dir, "segments", s.seg_id,
-                                             "docs.parquet")) for s in group]
-    docs_table = pa.concat_tables(doc_tables)
-    pq.write_table(docs_table, os.path.join(seg_dir, "docs.parquet"))
-
-    if repack:
-        doc_ids_arr = docs_table.column("doc_id").to_numpy()
-        norms_arr = docs_table.column("norm").to_numpy().astype(np.uint8)
-
-        def do_repack(batch: pa.Table) -> pa.Table:
-            out = {k: [] for k in _MERGED_COLS}
-            for r in batch.to_pylist():
-                p = repack_postings(
-                    _row_to_packed(r),
-                    lambda d: norms_arr[np.searchsorted(doc_ids_arr, d)])
-                _packed_to_cols(r["term"], p, out)
-            return pa.Table.from_pydict(out, schema=POSTINGS_SCHEMA)
-
-        merged = merged.map_batches(do_repack, batch_format="pyarrow")
-        merged_t = pa.concat_tables(
-            b for b in merged.iter_batches(batch_format="pyarrow", batch_size=4096))
-    else:
-        merged_t = pa.concat_tables(
-            b.drop_columns(["seg_ord"])
-            for b in merged.iter_batches(batch_format="pyarrow", batch_size=4096))
-
-    # keep terms sorted (term-dict order, FreqProxTermsWriter.java:99)
-    merged_t = merged_t.sort_by("term")
-    pq.write_table(merged_t, os.path.join(seg_dir, "postings.parquet"))
-
-    return SegmentInfo(
-        seg_id=out_seg_id,
-        num_docs=sum(s.num_docs for s in group),
-        min_doc=min(s.min_doc for s in group),
-        max_doc=max(s.max_doc for s in group),
-        sum_doc_len=sum(s.sum_doc_len for s in group),
-        num_terms=len(merged_t),
-        lineage="+".join(s.lineage for s in group)[:120],
-        field_doc_count=sum(s.field_doc_count for s in group),
-    )
+    okeys = []
+    i = 0
+    while i < len(rows):
+        j = i
+        term = rows[i]["term"]
+        while j < len(rows) and rows[j]["term"] == term:
+            j += 1
+        merged = _merge_one_term(rows[i:j], norms_data)
+        if repack and norms_data is not None:
+            doc_ids_all, norms_all = norms_data
+            merged = repack_postings(
+                merged, lambda d: norms_all[np.searchsorted(doc_ids_all, d)])
+        _packed_to_cols(term, merged, out)
+        okeys.append(rows[i]["okey"])
+        i = j
+    t = pa.Table.from_pydict(out, schema=POSTINGS_SCHEMA)
+    if with_okey:
+        t = t.append_column("okey", pa.array(okeys, pa.int64()))
+    return t
 
 
 def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
                    max_merged_docs: int = 10_000_000, salt_buckets: int = 1,
                    repack: bool = False, min_group: int = 2) -> IndexManifest:
-    """One round of tiered merging; returns the new manifest generation."""
+    """One round of tiered merging (single distributed job over all
+    groups); returns the new manifest generation."""
     m = read_manifest(index_dir)
     groups = plan_merges(m.segments, segs_per_tier, max_merged_docs)
-    new_segments = []
-    for gi, group in enumerate(groups):
-        if len(group) < min_group:
-            new_segments.extend(group)
-            continue
-        seg_id = (f"merged-{group[0].min_doc:012d}-{group[-1].max_doc:012d}"
-                  f"-g{m.generation + 1}")
-        new_segments.append(merge_group(index_dir, group, seg_id,
-                                        salt_buckets=salt_buckets, repack=repack))
+    merge_jobs = [g for g in groups if len(g) >= min_group]
+    new_segments = [s for g in groups if len(g) < min_group for s in g]
+    gen = m.generation + 1
+
+    if merge_jobs:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        n_buckets = max(8, 2 * cpus)
+
+        # per-group output dirs, merged docs tables, broadcast norms
+        group_meta = []
+        norms_refs = {}
+        for gi, g in enumerate(sorted(merge_jobs, key=lambda g: g[0].min_doc)):
+            g = sorted(g, key=lambda s: s.min_doc)
+            seg_id = (f"merged-{g[0].min_doc:012d}-{g[-1].max_doc:012d}-g{gen}")
+            seg_dir = os.path.join(index_dir, "segments", seg_id)
+            os.makedirs(os.path.join(seg_dir, "postings.parquet"), exist_ok=True)
+            doc_tables = [pq.read_table(os.path.join(
+                index_dir, "segments", s.seg_id, "docs.parquet")) for s in g]
+            docs_table = pa.concat_tables(doc_tables).sort_by("doc_id")
+            pq.write_table(docs_table, os.path.join(seg_dir, "docs.parquet"))
+            norms_refs[gi] = ray.put(
+                (docs_table.column("doc_id").to_numpy(),
+                 docs_table.column("norm").to_numpy().astype(np.uint8)))
+            group_meta.append((gi, g, seg_id, seg_dir))
+
+        # ONE read over every input segment's postings; group & order are
+        # derived from the data (okey = first block's last docID), so no
+        # per-file datasets / unions are needed
+        all_paths = [os.path.join(index_dir, "segments", s.seg_id,
+                                  "postings.parquet")
+                     for _, g, _, _ in group_meta for s in g]
+        ds = ray.data.read_parquet(all_paths)
+
+        group_max_docs = np.array([g[-1].max_doc for _, g, _, _ in group_meta],
+                                  dtype=np.int64)
+        # per-group segment boundaries for salting (seg index from okey)
+        seg_bounds = {gi: np.array([s.max_doc for s in g], dtype=np.int64)
+                      for gi, g, _, _ in group_meta}
+        seg_per_salt = {gi: max(1, (len(g) + salt_buckets - 1) // salt_buckets)
+                        for gi, g, _, _ in group_meta}
+        seg_dirs = {gi: seg_dir for gi, _, _, seg_dir in group_meta}
+
+        def add_keys(t: pa.Table, salted: bool) -> pa.Table:
+            import pyarrow.compute as pc
+            if "okey" not in t.column_names:
+                okey = pc.list_element(t.column("block_last_docs"), 0) \
+                    .cast(pa.int64())
+                t = t.append_column("okey", okey)
+            if "group_id" not in t.column_names:
+                ok = t.column("okey").to_numpy()
+                gid = np.searchsorted(group_max_docs, ok)
+                t = t.append_column("group_id", pa.array(gid, pa.int64()))
+            terms = t.column("term").to_pylist()
+            if salted:
+                ok = t.column("okey").to_numpy()
+                gids = t.column("group_id").to_numpy()
+                keys = []
+                for x, o, g in zip(terms, ok, gids):
+                    seg_idx = int(np.searchsorted(seg_bounds[int(g)], o))
+                    keys.append(f"{x}\x00{seg_idx // seg_per_salt[int(g)]}")
+            else:
+                keys = terms
+            b = pa.array([zlib.crc32(k.encode()) % n_buckets for k in keys],
+                         pa.int64())
+            if "bucket" in t.column_names:
+                t = t.drop_columns(["bucket"])
+            return t.append_column("bucket", b)
+
+        def reduce_write(group: pa.Table) -> pa.Table:
+            gid = group.column("group_id")[0].as_py()
+            bucket = group.column("bucket")[0].as_py()
+            norms_data = ray.get(norms_refs[gid])
+            merged = _merge_bucket(group, norms_data, repack)
+            out_path = os.path.join(seg_dirs[gid], "postings.parquet",
+                                    f"part-{bucket:05d}.parquet")
+            pq.write_table(merged, out_path)
+            return pa.table({"group_id": pa.array([gid], pa.int64()),
+                             "n_terms": pa.array([len(merged)], pa.int64())})
+
+        def reduce_partial(group: pa.Table) -> pa.Table:
+            gid = group.column("group_id")[0].as_py()
+            norms_data = ray.get(norms_refs[gid])
+            merged = _merge_bucket(group, norms_data, False, with_okey=True)
+            gids = pa.array([gid] * len(merged), pa.int64())
+            return merged.append_column("group_id", gids)
+
+        if salt_buckets > 1:
+            l1 = ds.map_batches(add_keys, batch_format="pyarrow",
+                                fn_kwargs={"salted": True})
+            partial = l1.groupby(["group_id", "bucket"]).map_groups(
+                reduce_partial, batch_format="pyarrow")
+            l2 = partial.map_batches(add_keys, batch_format="pyarrow",
+                                     fn_kwargs={"salted": False})
+            meta = l2.groupby(["group_id", "bucket"]).map_groups(
+                reduce_write, batch_format="pyarrow")
+        else:
+            l1 = ds.map_batches(add_keys, batch_format="pyarrow",
+                                fn_kwargs={"salted": False})
+            meta = l1.groupby(["group_id", "bucket"]).map_groups(
+                reduce_write, batch_format="pyarrow")
+
+        term_counts: dict[int, int] = {}
+        for r in meta.take_all():
+            term_counts[r["group_id"]] = term_counts.get(r["group_id"], 0) \
+                + int(r["n_terms"])
+
+        for gi, g, seg_id, seg_dir in group_meta:
+            new_segments.append(SegmentInfo(
+                seg_id=seg_id,
+                num_docs=sum(s.num_docs for s in g),
+                min_doc=min(s.min_doc for s in g),
+                max_doc=max(s.max_doc for s in g),
+                sum_doc_len=sum(s.sum_doc_len for s in g),
+                num_terms=term_counts.get(gi, 0),
+                lineage="+".join(s.lineage for s in g)[:120],
+                field_doc_count=sum(s.field_doc_count for s in g),
+            ))
+
     new_manifest = IndexManifest(
-        generation=m.generation + 1,
+        generation=gen,
         num_docs=m.num_docs,
         sum_doc_len=m.sum_doc_len,
         field=m.field,
@@ -203,9 +291,9 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
         field_doc_count=m.field_doc_count,
     )
     write_manifest(index_dir, new_manifest)
-    # stats are per-corpus, not per-segment-layout: link/copy previous gen
+    # stats are per-corpus, not per-segment-layout: link previous gen
     src = os.path.join(index_dir, "global", f"term_stats_gen{m.generation}")
-    dst = os.path.join(index_dir, "global", f"term_stats_gen{new_manifest.generation}")
+    dst = os.path.join(index_dir, "global", f"term_stats_gen{gen}")
     if os.path.isdir(src) and not os.path.exists(dst):
         os.symlink(os.path.abspath(src), dst)
     return new_manifest

@@ -62,9 +62,11 @@ def bm25_topk(doc_path: str, terms: list[str], kind: str = "term",
         tfs = np.zeros(len(td.doc_ids), dtype=np.int64)
         dls = np.zeros(len(td.doc_ids), dtype=np.int64)
         for sr in reader.segments():
-            in_seg = ((td.doc_ids >= sr.doc_ids[0]) &
-                      (td.doc_ids <= sr.doc_ids[-1])) if len(sr.doc_ids) else \
-                np.zeros(len(td.doc_ids), bool)
+            if len(sr.doc_ids) == 0:
+                continue
+            pos = np.searchsorted(sr.doc_ids, td.doc_ids)
+            pos_c = np.minimum(pos, len(sr.doc_ids) - 1)
+            in_seg = sr.doc_ids[pos_c] == td.doc_ids  # exact membership
             if not in_seg.any():
                 continue
             p = sr.get_postings(terms[0])
