@@ -59,18 +59,41 @@ class StandardAnalyzer:
         """Term strings only (the indexing hot path)."""
         stop = self.stop_words
         if text.isascii():
-            terms = [t.lower() for t in tokenize_texts_ascii([text])[0]]
-            if len(text) > self.max_token_length:
-                # only then can an over-long token exist; redo precisely
-                if any(len(t) > self.max_token_length for t in terms):
-                    terms = [
-                        java_lowercase(t.text)
-                        for t in tokenize(text, self.max_token_length)
-                    ]
+            # lowercasing the whole string first is equivalent on ASCII
+            # (case never affects ASCII token boundaries) and avoids a
+            # per-token .lower() call
+            terms = tokenize_texts_ascii([text.lower()])[0]
+            if len(text) > self.max_token_length and \
+                    max(map(len, terms), default=0) > self.max_token_length:
+                # an over-long token exists; redo with buffer-split rules
+                terms = [
+                    java_lowercase(t.text)
+                    for t in tokenize(text, self.max_token_length)
+                ]
         else:
-            terms = [java_lowercase(t.text) for t in tokenize(text, self.max_token_length)]
+            terms = self._analyze_mixed(text)
         if stop:
             terms = [t for t in terms if t not in stop]
+        return terms
+
+    def _analyze_mixed(self, text: str) -> list[str]:
+        """Mostly-ASCII text with Unicode spans: split on ASCII spaces (a
+        space can never be inside any token — no word-break rule spans
+        one), run the regex fast path on ASCII fragments and the full
+        scanner only on fragments that need it."""
+        mtl = self.max_token_length
+        terms: list[str] = []
+        for part in text.split(" "):
+            if not part:
+                continue
+            if part.isascii():
+                sub = tokenize_texts_ascii([part.lower()])[0]
+                if len(part) > mtl and max(map(len, sub), default=0) > mtl:
+                    sub = [java_lowercase(t.text) for t in tokenize(part, mtl)]
+                terms.extend(sub)
+            else:
+                terms.extend(java_lowercase(t.text)
+                             for t in tokenize(part, mtl))
         return terms
 
     def analyze_batch(self, texts) -> list[list[str]]:

@@ -75,12 +75,15 @@ def _utf16_limit(s: str, start: int, max_units: int) -> int:
 class Scanner:
     """General scanner over one string (non-ASCII path)."""
 
-    __slots__ = ("s", "pm", "n")
+    __slots__ = ("s", "pm", "n", "has_supplementary")
 
     def __init__(self, s: str):
         self.s = s
         self.pm = P.classify_str(s)
         self.n = len(s)
+        # when no supplementary-plane chars exist, UTF-16 length ==
+        # codepoint length, so the buffer limit is a plain index add
+        self.has_supplementary = max(map(ord, s)) > 0xFFFF if s else False
 
     # -- helpers ------------------------------------------------------------
     def _ex(self, i: int, lim: int) -> int:
@@ -386,7 +389,10 @@ class Scanner:
             if not self.pm[i]:  # fast skip for unclassified chars
                 i += 1
                 continue
-            lim = _utf16_limit(s, i, max_token_length)
+            if self.has_supplementary:
+                lim = _utf16_limit(s, i, max_token_length)
+            else:
+                lim = min(n, i + max_token_length)
             best = -1
             best_type = None
             for matcher, ttype in (
