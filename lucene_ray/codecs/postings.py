@@ -259,6 +259,148 @@ def repack_postings(p: PackedPostings, norms_lookup) -> PackedPostings:
     return pack_postings(docs, freqs, norms)
 
 
+# --- batch pack (vectorized across terms) ----------------------------------
+
+# minimal width w with max value <= 2^w - 1: searchsorted over thresholds
+_WIDTH_THRESHOLDS = (np.left_shift(np.int64(1), np.arange(33, dtype=np.int64))
+                     - 1).astype(np.int64)
+
+
+def _widths_of(maxv: np.ndarray) -> np.ndarray:
+    return np.searchsorted(_WIDTH_THRESHOLDS, maxv.astype(np.int64),
+                           side="left").astype(np.uint8)
+
+
+def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
+                       norms: np.ndarray, term_bounds: np.ndarray) -> dict:
+    """Pack MANY terms' postings in one vectorized pass.
+
+    ``doc_ids``/``freqs``/``norms`` are the per-term posting arrays
+    concatenated (term j occupies ``term_bounds[j]:term_bounds[j+1]``,
+    docs strictly increasing within each term). Bit-packing runs once
+    per (width x full-block) group instead of once per block; impact
+    skylines are computed with one global lexsort + segmented cummax.
+
+    Returns a dict of per-term column lists identical to looping
+    :func:`pack_postings` (tested equivalent).
+    """
+    D = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    F = np.ascontiguousarray(freqs, dtype=np.int64)
+    Nrm = np.ascontiguousarray(norms, dtype=np.uint8)
+    tb = np.ascontiguousarray(term_bounds, dtype=np.int64)
+    n_terms = len(tb) - 1
+    counts = np.diff(tb)
+    if (counts <= 0).any():
+        raise ValueError("empty posting")
+
+    delta = D.copy()
+    delta[1:] -= D[:-1]
+    starts = tb[:-1]
+    delta[starts] = D[starts]  # first delta of each term is absolute
+    ok = delta > 0
+    ok[starts] = delta[starts] >= 0
+    if not ok.all():
+        raise ValueError("docs out of order")
+    delta_u = delta.astype(np.uint32)
+
+    nblocks = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    term_of_block = np.repeat(np.arange(n_terms), nblocks)
+    bcs = np.concatenate([[0], np.cumsum(nblocks)])  # block index per term
+    block_ord = np.arange(total_blocks) - bcs[term_of_block]
+    bstart = tb[term_of_block] + BLOCK_SIZE * block_ord
+    bend = np.minimum(bstart + BLOCK_SIZE, tb[term_of_block + 1])
+    bsize = (bend - bstart).astype(np.int64)
+
+    def pack_stream(vals: np.ndarray) -> list[bytes]:
+        maxv = np.maximum.reduceat(vals, bstart)
+        widths = _widths_of(maxv)
+        out: list[bytes] = [b""] * total_blocks
+        arange_b = np.arange(BLOCK_SIZE)
+        for w in np.unique(widths):
+            idx = np.nonzero(widths == w)[0]
+            if w == 0:
+                zero = b"\x00"
+                for b in idx:
+                    out[b] = zero
+                continue
+            full = idx[bsize[idx] == BLOCK_SIZE]
+            if len(full):
+                gather = vals[bstart[full][:, None] + arange_b[None, :]]
+                bits = np.unpackbits(
+                    gather.astype(">u4").view(np.uint8)
+                    .reshape(len(full), BLOCK_SIZE, 4), axis=2)
+                sel = bits.reshape(len(full), BLOCK_SIZE, 32)[:, :, 32 - w:]
+                packed = np.packbits(sel.reshape(len(full), BLOCK_SIZE * w),
+                                     axis=1)
+                wb = bytes([w])
+                pb = packed.tobytes()
+                row = packed.shape[1]
+                for i, b in enumerate(full):
+                    out[b] = wb + pb[i * row:(i + 1) * row]
+            for b in idx[bsize[idx] != BLOCK_SIZE]:
+                out[b] = _pack_block(vals[bstart[b]:bend[b]])
+        return out
+
+    docs_blocks = pack_stream(delta_u)
+    freqs_blocks = pack_stream(F.astype(np.uint32))
+    block_last = D[bend - 1].astype(np.int32)
+
+    # --- impacts: global lexsort + segmented strict cummax -----------------
+    block_of_el = np.repeat(np.arange(total_blocks), bsize)
+    order = np.lexsort((-F, Nrm, block_of_el))
+    bo = block_of_el[order]
+    no = Nrm[order]
+    fo = F[order]
+    first = np.ones(len(bo), dtype=bool)
+    first[1:] = (bo[1:] != bo[:-1]) | (no[1:] != no[:-1])
+    bo, no, fo = bo[first], no[first], fo[first]
+    key = (bo.astype(np.int64) << 32) | fo  # block-partitioned cummax
+    cm = np.maximum.accumulate(key)
+    keep = np.ones(len(key), dtype=bool)
+    keep[1:] = key[1:] > cm[:-1]
+    bo, no, fo = bo[keep], no[keep], fo[keep]
+    off = np.searchsorted(bo, np.arange(total_blocks + 1))
+    sizes_imp = np.diff(off)
+    if (sizes_imp > MAX_IMPACTS_PER_BLOCK).any():
+        # rare: rebuild only oversized blocks with the capped skyline
+        pieces_f, pieces_n, new_off = [], [], [0]
+        for b in range(total_blocks):
+            bf, bn = fo[off[b]:off[b + 1]], no[off[b]:off[b + 1]]
+            if len(bf) > MAX_IMPACTS_PER_BLOCK:
+                bf, bn = _skyline(F[bstart[b]:bend[b]], Nrm[bstart[b]:bend[b]])
+            pieces_f.append(bf)
+            pieces_n.append(bn)
+            new_off.append(new_off[-1] + len(bf))
+        fo = np.concatenate(pieces_f)
+        no = np.concatenate(pieces_n)
+        off = np.asarray(new_off, dtype=np.int64)
+
+    # --- per-term assembly -------------------------------------------------
+    ttfs = np.add.reduceat(F, tb[:-1])
+    out = {
+        "term": None,  # caller fills
+        "df": counts.tolist(),
+        "ttf": ttfs.tolist(),
+        "doc_count": counts.tolist(),
+        "docs": [], "freqs": [], "block_last_docs": [],
+        "imp_freqs": [], "imp_norms": [], "imp_offsets": [],
+        "chunk_doc_counts": [np.array([c], dtype=np.int32) for c in counts],
+    }
+    fo32 = fo.astype(np.int32)
+    no32 = no.astype(np.int32)
+    for j in range(n_terms):
+        b0, b1 = bcs[j], bcs[j + 1]
+        out["docs"].append(b"".join(docs_blocks[b0:b1]))
+        out["freqs"].append(b"".join(freqs_blocks[b0:b1]))
+        out["block_last_docs"].append(block_last[b0:b1])
+        o0, o1 = off[b0], off[b1]
+        out["imp_freqs"].append(fo32[o0:o1])
+        out["imp_norms"].append(no32[o0:o1])
+        out["imp_offsets"].append((off[b0:b1 + 1] - o0).astype(np.int32))
+    return out
+
+
 def unpack_positions_noop(*_a, **_k):
     """Positions are not indexed in v1 (design slot per SURVEY.md §2.8
     PhraseQuery); this placeholder documents the extension point."""

@@ -37,6 +37,7 @@ import ray.data
 
 from ..analysis import StandardAnalyzer, int_to_byte4_array
 from ..codecs import pack_postings
+from ..codecs.postings import pack_postings_many
 from .manifest import IndexManifest, SegmentInfo, write_manifest
 
 def _parquet_files(source) -> list[str]:
@@ -101,14 +102,11 @@ class SegmentIndexer:
         norms = int_to_byte4_array(doc_lens)
 
         # vectorized invert: flatten all tokens, factorize to term codes,
-        # then one sort gives (term, doc) -> tf triplets (the per-doc
-        # Counter loop is ~3x slower)
+        # then one sort gives (term, doc) -> tf triplets; pack every
+        # term's postings in one batch pass (pack_postings_many)
         import itertools
         import pandas as pd
         flat = list(itertools.chain.from_iterable(term_lists))
-        rows = {k: [] for k in ("term", "df", "ttf", "doc_count", "docs", "freqs",
-                                "block_last_docs", "imp_freqs", "imp_norms",
-                                "imp_offsets", "chunk_doc_counts")}
         n_terms = 0
         if flat:
             codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
@@ -120,21 +118,23 @@ class SegmentIndexer:
             bounds = np.searchsorted(t_codes, np.arange(len(uniques) + 1))
             term_order = np.argsort(uniques)  # UTF-8 byte order == str order
             n_terms = len(uniques)
-            for c in term_order:
-                lo, hi = bounds[c], bounds[c + 1]
-                lpos = d_idx[lo:hi]
-                p = pack_postings(doc_ids[lpos], tf[lo:hi], norms[lpos])
-                rows["term"].append(uniques[c])
-                rows["df"].append(p.doc_count)
-                rows["ttf"].append(p.ttf)
-                rows["doc_count"].append(p.doc_count)
-                rows["docs"].append(p.docs)
-                rows["freqs"].append(p.freqs)
-                rows["block_last_docs"].append(p.block_last_docs)
-                rows["imp_freqs"].append(p.imp_freqs)
-                rows["imp_norms"].append(p.imp_norms.astype(np.int32))
-                rows["imp_offsets"].append(p.imp_offsets)
-                rows["chunk_doc_counts"].append(p.chunk_doc_counts)
+            # reorder triplets so terms are sorted (term dict order)
+            seg_starts = bounds[term_order]
+            seg_ends = bounds[term_order + 1]
+            seg_lens = seg_ends - seg_starts
+            gather = np.concatenate(
+                [np.arange(s, e) for s, e in zip(seg_starts, seg_ends)]) \
+                if n_terms else np.empty(0, np.int64)
+            lpos = d_idx[gather]
+            rows = pack_postings_many(
+                doc_ids[lpos], tf[gather], norms[lpos],
+                np.concatenate([[0], np.cumsum(seg_lens)]))
+            rows["term"] = uniques[term_order].tolist()
+        else:
+            rows = {k: [] for k in ("term", "df", "ttf", "doc_count", "docs",
+                                    "freqs", "block_last_docs", "imp_freqs",
+                                    "imp_norms", "imp_offsets",
+                                    "chunk_doc_counts")}
         postings_table = pa.Table.from_pydict(rows, schema=POSTINGS_SCHEMA)
 
         doc_cols = {
