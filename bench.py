@@ -22,7 +22,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "300000"))
+# scaling runs need enough work that fixed startup (~3s of actor spin-up)
+# doesn't mask the compute scaling being measured
+SCALING_DOCS = int(os.environ.get("SCALING_DOCS", "1000000"))
 BENCH_SEED = 42
 
 
@@ -38,12 +41,13 @@ def _init_ray(num_cpus: int):
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
-def bench_corpus() -> str:
+def bench_corpus(n_docs: int | None = None) -> str:
     """Deterministic synthetic pages corpus, cached on disk."""
     from lucene_ray.sources import write_pages
-    d = f"/tmp/lucene_ray_bench/pages-{BENCH_DOCS}-{BENCH_SEED}"
+    n = n_docs or BENCH_DOCS
+    d = f"/tmp/lucene_ray_bench/pages-{n}-{BENCH_SEED}"
     if not os.path.isdir(d) or not os.listdir(d):
-        write_pages(d, n_rows=BENCH_DOCS, n_parts=32, seed=BENCH_SEED)
+        write_pages(d, n_rows=n, n_parts=32, seed=BENCH_SEED)
     return d
 
 
@@ -125,7 +129,7 @@ def run_merge_bench(index_dir: str) -> float:
 
 def main_single(num_cpus: int, *, build_only: bool = False) -> dict:
     _init_ray(num_cpus)
-    corpus = bench_corpus()
+    corpus = bench_corpus(SCALING_DOCS if build_only else None)
     idx_dir = f"/tmp/lucene_ray_bench/idx-{num_cpus}-{time.time_ns()}"
     build_sec, n_docs = run_index_build(corpus, idx_dir)
     result = {
@@ -155,10 +159,7 @@ def main_single(num_cpus: int, *, build_only: bool = False) -> dict:
 def main_scaling() -> dict:
     """Same build at 8 vs 32 cpus in fresh processes -> efficiency."""
     # ensure corpus exists before timing children
-    _init_ray(4)
-    bench_corpus()
-    import ray
-    ray.shutdown()
+    bench_corpus(SCALING_DOCS)
     runs = {}
     for n in (8, 32):
         env = dict(os.environ)

@@ -176,7 +176,7 @@ def build_index(
     id_col: str = "doc_id",
     stored_cols: tuple = (),
     stop_words: frozenset = frozenset(),
-    batch_size: int = 8192,
+    batch_size: int = 4096,
     concurrency=None,
     compute_term_stats: bool = True,
 ) -> IndexManifest:
@@ -208,11 +208,10 @@ def build_index(
         ds = source
 
     if concurrency is None:
-        # autoscaling actor pool (DWPT pool analog); cap below the cluster
-        # CPU count so upstream read tasks always have a slot (a fixed-size
-        # pool equal to num_cpus deadlocks the streaming executor)
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(1, cpus - 1))
+        # fixed actor pool sized to the cluster (DWPT pool analog), one
+        # slot left free for read tasks
+        from ..util import default_concurrency
+        concurrency = default_concurrency()
     fn_kwargs = dict(out_dir=out_dir, text_col=text_col, id_col=id_col,
                      stored_cols=stored_cols, stop_words=stop_words)
     meta = ds.map_batches(

@@ -43,7 +43,10 @@ def _vocab(n_terms: int, rng: np.random.Generator) -> list[str]:
     return out
 
 
-def synth_pages(n_rows: int, seed: int = 42, n_terms: int = 10_000) -> pa.Table:
+def synth_pages(n_rows: int, seed: int = 42, n_terms: int = 10_000,
+                start: int = 0) -> pa.Table:
+    """``start`` offsets doc_id/url/warc_ts so large corpora can be
+    generated part-by-part without holding everything in RAM."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab(n_terms, rng))
     # Zipf s~1.1 over ranks
@@ -62,33 +65,36 @@ def synth_pages(n_rows: int, seed: int = 42, n_terms: int = 10_000) -> pa.Table:
             t = t + " " + _UNICODE_SALT[i % len(_UNICODE_SALT)]
         texts.append(t)
     base_ts = datetime.datetime(2024, 1, 1)
-    urls = [f"https://site{i % 97}.example/p/{i}" for i in range(n_rows)]
+    ids = range(start, start + n_rows)
+    urls = [f"https://site{i % 97}.example/p/{i}" for i in ids]
     return pa.table({
-        "doc_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "doc_id": pa.array(np.arange(start, start + n_rows, dtype=np.int64)),
         "url": pa.array(urls, type=pa.string()),
         "warc_ts": pa.array(
-            [base_ts + datetime.timedelta(seconds=int(i)) for i in range(n_rows)],
+            [base_ts + datetime.timedelta(seconds=int(i)) for i in ids],
             type=pa.timestamp("us")),
         "html": pa.array([b"<html><body>" + t.encode() + b"</body></html>"
                           for t in texts], type=pa.binary()),
         "text": pa.array(texts, type=pa.string()),
         "lang": pa.array([("en", "de", "zh", "")[i % 20 % 4] if i % 20 < 4 else "en"
-                          for i in range(n_rows)], type=pa.string()),
+                          for i in ids], type=pa.string()),
     })
 
 
 def write_pages(out_dir: str, n_rows: int, n_parts: int = 1, seed: int = 42,
                 n_terms: int = 10_000) -> list[str]:
-    """Write the pages table as ``n_parts`` parquet files (doc_id-ordered)."""
+    """Write the pages table as ``n_parts`` parquet files (doc_id-ordered,
+    generated part-by-part to bound RAM; deterministic per-part seeds)."""
     os.makedirs(out_dir, exist_ok=True)
-    t = synth_pages(n_rows, seed=seed, n_terms=n_terms)
     paths = []
     per = (n_rows + n_parts - 1) // n_parts
     for p in range(n_parts):
-        sl = t.slice(p * per, per)
-        if len(sl) == 0:
+        n = min(per, n_rows - p * per)
+        if n <= 0:
             break
+        t = synth_pages(n, seed=seed * 100_003 + p, n_terms=n_terms,
+                        start=p * per)
         path = os.path.join(out_dir, f"pages-{p:05d}.parquet")
-        pq.write_table(sl, path)
+        pq.write_table(t, path)
         paths.append(path)
     return paths
