@@ -81,6 +81,7 @@ class SegmentIndexer:
         self.id_col = id_col
         self.stored_cols = tuple(stored_cols)
         self.analyzer = StandardAnalyzer(stop_words=stop_words)
+        self._seg_override: str | None = None  # ShardIndexer naming hook
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -150,7 +151,7 @@ class SegmentIndexer:
         min_doc, max_doc = int(doc_ids.min()), int(doc_ids.max())
         lineage = hashlib.sha1(
             f"{min_doc}:{max_doc}:{len(doc_ids)}".encode()).hexdigest()[:12]
-        seg_id = f"seg-{min_doc:012d}-{max_doc:012d}-{lineage}"
+        seg_id = self._seg_override or f"seg-{min_doc:012d}-{max_doc:012d}-{lineage}"
         seg_dir = os.path.join(self.out_dir, "segments", seg_id)
         os.makedirs(seg_dir, exist_ok=True)
         pq.write_table(postings_table, os.path.join(seg_dir, "postings.parquet"))

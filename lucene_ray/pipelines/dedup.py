@@ -21,7 +21,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..analysis import StandardAnalyzer
-from ..util import default_concurrency
+from ..util import cached_callable
 from .text_analysis import read_documents
 
 # deterministic 61-bit Mersenne prime universe for minhash permutations
@@ -115,9 +115,9 @@ def minhash_lsh_candidates(path: str, num_perm=64, bands=16,
     """Candidate near-duplicate pairs: docs sharing >=1 LSH band bucket.
     Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
     sig = read_documents(path).map_batches(
-        MinHashSigs, fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, shingle_k=shingle_k),
-        batch_format="pyarrow", concurrency=default_concurrency())
+        cached_callable(MinHashSigs, num_perm=num_perm, bands=bands,
+                        shingle_k=shingle_k),
+        batch_format="pyarrow")
     pairs = sig.groupby(["band", "key"]).map_groups(
         _bucket_pairs, batch_format="pyarrow")
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands")) \
@@ -193,20 +193,31 @@ class SimHash:
 
 def simhash_table(path: str) -> ray.data.Dataset:
     return read_documents(path).map_batches(
-        SimHash, batch_format="pyarrow", concurrency=default_concurrency())
+        cached_callable(SimHash), batch_format="pyarrow")
+
+
+def _explode_simhash_bands(t: pa.Table) -> pa.Table:
+    """wide (doc_id, simhash, band0..3) -> long (band, key, doc_id, simhash).
+
+    One chained map stage — a union of four branches sharing the
+    simhash stage would make the executor instantiate that stage per
+    branch and deadlock a small cluster on pool reservations."""
+    parts = []
+    for i in range(4):
+        parts.append(pa.table({
+            "band": pa.array([i] * len(t), pa.int32()),
+            "key": t.column(f"band{i}"),
+            "doc_id": t.column("doc_id"),
+            "simhash": t.column("simhash"),
+        }))
+    return pa.concat_tables(parts)
 
 
 def simhash_candidates(path: str, max_hamming=3) -> ray.data.Dataset:
     """Near-dup pairs by simhash: docs sharing any 16-bit band (pigeonhole
-    for hamming<=3), verified by true hamming distance."""
-    sig = simhash_table(path)
-    parts = []
-    for i in range(4):
-        band_rows = sig.select_columns(["doc_id", "simhash", f"band{i}"]) \
-            .rename_columns({f"band{i}": "key"}) \
-            .add_column("band", lambda df, b=i: [b] * len(df), batch_format="pandas")
-        parts.append(band_rows)
-    allb = parts[0].union(*parts[1:])
+    for hamming<=3 over 64 bits in 4 bands), verified by true hamming."""
+    allb = simhash_table(path).map_batches(_explode_simhash_bands,
+                                           batch_format="pyarrow")
 
     def pairs_verified(group: pa.Table) -> pa.Table:
         rows = sorted(zip(group["doc_id"].to_pylist(),

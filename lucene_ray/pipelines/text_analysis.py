@@ -19,7 +19,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..analysis import StandardAnalyzer, int_to_byte4_array
-from ..util import default_concurrency
+from ..util import cached_callable
 
 
 def read_documents(path: str, columns=("doc_id", "text")) -> ray.data.Dataset:
@@ -80,8 +80,8 @@ class TokenizeDocStats:
 
 def doc_term_table(path: str, stop_words=frozenset()) -> ray.data.Dataset:
     return read_documents(path).map_batches(
-        TokenizeDocTerms, fn_constructor_kwargs={"stop_words": stop_words},
-        batch_format="pyarrow", concurrency=default_concurrency())
+        cached_callable(TokenizeDocTerms, stop_words=stop_words),
+        batch_format="pyarrow")
 
 
 def term_stats(path: str, stop_words=frozenset()) -> ray.data.Dataset:
@@ -92,8 +92,8 @@ def term_stats(path: str, stop_words=frozenset()) -> ray.data.Dataset:
 
 def doc_stats(path: str, stop_words=frozenset()) -> ray.data.Dataset:
     return read_documents(path).map_batches(
-        TokenizeDocStats, fn_constructor_kwargs={"stop_words": stop_words},
-        batch_format="pyarrow", concurrency=default_concurrency())
+        cached_callable(TokenizeDocStats, stop_words=stop_words),
+        batch_format="pyarrow")
 
 
 def doc_lengths(path: str) -> ray.data.Dataset:
@@ -182,4 +182,4 @@ class LangId:
 
 def lang_id(path: str) -> ray.data.Dataset:
     return read_documents(path).map_batches(
-        LangId, batch_format="pyarrow", concurrency=default_concurrency())
+        cached_callable(LangId), batch_format="pyarrow")

@@ -5,6 +5,28 @@ from __future__ import annotations
 import ray
 
 
+_PROCESS_CACHE: dict = {}
+
+
+def cached_callable(cls, **kwargs):
+    """Wrap a callable class for TASK-based ``map_batches``: the instance
+    is built lazily once per worker process and reused across tasks —
+    the same state-amortization as an actor pool, without a pool's
+    CPU reservation (pools deadlock when several stages each demand a
+    full-cluster pool, e.g. a union of branches sharing one stage)."""
+    key_kwargs = tuple(sorted(kwargs.items(), key=lambda kv: kv[0]))
+
+    def fn(batch):
+        key = (cls.__module__, cls.__qualname__, key_kwargs)
+        inst = _PROCESS_CACHE.get(key)
+        if inst is None:
+            inst = _PROCESS_CACHE[key] = cls(**kwargs)
+        return inst(batch)
+
+    fn.__name__ = f"cached_{cls.__name__}"
+    return fn
+
+
 def default_concurrency() -> int:
     """Fixed actor-pool size = cluster CPUs - 1: one slot stays free for
     upstream read tasks (a pool equal to num_cpus deadlocks the streaming
