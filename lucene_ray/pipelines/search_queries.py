@@ -85,14 +85,30 @@ def conjunction_docs(doc_path: str, terms: list[str]) -> pa.Table:
     """All doc ids containing every term (match-only, no scoring)."""
     idx = cached_index(doc_path)
     s = Searcher(IndexReader(idx))
-    plan = s._plan(_query("and", terms))
-    out = []
-    for sr in s.reader.segments():
-        docs, _ = s._match_and_score(sr, plan, scoring=False)
-        if docs is not None and len(docs):
-            out.append(docs)
-    allp = np.concatenate(out) if out else np.empty(0, np.int64)
-    return pa.table({"doc_id": pa.array(np.sort(allp), pa.int64())})
+    docs = s.match_docs(_query("and", terms))
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
+def match_query_docs(doc_path: str, q) -> pa.Table:
+    """All doc ids matching an arbitrary query (prefix / wildcard /
+    range / fuzzy / boolean...), sorted."""
+    idx = cached_index(doc_path)
+    s = Searcher(IndexReader(idx))
+    return pa.table({"doc_id": pa.array(s.match_docs(q), pa.int64())})
+
+
+def dismax_topk(doc_path: str, terms: list[str], tie_breaker: float,
+                k: int = 20) -> pa.Table:
+    """DisjunctionMax top-k (exact64 similarity): (doc_id, rank)."""
+    from lucene_ray.search import DisjunctionMaxQuery, TermQuery
+    idx = cached_index(doc_path)
+    s = Searcher(IndexReader(idx), similarity="bm25_exact64")
+    q = DisjunctionMaxQuery(tuple(TermQuery(t) for t in terms), tie_breaker)
+    td = s.search(q, k=k)
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+    })
 
 
 def bm25_topk_lucene(doc_path: str, terms: list[str], kind: str = "term",

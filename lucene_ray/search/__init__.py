@@ -3,8 +3,17 @@
 from .bm25 import avg_field_length, idf, norm_inverse_cache, score_freqs, score64
 from .query import (
     BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    PrefixQuery,
     Query,
+    RegexpQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
     and_query,
     or_query,
     parse_simple,
@@ -15,7 +24,9 @@ from .searcher import Searcher, TopDocs, merge_top_docs
 
 __all__ = [
     "idf", "avg_field_length", "norm_inverse_cache", "score_freqs", "score64",
-    "Query", "TermQuery", "BooleanQuery", "and_query", "or_query",
-    "parse_simple", "query_terms",
+    "Query", "TermQuery", "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
+    "DisjunctionMaxQuery", "MatchAllDocsQuery", "PrefixQuery", "WildcardQuery",
+    "RegexpQuery", "TermRangeQuery", "FuzzyQuery",
+    "and_query", "or_query", "parse_simple", "query_terms",
     "IndexReader", "SegmentReader", "Searcher", "TopDocs", "merge_top_docs",
 ]

@@ -40,6 +40,152 @@ class BooleanQuery(Query):
                 object.__setattr__(self, name, tuple(v))
 
 
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Matches like the inner query, scores a constant ``boost``
+    (search/ConstantScoreQuery.java)."""
+    inner: Query = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    inner: Query = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """max over disjunct scores + tie_breaker * sum of the others
+    (search/DisjunctionMaxQuery.java)."""
+    disjuncts: tuple = ()
+    tie_breaker: float = 0.0
+
+    def __post_init__(self):
+        if not isinstance(self.disjuncts, tuple):
+            object.__setattr__(self, "disjuncts", tuple(self.disjuncts))
+
+
+# --- multi-term queries (rewritten against the term dictionary) ------------
+# Default rewrite is constant-score, matching the reference's
+# MultiTermQuery.CONSTANT_SCORE_REWRITE for prefix/wildcard/regexp/range
+# (search/PrefixQuery.java, AutomatonQuery.java, TermRangeQuery.java).
+
+MAX_CLAUSE_COUNT = 1024  # IndexSearcher.java:81
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str = ""
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str = ""  # '*' any run, '?' one char (WildcardQuery.java)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str = ""
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Terms within edit distance <= max_edits (search/FuzzyQuery.java;
+    defaults maxEdits=2, prefixLength=0, transpositions=True i.e.
+    Damerau/OSA). Scored as a disjunction of the expanded terms."""
+    term: str = ""
+    max_edits: int = 2
+    prefix_length: int = 0
+    transpositions: bool = True
+    boost: float = 1.0
+
+
+def expand_terms(q: Query, vocab) -> list[str]:
+    """Matching terms from a sorted vocabulary iterable (term dict scan;
+    the block-tree/FST intersection analog). Capped at MAX_CLAUSE_COUNT."""
+    import re as _re
+
+    out = []
+    if isinstance(q, PrefixQuery):
+        for t in vocab:
+            if t.startswith(q.prefix):
+                out.append(t)
+    elif isinstance(q, WildcardQuery):
+        rx = _re.compile(
+            "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                    for c in q.pattern) + r"\Z")
+        out = [t for t in vocab if rx.match(t)]
+    elif isinstance(q, RegexpQuery):
+        rx = _re.compile(q.pattern + r"\Z")  # anchored, Lucene semantics
+        out = [t for t in vocab if rx.match(t)]
+    elif isinstance(q, TermRangeQuery):
+        for t in vocab:
+            if q.lower is not None:
+                if t < q.lower or (t == q.lower and not q.include_lower):
+                    continue
+            if q.upper is not None:
+                if t > q.upper or (t == q.upper and not q.include_upper):
+                    continue
+            out.append(t)
+    elif isinstance(q, FuzzyQuery):
+        pfx = q.term[:q.prefix_length]
+        for t in vocab:
+            if not t.startswith(pfx):
+                continue
+            if abs(len(t) - len(q.term)) > q.max_edits:
+                continue
+            if _edit_distance(t, q.term, q.max_edits,
+                              q.transpositions) <= q.max_edits:
+                out.append(t)
+    else:
+        raise TypeError(f"not a multi-term query: {q}")
+    if len(out) > MAX_CLAUSE_COUNT:
+        raise ValueError(f"maxClauseCount is set to {MAX_CLAUSE_COUNT}")
+    return out
+
+
+def _edit_distance(a: str, b: str, cap: int, transpositions: bool) -> int:
+    """Levenshtein (or OSA with transpositions) with early exit > cap."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = cap + 1
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (transpositions and prev2 is not None and i > 1 and j > 1
+                    and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+            lo = min(lo, v)
+        if lo > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
 def term_query(t: str) -> TermQuery:
     return TermQuery(t)
 
@@ -80,8 +226,17 @@ def query_terms(q: Query) -> list[str]:
     """All scoring/matching terms in the tree (for stats prefetch)."""
     if isinstance(q, TermQuery):
         return [q.term]
-    out = []
-    for group in (q.must, q.should, q.must_not, q.filter):
-        for sub in group:
+    if isinstance(q, BooleanQuery):
+        out = []
+        for group in (q.must, q.should, q.must_not, q.filter):
+            for sub in group:
+                out.extend(query_terms(sub))
+        return out
+    if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+        return query_terms(q.inner)
+    if isinstance(q, DisjunctionMaxQuery):
+        out = []
+        for sub in q.disjuncts:
             out.extend(query_terms(sub))
-    return out
+        return out
+    return []  # MatchAll / unexpanded multi-term

@@ -22,9 +22,27 @@ import numpy as np
 
 from . import bm25
 from .postings_io import block_layout, lookup_postings
-from .query import BooleanQuery, Query, TermQuery, query_terms
+from .query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    expand_terms,
+    query_terms,
+)
 from .reader import IndexReader, SegmentReader
 from ..codecs.postings import unpack_postings
+
+_MULTI_TERM = (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery,
+               FuzzyQuery)
 
 
 class TopDocs(NamedTuple):
@@ -116,13 +134,57 @@ class Searcher:
             "msm": q.min_should_match,
         }
 
+    # -- rewrite (Query.rewrite fixpoint, SURVEY §3.3 step 2) ---------------
+    def _vocab(self):
+        self.reader.term_stats([])  # ensure loaded
+        return sorted(self.reader._term_stats)
+
+    def rewrite(self, q: Query, boost: float = 1.0) -> Query:
+        """Expand multi-term queries against the term dictionary and push
+        boosts down. Prefix/wildcard/regexp/range use the reference's
+        default constant-score rewrite; fuzzy rewrites to a scored
+        disjunction of the expanded terms."""
+        if isinstance(q, BoostQuery):
+            return self.rewrite(q.inner, boost * q.boost)
+        if isinstance(q, TermQuery):
+            return TermQuery(q.term, q.boost * boost)
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                must=tuple(self.rewrite(s, boost) for s in q.must),
+                should=tuple(self.rewrite(s, boost) for s in q.should),
+                must_not=tuple(self.rewrite(s) for s in q.must_not),
+                filter=tuple(self.rewrite(s) for s in q.filter),
+                min_should_match=q.min_should_match)
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self.rewrite(q.inner), q.boost * boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self.rewrite(s, boost) for s in q.disjuncts),
+                q.tie_breaker)
+        if isinstance(q, MatchAllDocsQuery):
+            return MatchAllDocsQuery(q.boost * boost)
+        if isinstance(q, FuzzyQuery):
+            terms = expand_terms(q, self._vocab())
+            return BooleanQuery(should=tuple(
+                TermQuery(t, q.boost * boost) for t in terms))
+        if isinstance(q, _MULTI_TERM):
+            terms = expand_terms(q, self._vocab())
+            return ConstantScoreQuery(
+                BooleanQuery(should=tuple(TermQuery(t) for t in terms)),
+                q.boost * boost)
+        raise TypeError(f"unknown query type {type(q)}")
+
     # -- public API ---------------------------------------------------------
     def search(self, q: Query, k: int = 10) -> TopDocs:
-        plan = self._plan(q)
+        q = self.rewrite(q)
+        prep = self._prepare(q)
         parts = []
         threshold = -np.inf
         for sr in self.reader.segments():
-            td = self._search_segment(sr, plan, k, threshold)
+            docs, scores = self._eval(sr, prep, k, threshold)
+            if docs is None or len(docs) == 0:
+                continue
+            td = _top_k(docs, scores, k)
             if len(td.doc_ids):
                 parts.append(td)
                 all_scores = np.concatenate([p.scores for p in parts])
@@ -132,12 +194,90 @@ class Searcher:
         return merge_top_docs(parts, k)
 
     def count(self, q: Query) -> int:
-        plan = self._plan(q)
+        q = self.rewrite(q)
         total = 0
         for sr in self.reader.segments():
-            docs, _ = self._match_and_score(sr, plan, scoring=False)
+            docs = self._match_docs(sr, q)
             total += len(docs)
         return total
+
+    def match_docs(self, q: Query) -> np.ndarray:
+        """All matching global docIDs, sorted (match-only, no scores)."""
+        q = self.rewrite(q)
+        out = []
+        for sr in self.reader.segments():
+            docs = self._match_docs(sr, q)
+            if len(docs):
+                out.append(docs)
+        return np.sort(np.concatenate(out)) if out else np.empty(0, np.int64)
+
+    # -- generalized per-segment evaluation ---------------------------------
+    def _prepare(self, q: Query):
+        if isinstance(q, (TermQuery, BooleanQuery)):
+            return ("bool", self._plan(q))
+        if isinstance(q, ConstantScoreQuery):
+            return ("const", self._prepare(q.inner), np.float64(q.boost))
+        if isinstance(q, MatchAllDocsQuery):
+            return ("matchall", np.float64(q.boost))
+        if isinstance(q, DisjunctionMaxQuery):
+            return ("dismax", [self._prepare(s) for s in q.disjuncts],
+                    float(q.tie_breaker))
+        raise TypeError(f"unpreparable query {type(q)}")
+
+    def _eval(self, sr: SegmentReader, prep, k: int, threshold: float):
+        kind = prep[0]
+        if kind == "bool":
+            return self._match_and_score(sr, prep[1], scoring=True,
+                                         k=k, threshold=threshold)
+        if kind == "const":
+            inner = prep[1]
+            if inner[0] == "bool":  # match-only, skip inner scoring
+                docs, _ = self._match_and_score(sr, inner[1], scoring=False)
+            else:
+                docs, _ = self._eval(sr, inner, k, -np.inf)
+            if docs is None:
+                return None, None
+            dt = np.float64 if self.exact64 else np.float32
+            return docs, np.full(len(docs), prep[2], dtype=dt)
+        if kind == "matchall":
+            docs = sr.doc_ids.astype(np.int64)
+            dt = np.float64 if self.exact64 else np.float32
+            return docs, np.full(len(docs), prep[1], dtype=dt)
+        if kind == "dismax":
+            per = [self._eval(sr, p, k, -np.inf) for p in prep[1]]
+            per = [(d, s) for d, s in per if d is not None and len(d)]
+            if not per:
+                return None, None
+            cand = np.unique(np.concatenate([d for d, _ in per]))
+            mx = np.full(len(cand), -np.inf)
+            total = np.zeros(len(cand), dtype=np.float64)
+            cnt = np.zeros(len(cand), dtype=np.int64)
+            for d, s in per:
+                pos = np.searchsorted(cand, d)
+                s64 = s.astype(np.float64)
+                np.maximum.at(mx, pos, s64)
+                total[pos] += s64
+                cnt[pos] += 1
+            tb = prep[2]
+            scores = mx + tb * (total - mx)
+            dt = np.float64 if self.exact64 else np.float32
+            return cand, scores.astype(dt)
+        raise AssertionError(kind)
+
+    def _match_docs(self, sr: SegmentReader, q: Query) -> np.ndarray:
+        if isinstance(q, (TermQuery, BooleanQuery)):
+            docs, _ = self._match_and_score(sr, self._plan(q), scoring=False)
+            return docs if docs is not None else np.empty(0, np.int64)
+        if isinstance(q, ConstantScoreQuery):
+            return self._match_docs(sr, q.inner)
+        if isinstance(q, MatchAllDocsQuery):
+            return sr.doc_ids.astype(np.int64)
+        if isinstance(q, DisjunctionMaxQuery):
+            parts = [self._match_docs(sr, s) for s in q.disjuncts]
+            parts = [p for p in parts if len(p)]
+            return (np.unique(np.concatenate(parts))
+                    if parts else np.empty(0, np.int64))
+        raise TypeError(f"unmatchable query {type(q)}")
 
     # -- per-segment --------------------------------------------------------
     def _decode_scored(self, sr: SegmentReader, t: _TermPlan):
@@ -146,14 +286,6 @@ class Searcher:
             return None, None, None
         docs, freqs = unpack_postings(p)
         return p, docs, freqs
-
-    def _search_segment(self, sr: SegmentReader, plan: dict, k: int,
-                        threshold: float) -> TopDocs:
-        docs, scores = self._match_and_score(sr, plan, scoring=True,
-                                             k=k, threshold=threshold)
-        if docs is None or len(docs) == 0:
-            return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32))
-        return _top_k(docs, scores, k)
 
     def _match_and_score(self, sr: SegmentReader, plan: dict, *, scoring: bool,
                          k: int = 10, threshold: float = -np.inf):

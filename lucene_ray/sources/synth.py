@@ -44,11 +44,13 @@ def _vocab(n_terms: int, rng: np.random.Generator) -> list[str]:
 
 
 def synth_pages(n_rows: int, seed: int = 42, n_terms: int = 10_000,
-                start: int = 0) -> pa.Table:
+                start: int = 0, vocab_seed: int | None = None) -> pa.Table:
     """``start`` offsets doc_id/url/warc_ts so large corpora can be
-    generated part-by-part without holding everything in RAM."""
+    generated part-by-part without holding everything in RAM;
+    ``vocab_seed`` keeps ONE shared Zipf vocabulary across parts."""
     rng = np.random.default_rng(seed)
-    vocab = np.array(_vocab(n_terms, rng))
+    vocab = np.array(_vocab(n_terms, np.random.default_rng(
+        seed if vocab_seed is None else vocab_seed)))
     # Zipf s~1.1 over ranks
     ranks = np.arange(1, n_terms + 1, dtype=np.float64)
     probs = ranks ** -1.1
@@ -93,7 +95,7 @@ def write_pages(out_dir: str, n_rows: int, n_parts: int = 1, seed: int = 42,
         if n <= 0:
             break
         t = synth_pages(n, seed=seed * 100_003 + p, n_terms=n_terms,
-                        start=p * per)
+                        start=p * per, vocab_seed=seed)
         path = os.path.join(out_dir, f"pages-{p:05d}.parquet")
         pq.write_table(t, path)
         paths.append(path)
