@@ -5,7 +5,8 @@ from .postings import (
     PackedPostings,
     compute_impacts,
     pack_postings,
-    unpack_positions_noop,
+    pack_positions_many,
+    unpack_positions,
     unpack_postings,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "pack_postings",
     "unpack_postings",
     "compute_impacts",
-    "unpack_positions_noop",
+    "pack_positions_many",
+    "unpack_positions",
 ]

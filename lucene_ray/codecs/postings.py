@@ -401,7 +401,54 @@ def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
     return out
 
 
-def unpack_positions_noop(*_a, **_k):
-    """Positions are not indexed in v1 (design slot per SURVEY.md §2.8
-    PhraseQuery); this placeholder documents the extension point."""
-    raise NotImplementedError("positional postings are a v2 design slot")
+# --- positional postings (PhraseQuery support) -----------------------------
+# Layout per term: all occurrences ordered by (doc, position), positions
+# delta-encoded with a reset (absolute value) at each posting/doc
+# boundary, FOR-packed in 128-value blocks per term chunk. Mirrors the
+# role of the reference's .pos stream (Lucene90PostingsFormat.java:
+# 155-246) without its file format.
+
+
+def pack_positions_many(pos_flat: np.ndarray, occ_bounds: np.ndarray,
+                        group_starts: np.ndarray) -> list[bytes]:
+    """Pack many terms' position streams.
+
+    ``pos_flat``: all occurrences' positions (grouped by term, then doc,
+    ascending within doc). ``occ_bounds``: per-term occurrence ranges
+    (n_terms+1). ``group_starts``: indices where a new (term, doc)
+    posting begins (delta resets there).
+    """
+    P = np.ascontiguousarray(pos_flat, dtype=np.int64)
+    delta = P.copy()
+    delta[1:] -= P[:-1]
+    delta[group_starts] = P[group_starts]
+    if (delta < 0).any():
+        raise ValueError("positions out of order")
+    vals = delta.astype(np.uint32)
+    out = []
+    for j in range(len(occ_bounds) - 1):
+        out.append(_pack_values(vals[occ_bounds[j]:occ_bounds[j + 1]]))
+    return out
+
+
+def unpack_positions(buf: bytes, chunk_occ_counts: np.ndarray,
+                     freqs: np.ndarray) -> np.ndarray:
+    """Decode one term's position stream.
+
+    ``chunk_occ_counts``: occurrences per chunk (blocking layout);
+    ``freqs``: the term's per-posting freqs (posting boundaries = delta
+    resets). Returns absolute positions, flat (slice by cumsum(freqs)).
+    """
+    sizes = _block_sizes(chunk_occ_counts)
+    delta = _unpack_values(buf, sizes).astype(np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(freqs)[:-1]])
+    group_last = np.add.reduceat(delta, starts)
+    corr = np.concatenate([[0], np.cumsum(group_last[:-1])])
+    return np.cumsum(delta) - np.repeat(corr, freqs)
+
+
+def concat_position_chunks(bufs: list[bytes],
+                           occ_counts: list[int]) -> tuple[bytes, np.ndarray]:
+    """Merge path: concatenate per-chunk packed position streams."""
+    return b"".join(bufs), np.asarray(occ_counts, dtype=np.int64)

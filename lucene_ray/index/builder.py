@@ -66,6 +66,103 @@ POSTINGS_SCHEMA = pa.schema([
 ])
 
 
+# ASCII projection of the analyzer's token rules, used by the Arrow
+# kernel path: splitting on everything outside [a-z0-9_'.:,;] yields the
+# exact token for runs without mid-chars; tokens containing a mid char
+# (or empty / over-long) are re-refined with the reference regex. The
+# result multiset is identical to StandardAnalyzer (tested).
+_ARROW_SPLIT_PATTERN = r"[^a-z0-9_'.:,;]+"
+_ARROW_DIRTY_PATTERN = r"['.:,;]"
+
+
+def _tokenize_batch_arrow(col, analyzer: StandardAnalyzer):
+    """(flat_tokens: pa.Array, doc_idx: np.int64[]) for a batch of texts.
+
+    Vectorized C kernels (utf8_lower / split_pattern_regex /
+    dictionary_encode downstream) avoid per-token Python string objects —
+    under a full 31-worker node this is ~3x faster than the Python path
+    because it doesn't thrash the allocator/caches. Non-ASCII rows and
+    "dirty" tokens fall back to the exact Python analyzer.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    parts_flat: list[pa.Array] = []
+    parts_idx: list[np.ndarray] = []
+
+    if ascii_mask.all():
+        proc_col = col
+        row_map = None
+    else:
+        sel = np.nonzero(ascii_mask)[0]
+        proc_col = col.take(pa.array(sel))
+        row_map = sel
+
+    if len(proc_col):
+        low = pc.utf8_lower(proc_col)
+        tok = pc.split_pattern_regex(low, pattern=_ARROW_SPLIT_PATTERN)
+        flat = pc.list_flatten(tok)
+        lens = pc.list_value_length(tok).to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(proc_col), dtype=np.int64), lens)
+        if row_map is not None:
+            didx = row_map[didx]
+        bad = pc.or_(pc.equal(flat, ""),
+                     pc.match_substring_regex(flat, _ARROW_DIRTY_PATTERN))
+        bad = pc.or_(bad, pc.greater(pc.utf8_length(flat),
+                                     analyzer.max_token_length))
+        bad_np = bad.to_numpy(zero_copy_only=False)
+        good = pc.invert(bad)
+        parts_flat.append(flat.filter(good))
+        parts_idx.append(didx[~bad_np])
+        if bad_np.any():
+            from ..analysis.tokenizer import _ASCII_TOKEN_RE
+            ref_t: list[str] = []
+            ref_i: list[int] = []
+            findall = _ASCII_TOKEN_RE.findall
+            mtl = analyzer.max_token_length
+            for d, s in zip(didx[bad_np], flat.filter(bad).to_pylist()):
+                subs = findall(s)
+                if subs and max(map(len, subs)) > mtl:
+                    subs = analyzer(s)  # buffer-split semantics
+                for tt in subs:
+                    ref_t.append(tt)
+                    ref_i.append(d)
+            if ref_t:
+                parts_flat.append(pa.array(ref_t, pa.string()))
+                parts_idx.append(np.asarray(ref_i, dtype=np.int64))
+
+    if not ascii_mask.all():
+        rows = np.nonzero(~ascii_mask)[0]
+        texts = col.take(pa.array(rows)).to_pylist()
+        py_t: list[str] = []
+        py_i: list[int] = []
+        for d, text in zip(rows, texts):
+            for tt in analyzer._analyze_mixed(text) if text else []:
+                py_t.append(tt)
+                py_i.append(d)
+        if py_t:
+            parts_flat.append(pa.array(py_t, pa.string()))
+            parts_idx.append(np.asarray(py_i, dtype=np.int64))
+
+    if not parts_flat:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    flat_all = pa.concat_arrays([p.cast(pa.string()) for p in parts_flat])
+    idx_all = np.concatenate(parts_idx)
+
+    if analyzer.stop_words:
+        import pyarrow.compute as pc2
+        keep = pc2.invert(pc2.is_in(
+            flat_all, value_set=pa.array(sorted(analyzer.stop_words))))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat_all = flat_all.filter(keep)
+        idx_all = idx_all[keep_np]
+    return flat_all, idx_all
+
+
 class SegmentIndexer:
     """Stateful map_batches stage: one batch in -> one segment flushed.
 
@@ -75,12 +172,14 @@ class SegmentIndexer:
     """
 
     def __init__(self, out_dir: str, text_col: str, id_col: str,
-                 stored_cols: tuple, stop_words: frozenset):
+                 stored_cols: tuple, stop_words: frozenset,
+                 arrow_fast_path: bool = True):
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
         self.stored_cols = tuple(stored_cols)
         self.analyzer = StandardAnalyzer(stop_words=stop_words)
+        self.arrow_fast_path = arrow_fast_path
         self._seg_override: str | None = None  # ShardIndexer naming hook
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -94,25 +193,41 @@ class SegmentIndexer:
         if not np.array_equal(order, np.arange(len(doc_ids))):
             batch = batch.take(pa.array(order))
             doc_ids = doc_ids[order]
-        texts = batch[self.text_col].to_pylist()
-        term_lists = self.analyzer.analyze_batch(texts)
-
         n_docs = len(doc_ids)
-        doc_lens = np.fromiter((len(t) for t in term_lists), dtype=np.int64,
-                               count=n_docs)
+        if self.arrow_fast_path:
+            import pyarrow.compute as pc
+            flat_arr, doc_idx = _tokenize_batch_arrow(batch[self.text_col],
+                                                      self.analyzer)
+            doc_lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+            if len(flat_arr):
+                enc = pc.dictionary_encode(flat_arr)
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            else:
+                codes = np.empty(0, np.int64)
+                uniques = np.empty(0, dtype=object)
+        else:
+            import itertools
+            import pandas as pd
+            texts = batch[self.text_col].to_pylist()
+            term_lists = self.analyzer.analyze_batch(texts)
+            doc_lens = np.fromiter((len(t) for t in term_lists),
+                                   dtype=np.int64, count=n_docs)
+            flat = list(itertools.chain.from_iterable(term_lists))
+            if flat:
+                codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+                codes = codes.astype(np.int64)
+            else:
+                codes = np.empty(0, np.int64)
+                uniques = np.empty(0, dtype=object)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
         norms = int_to_byte4_array(doc_lens)
 
-        # vectorized invert: flatten all tokens, factorize to term codes,
-        # then one sort gives (term, doc) -> tf triplets; pack every
-        # term's postings in one batch pass (pack_postings_many)
-        import itertools
-        import pandas as pd
-        flat = list(itertools.chain.from_iterable(term_lists))
+        # vectorized invert: one sort over (term, doc) keys gives the
+        # tf triplets; pack every term in one batch pass
         n_terms = 0
-        if flat:
-            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
-            key = codes.astype(np.int64) * n_docs + doc_idx
+        if len(codes):
+            key = codes * n_docs + doc_idx
             uk, tf = np.unique(key, return_counts=True)
             t_codes = uk // n_docs
             d_idx = (uk % n_docs).astype(np.int64)
