@@ -23,9 +23,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "300000"))
-# scaling runs need enough work that fixed startup (~3s of actor spin-up)
-# doesn't mask the compute scaling being measured
-SCALING_DOCS = int(os.environ.get("SCALING_DOCS", "1000000"))
+# scaling runs need enough work that fixed startup (~3-5s of actor pool
+# spin-up + stats) doesn't mask the compute scaling being measured —
+# at real corpus scale those costs amortize to nothing
+SCALING_DOCS = int(os.environ.get("SCALING_DOCS", "3000000"))
 BENCH_SEED = 42
 
 
@@ -47,7 +48,8 @@ def bench_corpus(n_docs: int | None = None) -> str:
     n = n_docs or BENCH_DOCS
     d = f"/tmp/lucene_ray_bench/pages-{n}-{BENCH_SEED}"
     if not os.path.isdir(d) or not os.listdir(d):
-        write_pages(d, n_rows=n, n_parts=32, seed=BENCH_SEED)
+        write_pages(d, n_rows=n, n_parts=max(32, n // 50_000),
+                    seed=BENCH_SEED)
     return d
 
 
@@ -166,8 +168,12 @@ def main_scaling() -> dict:
         env["RAY_GRAFT_CPUS"] = str(n)
         p = subprocess.run([sys.executable, __file__, "--_child"], env=env,
                            capture_output=True, text=True, timeout=3600)
-        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-        runs[n] = json.loads(line)
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(f"--_child ({n} cpus) produced no JSON; stderr:\n"
+                             + p.stderr[-3000:] + "\n")
+            raise RuntimeError(f"scaling child failed at {n} cpus")
+        runs[n] = json.loads(lines[-1])
     tp8 = runs[8]["docs_per_sec"]
     tp32 = runs[32]["docs_per_sec"]
     eff = tp32 / (4 * tp8)

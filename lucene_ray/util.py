@@ -28,9 +28,10 @@ def cached_callable(cls, **kwargs):
 
 
 def default_concurrency() -> int:
-    """Fixed actor-pool size = cluster CPUs - 1: one slot stays free for
-    upstream read tasks (a pool equal to num_cpus deadlocks the streaming
-    executor), and a fixed pool ramps up ~2x faster than an autoscaling
-    (1, n) pool on short jobs."""
+    """Fixed actor-pool size ~80% of cluster CPUs: the remaining slots
+    feed the upstream read/split stage (a pool equal to num_cpus
+    deadlocks the streaming executor; leaving just one slot serializes
+    reads and caps scaling). Fixed pools also ramp ~2x faster than
+    autoscaling (1, n) pools on short jobs."""
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(1, cpus - 1)
+    return max(1, min(cpus - 1, int(cpus * 0.8)))
