@@ -69,8 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bm25_topk, bm25_topk_lucene, cached_index, conjunction_docs,
         dismax_topk, match_query_docs,
     )
+    from lucene_ray.pipelines.search_queries import phrase_topk
     from lucene_ray.search import (
-        FuzzyQuery, PrefixQuery, TermRangeQuery, WildcardQuery,
+        FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery,
     )
 
     _MATCH_QUERIES = {
@@ -134,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_match": lambda sf: _match(sf, "range"),
         "fuzzy_match": lambda sf: _match(sf, "fuzzy"),
         "bm25_dismax": lambda sf: dismax_topk(_docp(sf), _OR_TERMS, 0.3, 20),
+        "phrase_match": lambda sf: match_query_docs(
+            _docp(sf), PhraseQuery((_TERM_A, _TERM_B))),
+        "bm25_phrase": lambda sf: phrase_topk(
+            _docp(sf), [_TERM_A, _TERM_B], 20),  # rows-only (f32 scores)
         # --- dedup family (training-data ops) ---
         "dedup_exact": lambda sf: dedup.exact_dedup(_docp(sf)),
         "dedup_first_per_group": lambda sf: dedup.first_per_group(_docp(sf)),
@@ -266,6 +271,9 @@ scored AS (SELECT doc_id, max(sc) + 0.3 * (sum(sc) - max(sc)) AS score
            FROM ts GROUP BY doc_id)
 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
 FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+        "phrase_match": (
+            "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE "
+            f"'% {_TERM_A} {_TERM_B} %' ORDER BY doc_id"),
         "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
         "dedup_first_per_group": ("SELECT lang, source, min(doc_id) AS doc_id "

@@ -31,6 +31,9 @@ class PackedPostings(NamedTuple):
     delta is the absolute first docID), so chunks from disjoint doc
     ranges can be concatenated without repacking — the segment-merge
     fast path and the hot-term salting path both rely on this.
+
+    ``positions``/``chunk_occ_counts`` are empty unless the index was
+    built with positions (the .pos stream for PhraseQuery).
     """
 
     doc_count: int  # total docs across chunks (== df in this posting)
@@ -42,6 +45,8 @@ class PackedPostings(NamedTuple):
     imp_norms: np.ndarray  # uint8
     imp_offsets: np.ndarray  # int32[nblocks+1] prefix offsets into imp_*
     chunk_doc_counts: np.ndarray  # int32[nchunks], docs per chunk
+    positions: bytes = b""  # packed position deltas (reset per posting)
+    chunk_occ_counts: np.ndarray = np.empty(0, np.int64)  # occurrences/chunk
 
 
 # --- bit packing -----------------------------------------------------------
@@ -234,7 +239,14 @@ def concat_postings(chunks: list[PackedPostings]) -> PackedPostings:
     for c in chunks[1:]:
         off_parts.append(np.asarray(c.imp_offsets[1:], dtype=np.int64) + base)
         base += int(c.imp_offsets[-1])
+    has_pos = any(len(c.positions) for c in chunks)
     return PackedPostings(
+        positions=b"".join(c.positions for c in chunks) if has_pos else b"",
+        chunk_occ_counts=(np.concatenate(
+            [np.atleast_1d(np.asarray(c.chunk_occ_counts, dtype=np.int64))
+             if len(np.atleast_1d(c.chunk_occ_counts)) else
+             np.array([c.ttf], dtype=np.int64) for c in chunks])
+            if has_pos else np.empty(0, np.int64)),
         doc_count=sum(c.doc_count for c in chunks),
         ttf=sum(c.ttf for c in chunks),
         docs=b"".join(c.docs for c in chunks),
@@ -256,7 +268,15 @@ def repack_postings(p: PackedPostings, norms_lookup) -> PackedPostings:
     """
     docs, freqs = unpack_postings(p)
     norms = norms_lookup(docs)
-    return pack_postings(docs, freqs, norms)
+    out = pack_postings(docs, freqs, norms)
+    if len(p.positions):
+        flat = unpack_positions(p.positions, p.chunk_occ_counts, freqs)
+        group_starts = np.concatenate([[0], np.cumsum(freqs)[:-1]])
+        bufs = pack_positions_many(flat, np.array([0, len(flat)]),
+                                   group_starts.astype(np.int64))
+        out = out._replace(positions=bufs[0],
+                           chunk_occ_counts=np.array([len(flat)], np.int64))
+    return out
 
 
 # --- batch pack (vectorized across terms) ----------------------------------
@@ -378,6 +398,7 @@ def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
 
     # --- per-term assembly -------------------------------------------------
     ttfs = np.add.reduceat(F, tb[:-1])
+    n_out = n_terms
     out = {
         "term": None,  # caller fills
         "df": counts.tolist(),
@@ -386,6 +407,8 @@ def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
         "docs": [], "freqs": [], "block_last_docs": [],
         "imp_freqs": [], "imp_norms": [], "imp_offsets": [],
         "chunk_doc_counts": [np.array([c], dtype=np.int32) for c in counts],
+        "positions": [b""] * n_out,
+        "chunk_occ_counts": [np.empty(0, np.int64)] * n_out,
     }
     fo32 = fo.astype(np.int32)
     no32 = no.astype(np.int32)

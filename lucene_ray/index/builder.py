@@ -63,7 +63,11 @@ POSTINGS_SCHEMA = pa.schema([
     ("imp_norms", pa.large_list(pa.int32())),
     ("imp_offsets", pa.large_list(pa.int32())),
     ("chunk_doc_counts", pa.large_list(pa.int32())),
+    ("positions", pa.large_binary()),          # empty unless index_positions
+    ("chunk_occ_counts", pa.large_list(pa.int64())),
 ])
+
+_ROW_KEYS = tuple(POSTINGS_SCHEMA.names)
 
 
 # ASCII projection of the analyzer's token rules, used by the Arrow
@@ -173,13 +177,15 @@ class SegmentIndexer:
 
     def __init__(self, out_dir: str, text_col: str, id_col: str,
                  stored_cols: tuple, stop_words: frozenset,
-                 arrow_fast_path: bool = True):
+                 arrow_fast_path: bool = True, index_positions: bool = False):
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
         self.stored_cols = tuple(stored_cols)
         self.analyzer = StandardAnalyzer(stop_words=stop_words)
-        self.arrow_fast_path = arrow_fast_path
+        # positions need per-doc ordered tokens -> Python analyzer path
+        self.index_positions = index_positions
+        self.arrow_fast_path = arrow_fast_path and not index_positions
         self._seg_override: str | None = None  # ShardIndexer naming hook
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -210,10 +216,21 @@ class SegmentIndexer:
             import itertools
             import pandas as pd
             texts = batch[self.text_col].to_pylist()
-            term_lists = self.analyzer.analyze_batch(texts)
-            doc_lens = np.fromiter((len(t) for t in term_lists),
-                                   dtype=np.int64, count=n_docs)
-            flat = list(itertools.chain.from_iterable(term_lists))
+            if self.index_positions:
+                flat, pos_list, lens = [], [], []
+                for text in texts:
+                    toks = self.analyzer.tokens(text or "")
+                    lens.append(len(toks))
+                    for at in toks:
+                        flat.append(at.term)
+                        pos_list.append(at.position)
+                doc_lens = np.asarray(lens, dtype=np.int64)
+                positions = np.asarray(pos_list, dtype=np.int64)
+            else:
+                term_lists = self.analyzer.analyze_batch(texts)
+                doc_lens = np.fromiter((len(t) for t in term_lists),
+                                       dtype=np.int64, count=n_docs)
+                flat = list(itertools.chain.from_iterable(term_lists))
             if flat:
                 codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
                 codes = codes.astype(np.int64)
@@ -228,7 +245,17 @@ class SegmentIndexer:
         n_terms = 0
         if len(codes):
             key = codes * n_docs + doc_idx
-            uk, tf = np.unique(key, return_counts=True)
+            if self.index_positions:
+                order = np.lexsort((positions, key))
+                key_s = key[order]
+                pos_s = positions[order]
+                new_grp = np.ones(len(key_s), dtype=bool)
+                new_grp[1:] = key_s[1:] != key_s[:-1]
+                grp_starts = np.nonzero(new_grp)[0]
+                uk = key_s[grp_starts]
+                tf = np.diff(np.append(grp_starts, len(key_s)))
+            else:
+                uk, tf = np.unique(key, return_counts=True)
             t_codes = uk // n_docs
             d_idx = (uk % n_docs).astype(np.int64)
             bounds = np.searchsorted(t_codes, np.arange(len(uniques) + 1))
@@ -246,11 +273,28 @@ class SegmentIndexer:
                 doc_ids[lpos], tf[gather], norms[lpos],
                 np.concatenate([[0], np.cumsum(seg_lens)]))
             rows["term"] = uniques[term_order].tolist()
+            if self.index_positions:
+                from ..codecs.postings import pack_positions_many
+                # occurrence slices per (sorted) term, concatenated
+                occ_bnd = np.append(grp_starts, len(key_s))
+                tf_g = tf[gather]
+                flat_parts = [pos_s[occ_bnd[g]:occ_bnd[g + 1]] for g in gather]
+                pos_flat = (np.concatenate(flat_parts) if flat_parts
+                            else np.empty(0, np.int64))
+                occ_counts_per_term = np.concatenate(
+                    [[0], np.cumsum([tf[bounds[c]:bounds[c + 1]].sum()
+                                     for c in term_order])]).astype(np.int64)
+                g_starts = np.concatenate(
+                    [[0], np.cumsum(tf_g)[:-1]]).astype(np.int64)
+                bufs = pack_positions_many(pos_flat, occ_counts_per_term,
+                                           g_starts)
+                rows["positions"] = bufs
+                rows["chunk_occ_counts"] = [
+                    np.array([occ_counts_per_term[j + 1]
+                              - occ_counts_per_term[j]], dtype=np.int64)
+                    for j in range(n_terms)]
         else:
-            rows = {k: [] for k in ("term", "df", "ttf", "doc_count", "docs",
-                                    "freqs", "block_last_docs", "imp_freqs",
-                                    "imp_norms", "imp_offsets",
-                                    "chunk_doc_counts")}
+            rows = {k: [] for k in _ROW_KEYS}
         postings_table = pa.Table.from_pydict(rows, schema=POSTINGS_SCHEMA)
 
         doc_cols = {
@@ -295,6 +339,7 @@ def build_index(
     batch_size: int = 4096,
     concurrency=None,
     compute_term_stats: bool = True,
+    index_positions: bool = False,
 ) -> IndexManifest:
     """Build an inverted index over a Parquet corpus / Dataset.
 
@@ -329,7 +374,8 @@ def build_index(
         from ..util import default_concurrency
         concurrency = default_concurrency()
     fn_kwargs = dict(out_dir=out_dir, text_col=text_col, id_col=id_col,
-                     stored_cols=stored_cols, stop_words=stop_words)
+                     stored_cols=stored_cols, stop_words=stop_words,
+                     index_positions=index_positions)
     meta = ds.map_batches(
         SegmentIndexer,
         fn_constructor_kwargs=fn_kwargs,

@@ -78,6 +78,9 @@ def _row_to_packed(r: dict) -> PackedPostings:
         imp_norms=np.asarray(r["imp_norms"], dtype=np.uint8),
         imp_offsets=np.asarray(r["imp_offsets"], dtype=np.int64),
         chunk_doc_counts=np.asarray(r["chunk_doc_counts"], dtype=np.int32),
+        positions=r.get("positions") or b"",
+        chunk_occ_counts=np.asarray(r.get("chunk_occ_counts") or [],
+                                    dtype=np.int64),
     )
 
 
@@ -93,11 +96,13 @@ def _packed_to_cols(term: str, p: PackedPostings, rows: dict) -> None:
     rows["imp_norms"].append(np.asarray(p.imp_norms).astype(np.int32))
     rows["imp_offsets"].append(np.asarray(p.imp_offsets, dtype=np.int32))
     rows["chunk_doc_counts"].append(np.asarray(p.chunk_doc_counts, dtype=np.int32))
+    rows["positions"].append(p.positions)
+    rows["chunk_occ_counts"].append(np.asarray(p.chunk_occ_counts, dtype=np.int64))
 
 
 _MERGED_COLS = ("term", "df", "ttf", "doc_count", "docs", "freqs",
                 "block_last_docs", "imp_freqs", "imp_norms", "imp_offsets",
-                "chunk_doc_counts")
+                "chunk_doc_counts", "positions", "chunk_occ_counts")
 
 
 def _merge_one_term(rows: list[dict], norms_data) -> PackedPostings:
@@ -111,17 +116,33 @@ def _merge_one_term(rows: list[dict], norms_data) -> PackedPostings:
         if norms_data is None:
             raise
         doc_ids_all, norms_all = norms_data
-        docs_parts, freqs_parts = [], []
+        has_pos = any(len(p.positions) for p in packed)
+        docs_parts, freqs_parts, pos_slices = [], [], []
         for p in packed:
             d, f = unpack_postings(p)
             docs_parts.append(d)
             freqs_parts.append(f)
+            if has_pos:
+                from ..codecs.postings import unpack_positions
+                flat = unpack_positions(p.positions, p.chunk_occ_counts, f)
+                offs = np.concatenate([[0], np.cumsum(f)])
+                pos_slices.extend(flat[offs[i]:offs[i + 1]]
+                                  for i in range(len(f)))
         docs = np.concatenate(docs_parts)
         freqs = np.concatenate(freqs_parts)
         order = np.argsort(docs, kind="stable")
         docs, freqs = docs[order], freqs[order]
         norms = norms_all[np.searchsorted(doc_ids_all, docs)]
-        return pack_postings(docs, freqs, norms)
+        out = pack_postings(docs, freqs, norms)
+        if has_pos:
+            from ..codecs.postings import pack_positions_many
+            flat = np.concatenate([pos_slices[i] for i in order])
+            g_starts = np.concatenate([[0], np.cumsum(freqs)[:-1]])
+            bufs = pack_positions_many(flat, np.array([0, len(flat)]),
+                                       g_starts.astype(np.int64))
+            out = out._replace(positions=bufs[0],
+                               chunk_occ_counts=np.array([len(flat)], np.int64))
+        return out
 
 
 def _merge_bucket(group: pa.Table, norms_data, repack: bool,

@@ -23,13 +23,13 @@ _CACHE_ROOT = "/tmp/lucene_ray_cache"
 
 
 def cached_index(doc_path: str, *, batch_size: int = 2048) -> str:
-    """Build-or-reuse an index over a documents parquet file."""
+    """Build-or-reuse a positional index over a documents parquet file."""
     key = hashlib.md5(doc_path.encode()).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, f"docidx-{key}")
     marker = os.path.join(out, "manifest_0.json")
     if not os.path.exists(marker):
         build_index(doc_path, out, text_col="text", id_col="doc_id",
-                    batch_size=batch_size)
+                    batch_size=batch_size, index_positions=True)
     return out
 
 
@@ -95,6 +95,18 @@ def match_query_docs(doc_path: str, q) -> pa.Table:
     idx = cached_index(doc_path)
     s = Searcher(IndexReader(idx))
     return pa.table({"doc_id": pa.array(s.match_docs(q), pa.int64())})
+
+
+def phrase_topk(doc_path: str, terms: list[str], k: int = 20) -> pa.Table:
+    """Exact-phrase BM25 top-k (Lucene float32 path): (doc_id, rank)."""
+    from lucene_ray.search import PhraseQuery
+    idx = cached_index(doc_path)
+    s = Searcher(IndexReader(idx))
+    td = s.search(PhraseQuery(tuple(terms)), k=k)
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+    })
 
 
 def dismax_topk(doc_path: str, terms: list[str], tie_breaker: float,

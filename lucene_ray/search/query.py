@@ -41,6 +41,21 @@ class BooleanQuery(Query):
 
 
 @dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact phrase over analyzed terms (search/PhraseQuery.java,
+    ExactPhraseMatcher): docs where term_i appears at position p+i for
+    some p. Scored with BM25 using the phrase frequency and the summed
+    idf of the terms (BM25Similarity.idfExplain for multiple stats).
+    Requires an index built with positions."""
+    terms: tuple = ()
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not isinstance(self.terms, tuple):
+            object.__setattr__(self, "terms", tuple(self.terms))
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     boost: float = 1.0
 
@@ -239,4 +254,6 @@ def query_terms(q: Query) -> list[str]:
         for sub in q.disjuncts:
             out.extend(query_terms(sub))
         return out
+    if isinstance(q, PhraseQuery):
+        return list(q.terms)
     return []  # MatchAll / unexpanded multi-term

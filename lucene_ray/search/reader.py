@@ -47,6 +47,7 @@ class SegmentReader:
         if i is None:
             return None
         t = self._t
+        has_pos = "positions" in t.column_names
         return PackedPostings(
             doc_count=t.column("doc_count")[i].as_py(),
             ttf=t.column("ttf")[i].as_py(),
@@ -59,7 +60,25 @@ class SegmentReader:
             imp_offsets=np.asarray(t.column("imp_offsets")[i].as_py(), dtype=np.int64),
             chunk_doc_counts=np.asarray(t.column("chunk_doc_counts")[i].as_py(),
                                         dtype=np.int32),
+            positions=(t.column("positions")[i].as_py() or b"") if has_pos else b"",
+            chunk_occ_counts=np.asarray(
+                t.column("chunk_occ_counts")[i].as_py() or [],
+                dtype=np.int64) if has_pos else np.empty(0, np.int64),
         )
+
+    def get_positions(self, term: str):
+        """(docs, freqs, flat positions) or None. Requires an index built
+        with ``index_positions=True``."""
+        from ..codecs.postings import unpack_positions, unpack_postings
+        p = self.get_postings(term)
+        if p is None:
+            return None
+        if not len(p.positions):
+            raise ValueError(
+                "index was built without positions (index_positions=True)")
+        docs, freqs = unpack_postings(p)
+        pos = unpack_positions(p.positions, p.chunk_occ_counts, freqs)
+        return docs, freqs, pos
 
     def df(self, term: str) -> int:
         i = self._row.get(term)

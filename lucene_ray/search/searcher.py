@@ -29,6 +29,7 @@ from .query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    PhraseQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -163,6 +164,10 @@ class Searcher:
                 q.tie_breaker)
         if isinstance(q, MatchAllDocsQuery):
             return MatchAllDocsQuery(q.boost * boost)
+        if isinstance(q, PhraseQuery):
+            if len(q.terms) == 1:
+                return TermQuery(q.terms[0], q.boost * boost)
+            return PhraseQuery(q.terms, q.boost * boost)
         if isinstance(q, FuzzyQuery):
             terms = expand_terms(q, self._vocab())
             return BooleanQuery(should=tuple(
@@ -222,6 +227,19 @@ class Searcher:
         if isinstance(q, DisjunctionMaxQuery):
             return ("dismax", [self._prepare(s) for s in q.disjuncts],
                     float(q.tie_breaker))
+        if isinstance(q, PhraseQuery):
+            stats = self.reader.term_stats(list(q.terms))
+            n = self.reader.doc_count
+            # idf summed in double then cast (BM25Similarity.idfExplain)
+            idf_sum = 0.0
+            dfs = []
+            for t in q.terms:
+                df = stats[t][0]
+                dfs.append(df)
+                if df > 0:
+                    idf_sum += float(bm25.idf(df, n))
+            weight = np.float32(np.float32(q.boost) * np.float32(idf_sum))
+            return ("phrase", q.terms, weight, dfs)
         raise TypeError(f"unpreparable query {type(q)}")
 
     def _eval(self, sr: SegmentReader, prep, k: int, threshold: float):
@@ -243,6 +261,25 @@ class Searcher:
             docs = sr.doc_ids.astype(np.int64)
             dt = np.float64 if self.exact64 else np.float32
             return docs, np.full(len(docs), prep[1], dtype=dt)
+        if kind == "phrase":
+            docs, freqs = self._phrase_freqs(sr, prep[1])
+            if docs is None or len(docs) == 0:
+                return None, None
+            weight = prep[2]
+            if self.exact64:
+                # exact64 phrase: summed-idf weight in double, exact dl
+                import math
+                n = self.reader.doc_count
+                idf_sum = sum(math.log(1 + (n - df + 0.5) / (df + 0.5))
+                              for df in prep[3] if df > 0)
+                dl = sr.doc_lens_for(docs).astype(np.float64)
+                tf = freqs.astype(np.float64)
+                scores = idf_sum * tf / (
+                    tf + self.k1 * (1 - self.b + self.b * dl / self.avgdl64))
+                return docs, scores
+            norms = sr.norms_for(docs)
+            scores = bm25.score_freqs(freqs, norms, weight, self.cache)
+            return docs, scores
         if kind == "dismax":
             per = [self._eval(sr, p, k, -np.inf) for p in prep[1]]
             per = [(d, s) for d, s in per if d is not None and len(d)]
@@ -264,6 +301,40 @@ class Searcher:
             return cand, scores.astype(dt)
         raise AssertionError(kind)
 
+    def _phrase_freqs(self, sr: SegmentReader, terms: tuple):
+        """(docs, phrase_freq) for an exact phrase in one segment.
+
+        Vectorized ExactPhraseMatcher: occurrences become keys
+        ``doc_ord * 2^32 + (pos - i)``; intersecting the key sets across
+        terms leaves one key per phrase start."""
+        per_term = []
+        for t in terms:
+            got = sr.get_positions(t)
+            if got is None:
+                return None, None
+            per_term.append(got)
+        # candidate docs = conjunction
+        cand = per_term[0][0]
+        for docs, _f, _p in per_term[1:]:
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+            if len(cand) == 0:
+                return None, None
+        keys = None
+        off = len(terms)  # keeps (pos - i + off) >= 0 within the ord block
+        for i, (docs, freqs, pos) in enumerate(per_term):
+            occ_doc = np.repeat(docs, freqs)
+            sel = np.isin(occ_doc, cand)
+            k = (np.searchsorted(cand, occ_doc[sel]).astype(np.int64) << 32) \
+                + (pos[sel] - i + off)
+            keys = k if keys is None else keys[np.isin(keys, k,
+                                                       assume_unique=True)]
+            if len(keys) == 0:
+                return None, None
+        doc_ord = (keys >> 32).astype(np.int64)
+        pfreq = np.bincount(doc_ord, minlength=len(cand))
+        hit = pfreq > 0
+        return cand[hit], pfreq[hit].astype(np.int32)
+
     def _match_docs(self, sr: SegmentReader, q: Query) -> np.ndarray:
         if isinstance(q, (TermQuery, BooleanQuery)):
             docs, _ = self._match_and_score(sr, self._plan(q), scoring=False)
@@ -277,6 +348,9 @@ class Searcher:
             parts = [p for p in parts if len(p)]
             return (np.unique(np.concatenate(parts))
                     if parts else np.empty(0, np.int64))
+        if isinstance(q, PhraseQuery):
+            docs, _ = self._phrase_freqs(sr, q.terms)
+            return docs if docs is not None else np.empty(0, np.int64)
         raise TypeError(f"unmatchable query {type(q)}")
 
     # -- per-segment --------------------------------------------------------

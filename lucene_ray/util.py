@@ -33,5 +33,9 @@ def default_concurrency() -> int:
     deadlocks the streaming executor; leaving just one slot serializes
     reads and caps scaling). Fixed pools also ramp ~2x faster than
     autoscaling (1, n) pools on short jobs."""
+    import os
+    override = os.environ.get("LUCENE_RAY_POOL")
+    if override:
+        return max(1, int(override))
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     return max(1, min(cpus - 1, int(cpus * 0.8)))
