@@ -177,15 +177,22 @@ class SegmentIndexer:
 
     def __init__(self, out_dir: str, text_col: str, id_col: str,
                  stored_cols: tuple, stop_words: frozenset,
-                 arrow_fast_path: bool = True, index_positions: bool = False):
+                 arrow_fast_path: bool = True, index_positions: bool = False,
+                 analyzer=None):
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
         self.stored_cols = tuple(stored_cols)
-        self.analyzer = StandardAnalyzer(stop_words=stop_words)
-        # positions need per-doc ordered tokens -> Python analyzer path
+        # Analyzer.createComponents analog (SURVEY §2.10): any picklable
+        # callable `text -> list[str]` (with .tokens() for positions and
+        # .stop_words/.max_token_length attrs for the fast path) plugs in
+        self.analyzer = analyzer or StandardAnalyzer(stop_words=stop_words)
+        custom = analyzer is not None and not isinstance(analyzer, StandardAnalyzer)
+        # positions need per-doc ordered tokens -> Python analyzer path;
+        # the Arrow kernel path encodes StandardAnalyzer semantics only
         self.index_positions = index_positions
-        self.arrow_fast_path = arrow_fast_path and not index_positions
+        self.arrow_fast_path = (arrow_fast_path and not index_positions
+                                and not custom)
         self._seg_override: str | None = None  # ShardIndexer naming hook
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -340,12 +347,14 @@ def build_index(
     concurrency=None,
     compute_term_stats: bool = True,
     index_positions: bool = False,
+    analyzer=None,
 ) -> IndexManifest:
     """Build an inverted index over a Parquet corpus / Dataset.
 
     ``source``: a parquet path (str) or a ``ray.data.Dataset``.
     ``id_col`` must be int64, unique and monotone in storage order (the
-    global docID; SURVEY.md §1.2).
+    global docID; SURVEY.md §1.2). ``analyzer``: optional custom
+    analysis chain (callable ``text -> tokens``; Analyzer hook).
     """
     batch_kwargs: dict = {"batch_size": batch_size}
     if isinstance(source, (str, os.PathLike)) or (
@@ -375,7 +384,7 @@ def build_index(
         concurrency = default_concurrency()
     fn_kwargs = dict(out_dir=out_dir, text_col=text_col, id_col=id_col,
                      stored_cols=stored_cols, stop_words=stop_words,
-                     index_positions=index_positions)
+                     index_positions=index_positions, analyzer=analyzer)
     meta = ds.map_batches(
         SegmentIndexer,
         fn_constructor_kwargs=fn_kwargs,
