@@ -48,7 +48,12 @@ DEFAULT_MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:37
 #   number mids [.,;']         (MidNumLet | SingleQuote | MidNum)
 # A single mid joins two cores only when flanked by same-class chars.
 _ASCII_MID = r"(?:(?<=[A-Za-z])[':.](?=[A-Za-z])|(?<=[0-9])[,.;'](?=[0-9]))"
-_ASCII_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+(?:" + _ASCII_MID + r"[A-Za-z0-9_]+)*")
+# a token must contain at least one letter/digit: ExtendNumLet ('_') runs
+# alone are NOT tokens (neither the WORD nor the NUMERIC rule matches
+# them — WordBreakTestUnicode conformance)
+_ASCII_TOKEN_RE = re.compile(
+    r"[A-Za-z0-9_]*[A-Za-z0-9][A-Za-z0-9_]*(?:" + _ASCII_MID
+    + r"[A-Za-z0-9_]+)*")
 _ASCII_HAS_ALPHA_RE = re.compile(r"[A-Za-z]")
 
 
@@ -169,9 +174,14 @@ class Scanner:
                 saw_tag = True
             if saw_tag and j < lim and ord(s[j]) == 0xE007F:
                 best = max(best, j + 1)
-        # branch: KeyCapBaseCharEx PresSel? KeyCapEx
+        # branch: KeyCapBaseCharEx PresSel? KeyCapEx — the closure must
+        # stop at U+20E3 itself (it is WB:Extend; greedy consumption would
+        # eat the keycap the branch needs — JFlex backtracks here)
         if i < lim and pm[i] & P.KEYCAPBASE:
-            j = self._ex_sans_pressel(i + 1, lim)
+            j = i + 1
+            while (j < lim and pm[j] & P.EXT_FMT_ZWJ and s[j] not in "︎️"
+                   and ord(s[j]) != 0x20E3):
+                j += 1
             if j < lim and s[j] == "️":
                 j += 1
             if j < lim and ord(s[j]) == 0x20E3:

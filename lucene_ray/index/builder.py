@@ -76,7 +76,9 @@ _ROW_KEYS = tuple(POSTINGS_SCHEMA.names)
 # (or empty / over-long) are re-refined with the reference regex. The
 # result multiset is identical to StandardAnalyzer (tested).
 _ARROW_SPLIT_PATTERN = r"[^a-z0-9_'.:,;]+"
-_ARROW_DIRTY_PATTERN = r"['.:,;]"
+# needs refinement: contains a mid char, or is an ExtendNumLet-only run
+# ('_'+ alone is not a token)
+_ARROW_DIRTY_PATTERN = r"['.:,;]|^_+$"
 
 
 def _tokenize_batch_arrow(col, analyzer: StandardAnalyzer):
@@ -187,7 +189,9 @@ class SegmentIndexer:
         # callable `text -> list[str]` (with .tokens() for positions and
         # .stop_words/.max_token_length attrs for the fast path) plugs in
         self.analyzer = analyzer or StandardAnalyzer(stop_words=stop_words)
-        custom = analyzer is not None and not isinstance(analyzer, StandardAnalyzer)
+        # only the EXACT StandardAnalyzer semantics are encoded in the
+        # Arrow kernels; any subclass/custom chain uses the Python path
+        custom = analyzer is not None and type(analyzer) is not StandardAnalyzer
         # positions need per-doc ordered tokens -> Python analyzer path;
         # the Arrow kernel path encodes StandardAnalyzer semantics only
         self.index_positions = index_positions
