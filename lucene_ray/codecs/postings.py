@@ -95,14 +95,65 @@ def _block_sizes(chunk_doc_counts) -> list[int]:
     return sizes
 
 
-def _unpack_values(buf: bytes, sizes: list[int]) -> np.ndarray:
+def _scan_block_offsets(buf: bytes, sizes) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_offset_of_block, width_of_block) via header-only scan."""
+    n = len(sizes)
+    offs = np.empty(n + 1, dtype=np.int64)
+    widths = np.empty(n, dtype=np.int64)
     mv = memoryview(buf)
-    out = np.empty(sum(sizes), dtype=np.uint32)
     pos = 0
-    i = 0
-    for m in sizes:
-        out[i:i + m], pos = _unpack_block(mv, pos, m)
-        i += m
+    for i, m in enumerate(sizes):
+        offs[i] = pos
+        w = mv[pos]
+        widths[i] = w
+        pos += 1 + (m * w + 7) // 8
+    offs[n] = pos
+    return offs, widths
+
+
+def _unpack_values(buf: bytes, sizes: list[int],
+                   sel: np.ndarray | None = None) -> np.ndarray:
+    """Decode blocks (all, or the selected subset in index order),
+    concatenated. Full 128-value blocks are decoded per-width in single
+    unpackbits/packbits calls — ~20x less Python overhead than a
+    per-block loop."""
+    sizes_arr = np.asarray(sizes, dtype=np.int64)
+    offs, widths = _scan_block_offsets(buf, sizes_arr)
+    if sel is None:
+        sel = np.arange(len(sizes_arr))
+    else:
+        sel = np.asarray(sel, dtype=np.int64)
+    sel_sizes = sizes_arr[sel]
+    out_offs = np.concatenate([[0], np.cumsum(sel_sizes)])
+    out = np.empty(int(sel_sizes.sum()), dtype=np.uint32)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    full_mask = sel_sizes == BLOCK_SIZE
+    sel_widths = widths[sel]
+    for w in np.unique(sel_widths):
+        grp = np.nonzero((sel_widths == w) & full_mask)[0]
+        if len(grp) == 0:
+            continue
+        if w == 0:
+            for gi in grp:
+                out[out_offs[gi]:out_offs[gi + 1]] = 0
+            continue
+        nbytes = (BLOCK_SIZE * int(w) + 7) // 8
+        starts = offs[sel[grp]] + 1
+        gather = raw[starts[:, None] + np.arange(nbytes)[None, :]]
+        bits = np.unpackbits(gather, axis=1)[:, :BLOCK_SIZE * int(w)]
+        bits = bits.reshape(len(grp), BLOCK_SIZE, int(w))
+        full = np.zeros((len(grp), BLOCK_SIZE, 32), dtype=np.uint8)
+        full[:, :, 32 - int(w):] = bits
+        vals = np.packbits(full.reshape(len(grp), -1), axis=1) \
+            .view(">u4").astype(np.uint32).reshape(len(grp), BLOCK_SIZE)
+        # vectorized scatter into the (non-contiguous) output slots
+        out[out_offs[grp][:, None] + np.arange(BLOCK_SIZE)[None, :]] = vals
+    # tails (and any non-full selected blocks): scalar path
+    mv = memoryview(buf)
+    for gi in np.nonzero(~full_mask)[0]:
+        b = sel[gi]
+        vals, _ = _unpack_block(mv, int(offs[b]), int(sizes_arr[b]))
+        out[out_offs[gi]:out_offs[gi + 1]] = vals
     return out
 
 
@@ -422,6 +473,33 @@ def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
         out["imp_norms"].append(no32[o0:o1])
         out["imp_offsets"].append((off[b0:b1 + 1] - o0).astype(np.int32))
     return out
+
+
+def decode_selected_blocks(p: PackedPostings,
+                           sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(docs, freqs) of the selected blocks only (indices ascending).
+
+    The skip-data path: block doc bases come from block_last_docs, so no
+    preceding blocks need decoding (Lucene90SkipReader role)."""
+    sizes = np.asarray(_block_sizes(p.chunk_doc_counts), dtype=np.int64)
+    blast = np.asarray(p.block_last_docs, dtype=np.int64)
+    counts = np.asarray(p.chunk_doc_counts, dtype=np.int64)
+    blocks_per_chunk = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    chunk_first = np.concatenate([[0], np.cumsum(blocks_per_chunk)[:-1]])
+    bases = np.empty(len(sizes), dtype=np.int64)
+    if len(sizes):
+        bases[0] = 0
+        bases[1:] = blast[:-1]
+        bases[chunk_first] = 0
+    deltas = _unpack_values(p.docs, sizes, sel=sel).astype(np.int64)
+    freqs = _unpack_values(p.freqs, sizes, sel=sel).astype(np.int32)
+    sel_sizes = sizes[sel]
+    boffs = np.concatenate([[0], np.cumsum(sel_sizes)])
+    gcs = np.cumsum(deltas)
+    block_sums = np.add.reduceat(deltas, boffs[:-1]) if len(sel) else deltas
+    carry = np.concatenate([[0], np.cumsum(block_sums[:-1])])
+    docs = gcs - np.repeat(carry, sel_sizes) + np.repeat(bases[sel], sel_sizes)
+    return docs, freqs
 
 
 # --- positional postings (PhraseQuery support) -----------------------------

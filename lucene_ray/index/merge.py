@@ -211,10 +211,18 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
 
         # ONE read over every input segment's postings; group & order are
         # derived from the data (okey = first block's last docID), so no
-        # per-file datasets / unions are needed
-        all_paths = [os.path.join(index_dir, "segments", s.seg_id,
-                                  "postings.parquet")
-                     for _, g, _, _ in group_meta for s in g]
+        # per-file datasets / unions are needed. postings.parquet may be
+        # a directory of reducer shards (a previously-merged segment).
+        def _expand(path: str) -> list[str]:
+            if os.path.isdir(path):
+                return sorted(os.path.join(path, f) for f in os.listdir(path)
+                              if f.endswith(".parquet"))
+            return [path]
+
+        all_paths = [f
+                     for _, g, _, _ in group_meta for s in g
+                     for f in _expand(os.path.join(
+                         index_dir, "segments", s.seg_id, "postings.parquet"))]
         ds = ray.data.read_parquet(all_paths)
 
         group_max_docs = np.array([g[-1].max_doc for _, g, _, _ in group_meta],

@@ -69,23 +69,46 @@ def lookup_postings(p: PackedPostings, targets: np.ndarray,
     """freq per (sorted, unique) target docID; 0 where the doc is absent.
 
     Decodes only blocks whose [first, last] doc range intersects a
-    target (binary search on block_last_docs = the skip data).
+    target (binary search on block_last_docs = the skip data); all
+    needed blocks are decoded in one batched width-grouped pass.
     """
-    if layout is None:
-        layout = block_layout(p)
+    from ..codecs.postings import _block_sizes, _unpack_values
+
     blast = np.asarray(p.block_last_docs, dtype=np.int64)
-    # candidate block per target: first block with last_doc >= target
     bidx = np.searchsorted(blast, targets)
     out = np.zeros(len(targets), dtype=np.int32)
     valid = bidx < len(blast)
-    for b in np.unique(bidx[valid]):
-        docs, freqs = decode_block(p, int(b), layout)
-        sel = valid.copy()
-        sel[valid] = bidx[valid] == b
-        t = targets[sel]
-        pos = np.searchsorted(docs, t)
-        ok = (pos < len(docs)) & (docs[np.minimum(pos, len(docs) - 1)] == t)
-        vals = np.zeros(len(t), dtype=np.int32)
-        vals[ok] = freqs[np.minimum(pos, len(docs) - 1)][ok]
-        out[sel] = vals
+    if not valid.any():
+        return out
+    need = np.unique(bidx[valid])
+    sizes = np.asarray(_block_sizes(p.chunk_doc_counts), dtype=np.int64)
+
+    # block doc bases (0 at chunk starts, else previous block's last doc)
+    counts = np.asarray(p.chunk_doc_counts, dtype=np.int64)
+    blocks_per_chunk = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    chunk_first = np.concatenate([[0], np.cumsum(blocks_per_chunk)[:-1]])
+    bases = np.empty(len(sizes), dtype=np.int64)
+    bases[0] = 0
+    bases[1:] = blast[:-1]
+    bases[chunk_first] = 0
+
+    deltas = _unpack_values(p.docs, sizes, sel=need).astype(np.int64)
+    freqs = _unpack_values(p.freqs, sizes, sel=need).astype(np.int32)
+    sel_sizes = sizes[need]
+    boffs = np.concatenate([[0], np.cumsum(sel_sizes)])
+    # segmented cumsum: global cumsum minus per-block carry, plus bases
+    gcs = np.cumsum(deltas)
+    block_sums = np.add.reduceat(deltas, boffs[:-1])
+    carry = np.concatenate([[0], np.cumsum(block_sums[:-1])])
+    docs = gcs - np.repeat(carry, sel_sizes) + np.repeat(bases[need], sel_sizes)
+
+    # map each valid target to its block's slice and binary-search it
+    t = targets[valid]
+    # docs is globally sorted (selected blocks are in doc order and
+    # disjoint), so one global searchsorted suffices
+    pos = np.searchsorted(docs, t)
+    ok = (pos < len(docs)) & (docs[np.minimum(pos, len(docs) - 1)] == t)
+    vals = np.zeros(len(t), dtype=np.int32)
+    vals[ok] = freqs[np.minimum(pos, len(docs) - 1)][ok]
+    out[valid] = vals
     return out

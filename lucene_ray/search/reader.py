@@ -21,7 +21,7 @@ from ..index.manifest import IndexManifest, read_manifest
 
 
 class SegmentReader:
-    def __init__(self, seg_dir: str):
+    def __init__(self, seg_dir: str, cache_size: int = 256):
         t = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
         self._terms = t.column("term").to_pylist()
         self._row = {term: i for i, term in enumerate(self._terms)}
@@ -31,6 +31,20 @@ class SegmentReader:
         self.doc_lens = d.column("doc_len").to_numpy()
         self.norms = d.column("norm").to_numpy().astype(np.uint8)
         self._docs_table = d
+        # contiguous docIDs (the common corpus layout) -> O(1) lookups
+        n = len(self.doc_ids)
+        self._contiguous = bool(
+            n and self.doc_ids[-1] - self.doc_ids[0] == n - 1)
+        self._base = int(self.doc_ids[0]) if n else 0
+        # LRUQueryCache analog: hot terms' materialized postings
+        from collections import OrderedDict
+        self._cache: "OrderedDict[str, PackedPostings]" = OrderedDict()
+        self._cache_size = cache_size
+
+    def _idx_for(self, docs: np.ndarray) -> np.ndarray:
+        if self._contiguous:
+            return docs - self._base
+        return np.searchsorted(self.doc_ids, docs)
 
     def __len__(self):
         return len(self.doc_ids)
@@ -43,12 +57,16 @@ class SegmentReader:
         return iter(self._terms)
 
     def get_postings(self, term: str) -> PackedPostings | None:
+        cached = self._cache.get(term)
+        if cached is not None:
+            self._cache.move_to_end(term)
+            return cached
         i = self._row.get(term)
         if i is None:
             return None
         t = self._t
         has_pos = "positions" in t.column_names
-        return PackedPostings(
+        p = PackedPostings(
             doc_count=t.column("doc_count")[i].as_py(),
             ttf=t.column("ttf")[i].as_py(),
             docs=t.column("docs")[i].as_py(),
@@ -65,6 +83,10 @@ class SegmentReader:
                 t.column("chunk_occ_counts")[i].as_py() or [],
                 dtype=np.int64) if has_pos else np.empty(0, np.int64),
         )
+        self._cache[term] = p
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return p
 
     def get_positions(self, term: str):
         """(docs, freqs, flat positions) or None. Requires an index built
@@ -86,15 +108,13 @@ class SegmentReader:
 
     def norms_for(self, docs: np.ndarray) -> np.ndarray:
         """Norm bytes for (sorted or unsorted) global docIDs in this segment."""
-        idx = np.searchsorted(self.doc_ids, docs)
-        return self.norms[idx]
+        return self.norms[self._idx_for(docs)]
 
     def doc_lens_for(self, docs: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self.doc_ids, docs)
-        return self.doc_lens[idx]
+        return self.doc_lens[self._idx_for(docs)]
 
     def stored(self, docs: np.ndarray, col: str):
-        idx = np.searchsorted(self.doc_ids, docs)
+        idx = self._idx_for(docs)
         return self._docs_table.column(col).take(idx).to_pylist()
 
 

@@ -186,7 +186,7 @@ class Searcher:
         parts = []
         threshold = -np.inf
         for sr in self.reader.segments():
-            docs, scores = self._eval(sr, prep, k, threshold)
+            docs, scores = self._eval(sr, prep, k, threshold, top=True)
             if docs is None or len(docs) == 0:
                 continue
             td = _top_k(docs, scores, k)
@@ -242,11 +242,12 @@ class Searcher:
             return ("phrase", q.terms, weight, dfs)
         raise TypeError(f"unpreparable query {type(q)}")
 
-    def _eval(self, sr: SegmentReader, prep, k: int, threshold: float):
+    def _eval(self, sr: SegmentReader, prep, k: int, threshold: float,
+              top: bool = False):
         kind = prep[0]
         if kind == "bool":
             return self._match_and_score(sr, prep[1], scoring=True,
-                                         k=k, threshold=threshold)
+                                         k=k, threshold=threshold, top=top)
         if kind == "const":
             inner = prep[1]
             if inner[0] == "bool":  # match-only, skip inner scoring
@@ -362,9 +363,21 @@ class Searcher:
         return p, docs, freqs
 
     def _match_and_score(self, sr: SegmentReader, plan: dict, *, scoring: bool,
-                         k: int = 10, threshold: float = -np.inf):
+                         k: int = 10, threshold: float = -np.inf,
+                         top: bool = False):
         must, should = plan["must"], plan["should"]
         empty = (np.empty(0, np.int64), np.empty(0, np.float32))
+
+        # top-level single-term query: per-block impact pruning is safe
+        # (only the final top-k is consumed, pruned blocks are strictly
+        # below the threshold)
+        if (top and scoring and not self.exact64 and len(must) == 1
+                and not plan["filter"] and not plan["should"]
+                and not plan["must_not"] and self._scores_term(must[0])):
+            docs, scores = self._term_topk_pruned(sr, must[0], k, threshold)
+            if docs is None or len(docs) == 0:
+                return empty
+            return docs, scores.astype(np.float32)
 
         if must or plan["filter"]:
             cand, sums, match_counts = self._conjunction(sr, plan, scoring)
@@ -401,6 +414,58 @@ class Searcher:
         if not scoring:
             return cand, None
         return cand, (sums if self.exact64 else sums.astype(np.float32))
+
+    def _term_topk_pruned(self, sr: SegmentReader, t: "_TermPlan",
+                          k: int, threshold: float):
+        """Single-term top-k with per-block impact pruning (ImpactsDISI):
+        score the highest-bound blocks first to establish a threshold,
+        then decode only blocks whose impact bound can still compete."""
+        from ..codecs.postings import decode_selected_blocks
+        p = sr.get_postings(t.term)
+        if p is None:
+            return None, None
+        bounds = bm25.max_block_scores(
+            np.asarray(p.imp_freqs), np.asarray(p.imp_norms),
+            np.asarray(p.imp_offsets), t.weight, self.cache)
+        nblocks = len(bounds)
+        if nblocks <= 8:
+            docs, freqs = unpack_postings(p)
+            return docs, bm25.score_freqs(freqs, sr.norms_for(docs), t.weight,
+                                          self.cache).astype(np.float64)
+        # process blocks in bound-descending batches; after each batch the
+        # k-th collected score becomes the skip threshold for the rest
+        order = np.argsort(-bounds, kind="stable")
+        theta = threshold
+        batch = max(32, (8 * k) // 128 + 1)
+        docs_parts, score_parts = [], []
+        n_collected = 0
+        i = 0
+        while i < nblocks:
+            if np.isfinite(theta) and bounds[order[i]] <= np.float32(theta):
+                break  # all remaining bounds are <= theta (desc order)
+            j = i + batch
+            take = order[i:j]
+            if np.isfinite(theta):
+                take = take[bounds[take] > np.float32(theta)]
+            if len(take):
+                d, f = decode_selected_blocks(p, np.sort(take))
+                sc = bm25.score_freqs(f, sr.norms_for(d), t.weight, self.cache)
+                docs_parts.append(d)
+                score_parts.append(sc)
+                n_collected += len(d)
+                if n_collected >= k:
+                    allsc = (np.concatenate(score_parts)
+                             if len(score_parts) > 1 else score_parts[0])
+                    kth = float(np.partition(allsc, len(allsc) - k)
+                                [len(allsc) - k])
+                    theta = max(theta, kth)
+            i = j
+            batch = min(batch * 4, 4096)  # geometric ramp-up
+        if not docs_parts:
+            return None, None
+        docs = np.concatenate(docs_parts)
+        scores = np.concatenate(score_parts)
+        return docs, scores.astype(np.float64)
 
     def _conjunction(self, sr: SegmentReader, plan: dict, scoring: bool):
         """Lead with the rarest required term; block-skip the rest."""
@@ -471,10 +536,13 @@ class Searcher:
             for t, p in postings])
 
         theta = threshold
+        pre_decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         if prune and not np.isfinite(theta):
             # seed from the highest-upper-bound term's own top-k scores
-            t, p = postings[int(np.argmax(ubs))]
+            seed_i = int(np.argmax(ubs))
+            t, p = postings[seed_i]
             docs0, freqs0 = unpack_postings(p)
+            pre_decoded[seed_i] = (docs0, freqs0)
             if len(docs0) > k:
                 s0 = bm25.score_freqs(freqs0, sr.norms_for(docs0), t.weight,
                                       self.cache)
@@ -494,9 +562,42 @@ class Searcher:
         parts_docs = []
         for i, (t, p) in enumerate(postings):
             if essential[i]:
-                docs, freqs = unpack_postings(p)
+                docs, freqs = pre_decoded.get(i) or unpack_postings(p)
                 ess_decoded[i] = (docs, freqs)
                 parts_docs.append(docs)
+
+        if sr._contiguous:
+            # dense per-doc accumulators (no unique/searchsorted): a
+            # term's docs are unique, so fancy-indexed += is exact, and
+            # accumulation stays in clause order (bit-identical scores)
+            n = len(sr)
+            base = sr._base
+            acc = np.zeros(n, dtype=np.float64) if scoring else None
+            cnt = np.zeros(n, dtype=np.int32)
+            for i, (t, p) in enumerate(postings):
+                if i not in ess_decoded:
+                    continue
+                docs, freqs = ess_decoded[i]
+                idx = docs - base
+                cnt[idx] += 1
+                if scoring and self._scores_term(t):
+                    nd = sr.doc_lens[idx] if self.exact64 else sr.norms[idx]
+                    acc[idx] += self._contrib(t, freqs, nd)
+            cand_idx = np.nonzero(cnt)[0]
+            cand = cand_idx + base
+            counts = cnt[cand_idx].astype(np.int64)
+            sums = acc[cand_idx] if scoring else None
+            norms_cand = self._norm_data(sr, cand) if scoring else None
+            for i, (t, p) in enumerate(postings):
+                if i in ess_decoded:
+                    continue
+                f = lookup_postings(p, cand)
+                hit = f > 0
+                counts += hit.astype(np.int64)
+                if scoring and self._scores_term(t) and hit.any():
+                    sums[hit] += self._contrib(t, f[hit], norms_cand[hit])
+            return cand, sums, counts
+
         cand = np.unique(np.concatenate(parts_docs))
         counts = np.zeros(len(cand), dtype=np.int64)
         sums = np.zeros(len(cand), dtype=np.float64) if scoring else None
