@@ -21,7 +21,7 @@ from typing import NamedTuple
 import numpy as np
 
 from . import bm25
-from .postings_io import block_layout, lookup_postings
+from .postings_io import lookup_postings
 from .query import (
     BooleanQuery,
     BoostQuery,
