@@ -491,24 +491,39 @@ class Searcher:
             term_freqs[oi] = f[keep]
             if len(cand) == 0:
                 return cand, np.empty(0, np.float64), None
-        if not scoring:
+        # with no scoring MUST clause, SHOULD clauses are required:
+        # >= max(1, msm) must match (Boolean2ScorerSupplier semantics)
+        msm = plan["msm"]
+        if should and not must:
+            msm = max(msm, 1)
+        if not scoring and (msm <= 0 or not should):
             return cand, None, None
-        norms = self._norm_data(sr, cand)
-        sums = np.zeros(len(cand), dtype=np.float64)
-        # accumulate in ORIGINAL clause order so scores are bit-identical
-        # regardless of which term led the intersection
-        for i, (t, scores_q, _p) in enumerate(loaded):
-            if scores_q and self._scores_term(t):
-                sums += self._contrib(t, term_freqs[i], norms)
-        # optional SHOULD clauses add score on the conjunction's matches
+        norms = self._norm_data(sr, cand) if scoring else None
+        sums = np.zeros(len(cand), dtype=np.float64) if scoring else None
+        if scoring:
+            # accumulate in ORIGINAL clause order so scores are
+            # bit-identical regardless of which term led the intersection
+            for i, (t, scores_q, _p) in enumerate(loaded):
+                if scores_q and self._scores_term(t):
+                    sums += self._contrib(t, term_freqs[i], norms)
+        # optional SHOULD clauses add score on the conjunction's matches;
+        # with minShouldMatch > 0 they also gate the match (the reference
+        # applies minimumNumberShouldMatch even alongside MUST clauses)
+        n_should = np.zeros(len(cand), dtype=np.int64)
         for t in should:
             p = sr.get_postings(t.term)
-            if p is None or not self._scores_term(t):
+            if p is None:
                 continue
             f = lookup_postings(p, cand)
             hit = f > 0
-            if hit.any():
+            n_should += hit.astype(np.int64)
+            if scoring and self._scores_term(t) and hit.any():
                 sums[hit] += self._contrib(t, f[hit], norms[hit])
+        if should and msm > 0:
+            keep = n_should >= msm
+            cand = cand[keep]
+            if sums is not None:
+                sums = sums[keep]
         return cand, sums, None
 
     def _disjunction(self, sr: SegmentReader, plan: dict, scoring: bool,
