@@ -441,12 +441,15 @@ class Searcher:
         n_collected = 0
         i = 0
         while i < nblocks:
-            if np.isfinite(theta) and bounds[order[i]] <= np.float32(theta):
-                break  # all remaining bounds are <= theta (desc order)
+            # prune strictly below theta only: a block whose bound EQUALS
+            # theta can still hold an equal-score doc with a lower docID,
+            # which wins the tie (HitQueue order)
+            if np.isfinite(theta) and bounds[order[i]] < np.float32(theta):
+                break  # all remaining bounds are < theta (desc order)
             j = i + batch
             take = order[i:j]
             if np.isfinite(theta):
-                take = take[bounds[take] > np.float32(theta)]
+                take = take[bounds[take] >= np.float32(theta)]
             if len(take):
                 d, f = decode_selected_blocks(p, np.sort(take))
                 sc = bm25.score_freqs(f, sr.norms_for(d), t.weight, self.cache)

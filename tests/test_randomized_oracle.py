@@ -122,3 +122,26 @@ def test_random_corpora_and_queries(ray_session, tmp_path_factory, seed):
         want = oracle.search(q, k)
         assert got.doc_ids.tolist() == [d for _, d in want], q
         assert got.scores.tolist() == [float(x) for x, _ in want], q
+
+
+def test_tie_heavy_corpus_pruned_path(ray_session, tmp_path_factory):
+    """Thousands of identical docs -> identical scores; top-k must be the
+    lowest docIDs even through the block-max pruned single-term path."""
+    n = 6000  # > 8 blocks per segment so pruning engages
+    texts = ["alpha beta gamma"] * n
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path_factory.mktemp("ties")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    out = str(d / "idx")
+    build_index(path, out, batch_size=3000)
+    s = Searcher(IndexReader(out))
+    for k in (1, 10, 100):
+        td = s.search(TermQuery("alpha"), k=k)
+        assert td.doc_ids.tolist() == list(range(k))
+        assert len(set(td.scores.tolist())) == 1
+    # boolean OR over identical docs: same invariant
+    q = BooleanQuery(should=(TermQuery("alpha"), TermQuery("beta")))
+    td = s.search(q, k=25)
+    assert td.doc_ids.tolist() == list(range(25))
