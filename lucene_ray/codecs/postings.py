@@ -227,6 +227,10 @@ def pack_postings(doc_ids: np.ndarray, freqs: np.ndarray,
     freqs = np.asarray(freqs, dtype=np.int64)
     if len(doc_ids) == 0:
         raise ValueError("empty posting")
+    # block_last_docs is int32 and each chunk's first delta is stored as
+    # uint32; a docID >= 2^31 would silently wrap and corrupt skip data
+    if doc_ids[-1] >= 2**31 or doc_ids[0] < 0:
+        raise ValueError(f"docID out of int32 range: {doc_ids[-1]}")
     deltas = np.empty(len(doc_ids), dtype=np.uint32)
     deltas[0] = doc_ids[0]
     if len(doc_ids) > 1:
@@ -363,6 +367,8 @@ def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
     counts = np.diff(tb)
     if (counts <= 0).any():
         raise ValueError("empty posting")
+    if len(D) and (D[tb[1:] - 1].max() >= 2**31 or D[tb[:-1]].min() < 0):
+        raise ValueError("docID out of int32 range")
 
     delta = D.copy()
     delta[1:] -= D[:-1]

@@ -387,7 +387,7 @@ class Searcher:
             if not should:
                 return empty
             cand, sums, match_counts = self._disjunction(sr, plan, scoring,
-                                                         k, threshold)
+                                                         k, threshold, top)
             if cand is None or len(cand) == 0:
                 return empty
             msm = max(plan["msm"], 1)
@@ -494,11 +494,10 @@ class Searcher:
             term_freqs[oi] = f[keep]
             if len(cand) == 0:
                 return cand, np.empty(0, np.float64), None
-        # with no scoring MUST clause, SHOULD clauses are required:
-        # >= max(1, msm) must match (Boolean2ScorerSupplier semantics)
+        # required = MUST + FILTER (Boolean2ScorerSupplier): this path
+        # always has >=1 required clause, so SHOULD clauses stay purely
+        # optional (ReqOptSumScorer) unless minShouldMatch asks otherwise
         msm = plan["msm"]
-        if should and not must:
-            msm = max(msm, 1)
         if not scoring and (msm <= 0 or not should):
             return cand, None, None
         norms = self._norm_data(sr, cand) if scoring else None
@@ -530,7 +529,7 @@ class Searcher:
         return cand, sums, None
 
     def _disjunction(self, sr: SegmentReader, plan: dict, scoring: bool,
-                     k: int, threshold: float):
+                     k: int, threshold: float, top: bool = False):
         """MaxScore-style static pruning from block-max impact bounds."""
         should = plan["should"]
         postings = []
@@ -543,8 +542,12 @@ class Searcher:
 
         msm = max(plan["msm"], 1)
         # float32 impact bounds are not safe upper bounds for float64
-        # exact-dl scores; disable pruning in exact64 mode
-        prune = scoring and msm == 1 and len(postings) > 1 and not self.exact64
+        # exact-dl scores; disable pruning in exact64 mode. Pruning is
+        # only sound when this disjunction IS the top-level collector:
+        # sub-query evaluations (DisMax disjuncts, ConstantScore inners)
+        # must return COMPLETE (docs, scores) sets, so top gates prune.
+        prune = (top and scoring and msm == 1 and len(postings) > 1
+                 and not self.exact64)
         ubs = np.array([
             float(bm25.max_block_scores(np.asarray(p.imp_freqs),
                                         np.asarray(p.imp_norms),
@@ -570,7 +573,13 @@ class Searcher:
         if prune and np.isfinite(theta):
             order = np.argsort(ubs)  # ascending
             csum = np.cumsum(ubs[order])
-            non_essential = order[csum < theta]
+            # conservative: final scores are float64 sums cast to float32,
+            # which can round UP to exactly theta; prune only sets whose
+            # bound-sum stays below theta minus one float32 ulp so an
+            # equal-score lower-docID doc can never be dropped
+            theta_low = float(np.nextafter(np.float32(theta),
+                                           np.float32(-np.inf)))
+            non_essential = order[csum < theta_low]
             essential[non_essential] = False
             if not essential.any():
                 essential[int(np.argmax(ubs))] = True
@@ -585,35 +594,34 @@ class Searcher:
                 parts_docs.append(docs)
 
         if sr._contiguous:
-            # dense per-doc accumulators (no unique/searchsorted): a
-            # term's docs are unique, so fancy-indexed += is exact, and
-            # accumulation stays in clause order (bit-identical scores)
+            # dense candidate bitmap from the essential terms (a term's
+            # docs are unique, so fancy-indexed += is exact), then ONE
+            # accumulation loop in original clause order so scores are
+            # bit-identical whatever the essential/non-essential split was
             n = len(sr)
             base = sr._base
-            acc = np.zeros(n, dtype=np.float64) if scoring else None
             cnt = np.zeros(n, dtype=np.int32)
-            for i, (t, p) in enumerate(postings):
-                if i not in ess_decoded:
-                    continue
-                docs, freqs = ess_decoded[i]
-                idx = docs - base
-                cnt[idx] += 1
-                if scoring and self._scores_term(t):
-                    nd = sr.doc_lens[idx] if self.exact64 else sr.norms[idx]
-                    acc[idx] += self._contrib(t, freqs, nd)
+            for i in ess_decoded:
+                cnt[ess_decoded[i][0] - base] += 1
             cand_idx = np.nonzero(cnt)[0]
             cand = cand_idx + base
             counts = cnt[cand_idx].astype(np.int64)
-            sums = acc[cand_idx] if scoring else None
+            sums = np.zeros(len(cand), dtype=np.float64) if scoring else None
             norms_cand = self._norm_data(sr, cand) if scoring else None
+            posmap = np.empty(n, dtype=np.int64)
+            posmap[cand_idx] = np.arange(len(cand))
             for i, (t, p) in enumerate(postings):
                 if i in ess_decoded:
-                    continue
-                f = lookup_postings(p, cand)
-                hit = f > 0
-                counts += hit.astype(np.int64)
-                if scoring and self._scores_term(t) and hit.any():
-                    sums[hit] += self._contrib(t, f[hit], norms_cand[hit])
+                    docs, freqs = ess_decoded[i]
+                    if scoring and self._scores_term(t):
+                        pos = posmap[docs - base]
+                        sums[pos] += self._contrib(t, freqs, norms_cand[pos])
+                else:
+                    f = lookup_postings(p, cand)
+                    hit = f > 0
+                    counts += hit.astype(np.int64)
+                    if scoring and self._scores_term(t) and hit.any():
+                        sums[hit] += self._contrib(t, f[hit], norms_cand[hit])
             return cand, sums, counts
 
         cand = np.unique(np.concatenate(parts_docs))

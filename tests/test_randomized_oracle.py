@@ -50,7 +50,9 @@ class Oracle:
 
     def search(self, q: BooleanQuery, k):
         hits = []
-        msm = max(q.min_should_match, 0 if q.must else 1)
+        # required = MUST + FILTER; SHOULD only forced when nothing else
+        # is required (Boolean2ScorerSupplier semantics)
+        msm = max(q.min_should_match, 0 if (q.must or q.filter) else 1)
         for d, (counts, dl) in enumerate(self.docs):
             if any(t.term not in counts for t in q.must):
                 continue
