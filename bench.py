@@ -70,8 +70,7 @@ def run_queries(index_dir: str) -> dict[str, float]:
     reader = IndexReader(index_dir)
     s = Searcher(reader)
     # query mix from the corpus vocabulary: hot + mid + rare terms
-    stats = reader.term_stats([])  # force load
-    vocab = sorted(reader._term_stats.items(), key=lambda kv: -kv[1][0])
+    vocab = sorted(reader.all_term_stats().items(), key=lambda kv: -kv[1][0])
     hot = [t for t, _ in vocab[:8]]
     mid = [t for t, _ in vocab[len(vocab) // 3:len(vocab) // 3 + 8]]
     rare = [t for t, _ in vocab[-8:]]

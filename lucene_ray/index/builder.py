@@ -69,6 +69,11 @@ POSTINGS_SCHEMA = pa.schema([
 
 _ROW_KEYS = tuple(POSTINGS_SCHEMA.names)
 
+# Terms per Parquet row group in postings files. Small row groups give
+# the reader fine-grained min/max term pruning (the FST/block-tree term
+# index analog): a query term materializes at most one row group.
+POSTINGS_ROW_GROUP = 256
+
 
 # ASCII projection of the analyzer's token rules, used by the Arrow
 # kernel path: splitting on everything outside [a-z0-9_'.:,;] yields the
@@ -324,7 +329,8 @@ class SegmentIndexer:
         seg_id = self._seg_override or f"seg-{min_doc:012d}-{max_doc:012d}-{lineage}"
         seg_dir = os.path.join(self.out_dir, "segments", seg_id)
         os.makedirs(seg_dir, exist_ok=True)
-        pq.write_table(postings_table, os.path.join(seg_dir, "postings.parquet"))
+        pq.write_table(postings_table, os.path.join(seg_dir, "postings.parquet"),
+                       row_group_size=POSTINGS_ROW_GROUP)
         pq.write_table(docs_table, os.path.join(seg_dir, "docs.parquet"))
 
         return pa.table({
@@ -435,8 +441,10 @@ def _stats_leaf(paths: list[str], n_parts: int) -> list[pa.Table]:
     g = g.rename_columns(["term", "df", "ttf"])
     if n_parts == 1:
         return g  # num_returns=1: return the table itself, not a list
-    h = pd.util.hash_array(np.asarray(g.column("term").to_pylist(),
-                                      dtype=object)) % n_parts
+    import zlib
+    h = np.fromiter((zlib.crc32(x.encode()) % n_parts
+                     for x in g.column("term").to_pylist()),
+                    dtype=np.int64, count=len(g))
     return [g.filter(pa.array(h == r)) for r in range(n_parts)]
 
 
@@ -445,7 +453,7 @@ def _stats_reduce(out_path: str, *parts: pa.Table) -> int:
     t = pa.concat_tables(parts)
     g = t.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
     g = g.rename_columns(["term", "df", "ttf"]).sort_by("term")
-    pq.write_table(g, out_path)
+    pq.write_table(g, out_path, row_group_size=4096)
     return len(g)
 
 
@@ -475,3 +483,7 @@ def compute_global_term_stats(index_dir: str, manifest: IndexManifest) -> None:
         for r in range(n_parts)
     ]
     ray.get(reducers)
+    # record the bucket function so readers can route a term to its part
+    import json
+    with open(os.path.join(out, "_META.json"), "w") as f:
+        json.dump({"n_parts": n_parts, "hash": "crc32"}, f)

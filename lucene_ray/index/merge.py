@@ -200,6 +200,12 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
             seg_id = (f"merged-{g[0].min_doc:012d}-{g[-1].max_doc:012d}-g{gen}")
             seg_dir = os.path.join(index_dir, "segments", seg_id)
             os.makedirs(os.path.join(seg_dir, "postings.parquet"), exist_ok=True)
+            # record the shard hash fn: readers route a term straight to
+            # its part file instead of probing every shard
+            import json as _json
+            with open(os.path.join(seg_dir, "postings.parquet",
+                                   "_BUCKETS.json"), "w") as bf:
+                _json.dump({"n_buckets": n_buckets, "hash": "crc32"}, bf)
             doc_tables = [pq.read_table(os.path.join(
                 index_dir, "segments", s.seg_id, "docs.parquet")) for s in g]
             docs_table = pa.concat_tables(doc_tables).sort_by("doc_id")
@@ -267,7 +273,9 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
             merged = _merge_bucket(group, norms_data, repack)
             out_path = os.path.join(seg_dirs[gid], "postings.parquet",
                                     f"part-{bucket:05d}.parquet")
-            pq.write_table(merged, out_path)
+            from .builder import POSTINGS_ROW_GROUP
+            pq.write_table(merged, out_path,
+                           row_group_size=POSTINGS_ROW_GROUP)
             return pa.table({"group_id": pa.array([gid], pa.int64()),
                              "n_terms": pa.array([len(merged)], pa.int64())})
 

@@ -177,6 +177,59 @@ def expand_terms(q: Query, vocab) -> list[str]:
     return out
 
 
+def _prefix_upper(p: str) -> str | None:
+    """Smallest string > every string with prefix ``p`` (None = unbounded)."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            return p[:i] + chr(c + 1)
+    return None
+
+
+_REGEX_SPECIALS = set(".?*+()[]{}|\\^$")
+
+
+def _literal_prefix(pattern: str, wildcard: bool) -> str:
+    """Mandatory literal prefix of a wildcard/regexp pattern (the part
+    every matching term must start with)."""
+    out = []
+    specials = set("*?") if wildcard else _REGEX_SPECIALS
+    for i, c in enumerate(pattern):
+        if c in specials:
+            # a following regex quantifier makes the previous literal
+            # optional: drop it
+            if not wildcard and c in "?*{" and out:
+                out.pop()
+            break
+        nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+        if not wildcard and nxt in "?*+{":
+            break
+        out.append(c)
+    return "".join(out)
+
+
+def expansion_range(q: Query) -> tuple[str | None, str | None]:
+    """Term-dictionary range [lo, hi] (inclusive, None = unbounded) that
+    is a superset of the terms a multi-term query can match — lets the
+    reader prune vocabulary row groups before the exact intersection
+    (the block-tree ``intersect(CompiledAutomaton)`` analog)."""
+    if isinstance(q, PrefixQuery):
+        p = q.prefix
+    elif isinstance(q, WildcardQuery):
+        p = _literal_prefix(q.pattern, wildcard=True)
+    elif isinstance(q, RegexpQuery):
+        p = _literal_prefix(q.pattern, wildcard=False)
+    elif isinstance(q, FuzzyQuery):
+        p = q.term[:q.prefix_length]
+    elif isinstance(q, TermRangeQuery):
+        return q.lower, q.upper
+    else:
+        return None, None
+    if not p:
+        return None, None
+    return p, _prefix_upper(p)
+
+
 def _edit_distance(a: str, b: str, cap: int, transpositions: bool) -> int:
     """Levenshtein (or OSA with transpositions) with early exit > cap."""
     la, lb = len(a), len(b)

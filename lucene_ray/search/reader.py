@@ -1,45 +1,198 @@
 """Index readers: point-in-time snapshot over one manifest generation
 (DirectoryReader analog, ``index/StandardDirectoryReader.java``).
 
-A ``SegmentReader`` holds one segment's term dictionary (a hash of
-term -> postings row) and per-doc arrays (doc_id, doc_len, norm) in
-RAM. At test scale whole segments are resident; at 100 TB scale each
-query worker holds only its doc-range slice of segments, and the term
-dict would be swapped for term-sorted Parquet row-group pruning
-(min/max term statistics play the FST index's role — SURVEY.md §1.2).
+Postings are read TERM-PRUNED: segment postings files are written
+term-sorted with small Parquet row groups, so a query reads only the
+row groups whose [min,max] term statistics cover its terms — the
+row-group min/max stats play the role of the reference's FST/block-tree
+term index (``codecs/lucene90/blocktree/Lucene90BlockTreeTermsReader
+.java``; SURVEY.md §1.2). Merged segments store postings as a directory
+of hash-bucketed shards; a ``_BUCKETS.json`` sidecar records the bucket
+function so a term routes to exactly one shard. Per-doc arrays
+(doc_id, doc_len, norm — ~13 bytes/doc) stay resident per segment;
+stored fields are read lazily with docID predicate pushdown.
 """
 
 from __future__ import annotations
 
+import bisect
+import json
 import os
+import zlib
+from collections import OrderedDict
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..codecs.postings import PackedPostings
 from ..index.manifest import IndexManifest, read_manifest
 
+_POSTINGS_COLS = ["term", "df", "doc_count", "ttf", "docs", "freqs",
+                  "block_last_docs", "imp_freqs", "imp_norms", "imp_offsets",
+                  "chunk_doc_counts", "positions", "chunk_occ_counts"]
+
+
+class TermSortedFile:
+    """A term-sorted Parquet file with row-group min/max pruning.
+
+    One instance per physical file; ``rgs_for_terms`` /
+    ``rgs_for_range`` map lookups to the (few) row groups whose term
+    statistics can contain them. Files without statistics degrade to
+    full scans (old indexes) — correct, just unpruned.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.pf = pq.ParquetFile(path)
+        md = self.pf.metadata
+        self.num_rows = md.num_rows
+        names = self.pf.schema_arrow.names
+        ti = names.index("term")
+        mins: list[str] | None = []
+        maxs: list[str] = []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(ti).statistics
+            if st is None or not st.has_min_max:
+                mins = None
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        self.rg_mins = mins  # None -> no stats, read everything
+        self.rg_maxs = maxs if mins is not None else []
+
+    @property
+    def num_row_groups(self) -> int:
+        return self.pf.metadata.num_row_groups
+
+    def rgs_for_terms(self, terms) -> list[int]:
+        if self.rg_mins is None:
+            return list(range(self.num_row_groups))
+        out = set()
+        for t in terms:
+            i = bisect.bisect_right(self.rg_mins, t) - 1
+            if i >= 0 and t <= self.rg_maxs[i]:
+                out.add(i)
+        return sorted(out)
+
+    def rgs_for_range(self, lo: str | None, hi: str | None) -> list[int]:
+        """Row groups overlapping [lo, hi] (inclusive; None = unbounded)."""
+        if self.rg_mins is None:
+            return list(range(self.num_row_groups))
+        out = []
+        for i in range(len(self.rg_mins)):
+            if hi is not None and self.rg_mins[i] > hi:
+                continue
+            if lo is not None and self.rg_maxs[i] < lo:
+                continue
+            out.append(i)
+        return out
+
+    def read_rgs(self, rgs: list[int], columns=None) -> pa.Table | None:
+        if not rgs:
+            return None
+        # use_threads=False: these are small point reads already fanned
+        # out across our own I/O pool; Arrow's internal pool only adds
+        # contention (~5x slower per call when oversubscribed)
+        return self.pf.read_row_groups(rgs, columns=columns,
+                                       use_threads=False)
+
+
+class _ShardedPostings:
+    """postings.parquet as a file OR a directory of bucketed shards."""
+
+    def __init__(self, path: str):
+        self.is_dir = os.path.isdir(path)
+        self.n_buckets: int | None = None
+        if self.is_dir:
+            meta = os.path.join(path, "_BUCKETS.json")
+            if os.path.isfile(meta):
+                with open(meta) as f:
+                    self.n_buckets = int(json.load(f)["n_buckets"])
+            self._paths = {}
+            for f in sorted(os.listdir(path)):
+                if f.endswith(".parquet"):
+                    self._paths[f] = os.path.join(path, f)
+        else:
+            self._paths = {"": path}
+        self._open: dict[str, TermSortedFile | None] = {}
+
+    def _file(self, name: str) -> TermSortedFile | None:
+        got = self._open.get(name, False)
+        if got is not False:
+            return got
+        p = self._paths.get(name)
+        f = TermSortedFile(p) if p else None
+        self._open[name] = f
+        return f
+
+    def files(self):
+        for name in self._paths:
+            yield self._file(name)
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.num_rows for f in self.files())
+
+    def route(self, terms) -> dict[str, list[str]]:
+        """shard-file name -> the subset of terms that can live there."""
+        if not self.is_dir:
+            return {"": list(terms)}
+        if self.n_buckets is None:  # legacy dir: any shard may hold any term
+            return {name: list(terms) for name in self._paths}
+        out: dict[str, list[str]] = {}
+        for t in terms:
+            b = zlib.crc32(t.encode()) % self.n_buckets
+            out.setdefault(f"part-{b:05d}.parquet", []).append(t)
+        return out
+
+
+def _row_to_postings(t: pa.Table, i: int) -> PackedPostings:
+    has_pos = "positions" in t.column_names
+    return PackedPostings(
+        doc_count=t.column("doc_count")[i].as_py(),
+        ttf=t.column("ttf")[i].as_py(),
+        docs=t.column("docs")[i].as_py(),
+        freqs=t.column("freqs")[i].as_py(),
+        block_last_docs=np.asarray(t.column("block_last_docs")[i].as_py(),
+                                   dtype=np.int32),
+        imp_freqs=np.asarray(t.column("imp_freqs")[i].as_py(), dtype=np.int32),
+        imp_norms=np.asarray(t.column("imp_norms")[i].as_py(), dtype=np.uint8),
+        imp_offsets=np.asarray(t.column("imp_offsets")[i].as_py(),
+                               dtype=np.int64),
+        chunk_doc_counts=np.asarray(t.column("chunk_doc_counts")[i].as_py(),
+                                    dtype=np.int32),
+        positions=(t.column("positions")[i].as_py() or b"") if has_pos else b"",
+        chunk_occ_counts=np.asarray(
+            t.column("chunk_occ_counts")[i].as_py() or [],
+            dtype=np.int64) if has_pos else np.empty(0, np.int64),
+    )
+
 
 class SegmentReader:
-    def __init__(self, seg_dir: str, cache_size: int = 256):
-        t = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
-        self._terms = t.column("term").to_pylist()
-        self._row = {term: i for i, term in enumerate(self._terms)}
-        self._t = t
-        d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+    def __init__(self, seg_dir: str, cache_size: int = 4096):
+        self._seg_dir = seg_dir
+        self._postings = _ShardedPostings(
+            os.path.join(seg_dir, "postings.parquet"))
+        self._docs_path = os.path.join(seg_dir, "docs.parquet")
+        d = pq.read_table(self._docs_path,
+                          columns=["doc_id", "doc_len", "norm"])
         self.doc_ids = d.column("doc_id").to_numpy()
         self.doc_lens = d.column("doc_len").to_numpy()
         self.norms = d.column("norm").to_numpy().astype(np.uint8)
-        self._docs_table = d
         # contiguous docIDs (the common corpus layout) -> O(1) lookups
         n = len(self.doc_ids)
         self._contiguous = bool(
             n and self.doc_ids[-1] - self.doc_ids[0] == n - 1)
         self._base = int(self.doc_ids[0]) if n else 0
-        # LRUQueryCache analog: hot terms' materialized postings
-        from collections import OrderedDict
+        # LRUQueryCache analog: term -> PackedPostings for loaded terms
         self._cache: "OrderedDict[str, PackedPostings]" = OrderedDict()
         self._cache_size = cache_size
+        self._df: dict[str, int] = {}
+        self._absent: set[str] = set()
+        # observability: rows/row-groups materialized from postings files
+        self.rows_loaded = 0
+        self.rg_reads = 0
 
     def _idx_for(self, docs: np.ndarray) -> np.ndarray:
         if self._contiguous:
@@ -51,42 +204,72 @@ class SegmentReader:
 
     @property
     def num_terms(self):
-        return len(self._terms)
+        return self._postings.num_rows
 
     def terms(self):
-        return iter(self._terms)
+        """All terms in this segment (sorted). Vocabulary-sized scan of
+        the term column only — a tool/diagnostic path, not a query path."""
+        out = []
+        for f in self._postings.files():
+            t = f.pf.read(columns=["term"])
+            out.extend(t.column("term").to_pylist())
+        return iter(sorted(out))
+
+    def terms_in_range(self, lo: str | None, hi: str | None) -> list[str]:
+        """Sorted terms in [lo, hi] (term column only, row-group pruned)."""
+        out: list[str] = []
+        for f in self._postings.files():
+            rgs = f.rgs_for_range(lo, hi)
+            t = f.read_rgs(rgs, columns=["term"])
+            if t is None:
+                continue
+            for x in t.column("term").to_pylist():
+                if (lo is None or x >= lo) and (hi is None or x <= hi):
+                    out.append(x)
+        return sorted(out)
+
+    def ensure_terms(self, terms) -> None:
+        """Load the given terms' posting rows (row-group pruned, one
+        batched read per shard). Terms not in the segment are recorded
+        as absent; everything loaded lands in the LRU cache."""
+        missing = [t for t in dict.fromkeys(terms)
+                   if t not in self._cache and t not in self._absent]
+        if not missing:
+            return
+        found = set()
+        for name, shard_terms in self._postings.route(missing).items():
+            f = self._postings._file(name)
+            if f is None:
+                continue
+            rgs = f.rgs_for_terms(shard_terms)
+            t = f.read_rgs(rgs)
+            if t is None:
+                continue
+            self.rg_reads += len(rgs)
+            self.rows_loaded += len(t)
+            col = t.column("term").to_pylist()
+            want = set(shard_terms)
+            for i, term in enumerate(col):
+                if term in want:
+                    self._cache[term] = _row_to_postings(t, i)
+                    self._df[term] = t.column("df")[i].as_py()
+                    found.add(term)
+        for t in missing:
+            if t not in found:
+                self._absent.add(t)
+        while len(self._cache) > self._cache_size:
+            k, _ = self._cache.popitem(last=False)
+            self._df.pop(k, None)
 
     def get_postings(self, term: str) -> PackedPostings | None:
         cached = self._cache.get(term)
         if cached is not None:
             self._cache.move_to_end(term)
             return cached
-        i = self._row.get(term)
-        if i is None:
+        if term in self._absent:
             return None
-        t = self._t
-        has_pos = "positions" in t.column_names
-        p = PackedPostings(
-            doc_count=t.column("doc_count")[i].as_py(),
-            ttf=t.column("ttf")[i].as_py(),
-            docs=t.column("docs")[i].as_py(),
-            freqs=t.column("freqs")[i].as_py(),
-            block_last_docs=np.asarray(t.column("block_last_docs")[i].as_py(),
-                                       dtype=np.int32),
-            imp_freqs=np.asarray(t.column("imp_freqs")[i].as_py(), dtype=np.int32),
-            imp_norms=np.asarray(t.column("imp_norms")[i].as_py(), dtype=np.uint8),
-            imp_offsets=np.asarray(t.column("imp_offsets")[i].as_py(), dtype=np.int64),
-            chunk_doc_counts=np.asarray(t.column("chunk_doc_counts")[i].as_py(),
-                                        dtype=np.int32),
-            positions=(t.column("positions")[i].as_py() or b"") if has_pos else b"",
-            chunk_occ_counts=np.asarray(
-                t.column("chunk_occ_counts")[i].as_py() or [],
-                dtype=np.int64) if has_pos else np.empty(0, np.int64),
-        )
-        self._cache[term] = p
-        if len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
-        return p
+        self.ensure_terms([term])
+        return self._cache.get(term)
 
     def get_positions(self, term: str):
         """(docs, freqs, flat positions) or None. Requires an index built
@@ -103,8 +286,9 @@ class SegmentReader:
         return docs, freqs, pos
 
     def df(self, term: str) -> int:
-        i = self._row.get(term)
-        return 0 if i is None else self._t.column("df")[i].as_py()
+        if self.get_postings(term) is None:
+            return 0
+        return self._df.get(term, 0)
 
     def norms_for(self, docs: np.ndarray) -> np.ndarray:
         """Norm bytes for (sorted or unsorted) global docIDs in this segment."""
@@ -114,8 +298,15 @@ class SegmentReader:
         return self.doc_lens[self._idx_for(docs)]
 
     def stored(self, docs: np.ndarray, col: str):
-        idx = self._idx_for(docs)
-        return self._docs_table.column(col).take(idx).to_pylist()
+        """Stored-field values for the given docIDs (lazy, predicate-
+        pushdown read of only the needed column + row groups)."""
+        docs = np.asarray(docs, dtype=np.int64)
+        t = pq.read_table(
+            self._docs_path, columns=["doc_id", col],
+            filters=[("doc_id", "in", docs.tolist())])
+        got = dict(zip(t.column("doc_id").to_pylist(),
+                       t.column(col).to_pylist()))
+        return [got.get(int(d)) for d in docs]
 
 
 class IndexReader:
@@ -131,7 +322,10 @@ class IndexReader:
             segs = [s for s in segs if s.seg_id in want]
         self.segment_infos = segs
         self._readers: dict[str, SegmentReader] = {}
-        self._term_stats: dict[str, tuple[int, int]] | None = None
+        self._ts_cache: dict[str, tuple[int, int]] = {}
+        self._stats_files: list[TermSortedFile] | None = None
+        self._stats_parts: int | None = None
+        self._vocab_cache: "OrderedDict[tuple, list[str]]" = OrderedDict()
 
     @property
     def doc_count(self) -> int:  # docs with the field (for idf / avgdl)
@@ -156,30 +350,116 @@ class IndexReader:
         for info in self.segment_infos:
             yield self.segment(info.seg_id)
 
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """Global (df, ttf) per term — TermStates.build analog.
+    # -- global term statistics (TermStates.build analog) -------------------
+    def _stats_dir(self) -> str | None:
+        gen = self.manifest.generation
+        path = os.path.join(self.index_dir, "global", f"term_stats_gen{gen}")
+        return path if os.path.isdir(path) else None
 
-        Loads the merged term_stats table once per reader (vocabulary-
-        sized; at larger scale this becomes a predicate-pushdown read of
-        only the query terms' row groups)."""
-        if self._term_stats is None:
-            gen = self.manifest.generation
-            path = os.path.join(self.index_dir, "global", f"term_stats_gen{gen}")
-            stats: dict[str, tuple[int, int]] = {}
-            if os.path.isdir(path):
-                t = pq.read_table(path)
+    def _open_stats(self):
+        if self._stats_files is None:
+            d = self._stats_dir()
+            files = []
+            n_parts = None
+            if d:
+                meta = os.path.join(d, "_META.json")
+                if os.path.isfile(meta):
+                    with open(meta) as f:
+                        n_parts = int(json.load(f)["n_parts"])
+                files = [TermSortedFile(os.path.join(d, f))
+                         for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet")]
+            self._stats_files = files
+            self._stats_parts = n_parts
+        return self._stats_files, self._stats_parts
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Global (df, ttf) per term, incrementally cached: only the
+        asked-for terms' row groups are read (never the whole vocab)."""
+        missing = [t for t in dict.fromkeys(terms) if t not in self._ts_cache]
+        if missing:
+            files, n_parts = self._open_stats()
+            if files:
+                by_file: dict[int, list[str]] = {}
+                if n_parts and len(files) == n_parts:
+                    for t in missing:
+                        by_file.setdefault(
+                            zlib.crc32(t.encode()) % n_parts, []).append(t)
+                else:
+                    for i in range(len(files)):
+                        by_file[i] = missing
+                for i, sub in by_file.items():
+                    f = files[i]
+                    t = f.read_rgs(f.rgs_for_terms(sub),
+                                   columns=["term", "df", "ttf"])
+                    if t is None:
+                        continue
+                    want = set(sub)
+                    for term, df, ttf in zip(t.column("term").to_pylist(),
+                                             t.column("df").to_pylist(),
+                                             t.column("ttf").to_pylist()):
+                        if term in want:
+                            self._ts_cache[term] = (df, ttf)
+            else:
+                # no global stats dir: sum per-segment stats from the
+                # (pruned) postings rows themselves
+                for sr in self.segments():
+                    sr.ensure_terms(missing)
+                    for term in missing:
+                        p = sr._cache.get(term)
+                        if p is not None:
+                            d0, f0 = self._ts_cache.get(term, (0, 0))
+                            self._ts_cache[term] = (d0 + p.doc_count,
+                                                    f0 + p.ttf)
+            for t in missing:
+                self._ts_cache.setdefault(t, (0, 0))
+        return {t: self._ts_cache.get(t, (0, 0)) for t in terms}
+
+    def all_term_stats(self) -> dict[str, tuple[int, int]]:
+        """FULL vocabulary (df, ttf) — a deliberate whole-vocab scan for
+        tools/benchmarks, never on the query path."""
+        files, _ = self._open_stats()
+        stats: dict[str, tuple[int, int]] = {}
+        if files:
+            for f in files:
+                t = f.pf.read(columns=["term", "df", "ttf"])
                 for term, df, ttf in zip(t.column("term").to_pylist(),
                                          t.column("df").to_pylist(),
                                          t.column("ttf").to_pylist()):
                     stats[term] = (df, ttf)
-            else:
-                # fall back: aggregate from segments (small indexes only)
-                for sr in self.segments():
-                    tt = sr._t
-                    for term, df, ttf in zip(tt.column("term").to_pylist(),
-                                             tt.column("df").to_pylist(),
-                                             tt.column("ttf").to_pylist()):
-                        d, f = stats.get(term, (0, 0))
-                        stats[term] = (d + df, f + ttf)
-            self._term_stats = stats
-        return {t: self._term_stats.get(t, (0, 0)) for t in terms}
+        else:
+            for sr in self.segments():
+                for f in sr._postings.files():
+                    t = f.pf.read(columns=["term", "df", "ttf"])
+                    for term, df, ttf in zip(t.column("term").to_pylist(),
+                                             t.column("df").to_pylist(),
+                                             t.column("ttf").to_pylist()):
+                        d0, f0 = stats.get(term, (0, 0))
+                        stats[term] = (d0 + df, f0 + ttf)
+        return stats
+
+    def vocab(self, lo: str | None = None, hi: str | None = None) -> list[str]:
+        """Sorted distinct terms in [lo, hi] (term column only, row-group
+        pruned) — the term-dictionary range scan multi-term queries
+        rewrite against (block-tree intersect analog)."""
+        key = (lo, hi)
+        got = self._vocab_cache.get(key)
+        if got is not None:
+            self._vocab_cache.move_to_end(key)
+            return got
+        files, _ = self._open_stats()
+        terms: set[str] = set()
+        if files:
+            for f in files:
+                t = f.read_rgs(f.rgs_for_range(lo, hi), columns=["term"])
+                if t is not None:
+                    terms.update(t.column("term").to_pylist())
+        else:
+            for sr in self.segments():
+                terms.update(sr.terms_in_range(lo, hi))
+        out = sorted(t for t in terms
+                     if (lo is None or t >= lo) and (hi is None or t <= hi))
+        self._vocab_cache[key] = out
+        if len(self._vocab_cache) > 16:
+            self._vocab_cache.popitem(last=False)
+        return out

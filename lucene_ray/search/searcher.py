@@ -136,9 +136,10 @@ class Searcher:
         }
 
     # -- rewrite (Query.rewrite fixpoint, SURVEY §3.3 step 2) ---------------
-    def _vocab(self):
-        self.reader.term_stats([])  # ensure loaded
-        return sorted(self.reader._term_stats)
+    def _expand(self, q: Query) -> list[str]:
+        from .query import expansion_range
+        lo, hi = expansion_range(q)
+        return expand_terms(q, self.reader.vocab(lo, hi))
 
     def rewrite(self, q: Query, boost: float = 1.0) -> Query:
         """Expand multi-term queries against the term dictionary and push
@@ -169,20 +170,48 @@ class Searcher:
                 return TermQuery(q.terms[0], q.boost * boost)
             return PhraseQuery(q.terms, q.boost * boost)
         if isinstance(q, FuzzyQuery):
-            terms = expand_terms(q, self._vocab())
+            terms = self._expand(q)
             return BooleanQuery(should=tuple(
                 TermQuery(t, q.boost * boost) for t in terms))
         if isinstance(q, _MULTI_TERM):
-            terms = expand_terms(q, self._vocab())
+            terms = self._expand(q)
             return ConstantScoreQuery(
                 BooleanQuery(should=tuple(TermQuery(t) for t in terms)),
                 q.boost * boost)
         raise TypeError(f"unknown query type {type(q)}")
 
     # -- public API ---------------------------------------------------------
+    _ex = None  # lazily-created shared I/O pool (parquet reads drop the GIL)
+
+    def _prefetch(self, terms: list[str]) -> None:
+        """Load all query terms' posting rows across segments with one
+        batched row-group-pruned read per shard, segments in parallel
+        (I/O overlap, not a shuffle). Warm segments are skipped."""
+        if not terms:
+            return
+        jobs = []
+        readers = self.reader._readers
+        for info in self.reader.segment_infos:
+            sr = readers.get(info.seg_id)
+            if sr is not None and all(
+                    t in sr._cache or t in sr._absent for t in terms):
+                continue
+            jobs.append(info.seg_id)
+        if not jobs:
+            return
+        if len(jobs) == 1:
+            self.reader.segment(jobs[0]).ensure_terms(terms)
+            return
+        if Searcher._ex is None:
+            from concurrent.futures import ThreadPoolExecutor
+            Searcher._ex = ThreadPoolExecutor(max_workers=16)
+        list(Searcher._ex.map(
+            lambda sid: self.reader.segment(sid).ensure_terms(terms), jobs))
+
     def search(self, q: Query, k: int = 10) -> TopDocs:
         q = self.rewrite(q)
         prep = self._prepare(q)
+        self._prefetch(sorted(set(query_terms(q))))
         parts = []
         threshold = -np.inf
         for sr in self.reader.segments():
@@ -200,6 +229,7 @@ class Searcher:
 
     def count(self, q: Query) -> int:
         q = self.rewrite(q)
+        self._prefetch(sorted(set(query_terms(q))))
         total = 0
         for sr in self.reader.segments():
             docs = self._match_docs(sr, q)
@@ -209,6 +239,7 @@ class Searcher:
     def match_docs(self, q: Query) -> np.ndarray:
         """All matching global docIDs, sorted (match-only, no scores)."""
         q = self.rewrite(q)
+        self._prefetch(sorted(set(query_terms(q))))
         out = []
         for sr in self.reader.segments():
             docs = self._match_docs(sr, q)
