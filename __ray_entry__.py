@@ -144,8 +144,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_first_per_group": lambda sf: dedup.first_per_group(_docp(sf)),
         "minhash_candidates": lambda sf: dedup.minhash_lsh_candidates(
             _docp(sf)),  # rows-only
+        "minhash_keepers": lambda sf: dedup.minhash_dedup_keepers(
+            _docp(sf)),  # rows-only (pair-free component keeper selection)
         "simhash_table": lambda sf: dedup.simhash_table(_docp(sf))
             .select_columns(["doc_id", "simhash"]),  # rows-only
+        "embedding_neardup": lambda sf: dedup.embedding_neardup_exact(
+            _embp(sf), threshold=0.5).select_columns(["vec_a", "vec_b"]),
+        "embedding_neardup_lsh": lambda sf: dedup.embedding_neardup(
+            _embp(sf), threshold=0.5),  # rows-only (LSH-bucketed, approx)
         # --- similarity search ---
         "knn_top10": lambda sf: similarity.knn_brute(_embp(sf), range(10), 10),
         "knn_lsh_top10": lambda sf: similarity.knn_lsh(
@@ -278,6 +284,12 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
                         "GROUP BY text"),
         "dedup_first_per_group": ("SELECT lang, source, min(doc_id) AS doc_id "
                                   "FROM documents GROUP BY lang, source"),
+        "embedding_neardup": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.5
+ORDER BY vec_a, vec_b""",
         "knn_top10": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
            WHERE vec_id < 10),

@@ -5,20 +5,27 @@ All are streaming Ray Data pipelines. Shuffle keys are *hashes*, never
 raw text: the exact-dedup groupby moves (md5, doc_id) pairs only; the
 LSH groupbys move (band_key, doc_id). At 100 TB this keeps exchange
 volume ~1% of corpus size.
+
+Skew safety: candidate emission is NEVER O(B^2) in a bucket's size B.
+Buckets up to ``BUCKET_CAP`` emit exact all-pairs; larger buckets (the
+"every 404 page" boilerplate case) emit a *star* to the bucket's min
+doc — which preserves connected components exactly (any two members
+stay linked through the hub), so downstream keeper selection is
+unchanged while pair volume drops from O(B^2) to O(B).
 """
 
 from __future__ import annotations
 
 import hashlib
 import zlib
-from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Max, Min
 
 from ..analysis import StandardAnalyzer
 from ..util import cached_callable
@@ -26,6 +33,17 @@ from .text_analysis import read_documents
 
 # deterministic 61-bit Mersenne prime universe for minhash permutations
 _MERSENNE = (1 << 61) - 1
+
+# all-pairs emission above this bucket size would be quadratic; switch
+# to star pairs (minhash) / sorted-window probing (simhash, embeddings)
+BUCKET_CAP = 64
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return _POP8[b].reshape(len(x), 8).sum(axis=1).astype(np.int64)
 
 
 def _text_hash_batch(batch: pa.Table) -> pa.Table:
@@ -63,7 +81,15 @@ def _shingles(terms: list[str], k: int) -> np.ndarray:
 
 class MinHashSigs:
     """Per-doc minhash signature over word k-shingles; emits one row per
-    LSH band: (band, key, doc_id)."""
+    LSH band: (band, key, doc_id).
+
+    Batch-vectorized: tokens come from the Arrow kernel
+    (``index/builder._tokenize_batch_arrow``), the (a*x+b) mod p minhash
+    runs over the batch's FLAT shingle array with one segmented
+    ``minimum.reduceat`` per permutation chunk, and band keys are a
+    vectorized polynomial fold of the signature rows (equal band
+    signatures -> equal keys; no per-band md5 calls).
+    """
 
     def __init__(self, num_perm=64, bands=16, shingle_k=3, seed=7):
         assert num_perm % bands == 0
@@ -73,41 +99,97 @@ class MinHashSigs:
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
         self.rows_per_band = num_perm // bands
         self.analyzer = StandardAnalyzer()
+        # polynomial fold weights for band keys (odd -> invertible mod 2^64)
+        self.fold = rng.integers(1, 2**63, size=self.rows_per_band,
+                                 dtype=np.uint64) | np.uint64(1)
 
     def signature(self, text: str) -> np.ndarray | None:
         sh = _shingles(self.analyzer(text or ""), self.k)
         if len(sh) == 0:
             return None
-        # h_i(x) = (a_i * x + b_i) mod p, vectorized (num_perm x n_shingles)
         vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out_band, out_key, out_doc = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.signature(t)
-            if sig is None:
+    def _batch_shingles(self, batch: pa.Table):
+        """(flat shingle values, doc_starts, doc_ids_with_shingles)."""
+        from ..index.builder import _tokenize_batch_arrow
+        flat, didx = _tokenize_batch_arrow(batch["text"], self.analyzer)
+        toks = flat.to_pylist()
+        n = len(batch)
+        if len(didx) and not np.all(didx[:-1] <= didx[1:]):
+            # kernel appends refined dirty/non-ASCII tokens out of doc
+            # order; stable sort restores per-doc grouping (identical
+            # texts still yield identical shingle sets)
+            order = np.argsort(didx, kind="stable")
+            didx = didx[order]
+            toks = [toks[i] for i in order]
+        bounds = np.searchsorted(didx, np.arange(n + 1))
+        k = self.k
+        vals_parts, starts, kept = [], [], []
+        pos = 0
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for d in range(n):
+            ts = toks[bounds[d]:bounds[d + 1]]
+            if not ts:
                 continue
-            for b in range(self.bands):
-                band = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                out_band.append(b)
-                out_key.append(hashlib.md5(band.tobytes()).hexdigest()[:16])
-                out_doc.append(d)
+            if len(ts) < k:
+                joined = [" ".join(ts)]
+            else:
+                joined = [" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)]
+            u = np.unique(np.fromiter((zlib.crc32(s.encode()) for s in joined),
+                                      dtype=np.uint64, count=len(joined)))
+            vals_parts.append(u)
+            starts.append(pos)
+            pos += len(u)
+            kept.append(doc_ids[d])
+        if not vals_parts:
+            return None, None, None
+        return (np.concatenate(vals_parts), np.asarray(starts, np.int64),
+                np.asarray(kept, np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh, starts, doc_ids = self._batch_shingles(batch)
+        if sh is None:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        nd = len(starts)
+        sigs = np.empty((self.num_perm, nd), dtype=np.uint64)
+        # chunk permutations to bound the (chunk x n_shingles) temp
+        chunk = max(1, int(8e6 // max(len(sh), 1)))
+        for i in range(0, self.num_perm, chunk):
+            a = self.a[i:i + chunk]
+            vals = (a[:, None] * sh[None, :] + self.b[i:i + chunk, None]) \
+                % _MERSENNE
+            sigs[i:i + chunk] = np.minimum.reduceat(vals, starts, axis=1)
+        # band keys: polynomial fold of each band's rows -> int64
+        rpb = self.rows_per_band
+        keys = np.empty((self.bands, nd), dtype=np.uint64)
+        for b in range(self.bands):
+            block = sigs[b * rpb:(b + 1) * rpb]  # (rpb, nd)
+            keys[b] = (block * self.fold[:, None]).sum(axis=0, dtype=np.uint64)
+        band_col = np.repeat(np.arange(self.bands, dtype=np.int32), nd)
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "key": pa.array(out_key, pa.string()),
-            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(band_col, pa.int32()),
+            "key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.tile(doc_ids, self.bands), pa.int64()),
         })
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    docs = sorted(set(group["doc_id"].to_pylist()))
-    a, b = [], []
-    for x, y in combinations(docs, 2):
-        a.append(x)
-        b.append(y)
-    return pa.table({"doc_a": pa.array(a, pa.int64()),
-                     "doc_b": pa.array(b, pa.int64())})
+    """Candidate pairs for one LSH bucket — capped, never O(B^2):
+    all-pairs up to BUCKET_CAP, star-to-min above (components preserved)."""
+    docs = np.unique(group["doc_id"].to_numpy())
+    m = len(docs)
+    if m < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    if m <= BUCKET_CAP:
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.table({"doc_a": pa.array(docs[ii], pa.int64()),
+                         "doc_b": pa.array(docs[jj], pa.int64())})
+    return pa.table({"doc_a": pa.array(np.full(m - 1, docs[0]), pa.int64()),
+                     "doc_b": pa.array(docs[1:], pa.int64())})
 
 
 def minhash_lsh_candidates(path: str, num_perm=64, bands=16,
@@ -124,18 +206,99 @@ def minhash_lsh_candidates(path: str, num_perm=64, bands=16,
         .select_columns(["doc_a", "doc_b"])
 
 
+def minhash_dedup_keepers(path: str, num_perm=64, bands=16, shingle_k=3,
+                          iters: int = 3) -> ray.data.Dataset:
+    """Near-dup KEEPER selection without materializing pairs at all:
+    bipartite min-label propagation between docs and their LSH buckets.
+
+    Each round: bucket label = min member label; doc label = min over
+    its buckets. ``iters`` rounds resolve components whose doc-bucket
+    graph diameter is <= 2*iters (LSH dup clusters are hub-shaped, so
+    2-3 rounds reach fixpoint in practice). Returns (doc_id, keeper) —
+    keeper == component min doc_id; keeper == doc_id for survivors.
+    Shuffles only (band, key, doc_id, label) rows per round.
+    """
+    sig = read_documents(path).map_batches(
+        cached_callable(MinHashSigs, num_perm=num_perm, bands=bands,
+                        shingle_k=shingle_k),
+        batch_format="pyarrow").materialize()
+
+    def attach(labels: ray.data.Dataset | None, small: bool):
+        if labels is None:
+            return sig.map_batches(
+                lambda t: t.append_column("label", t.column("doc_id")),
+                batch_format="pyarrow")
+        if small:
+            # broadcast-join: one small (doc_id -> label) map via ray.put
+            lab = {r["doc_id"]: r["label"] for r in labels.take_all()}
+            ref = ray.put(lab)
+
+            def add(t: pa.Table) -> pa.Table:
+                m = ray.get(ref)
+                ds_ = t.column("doc_id").to_numpy()
+                return t.append_column(
+                    "label", pa.array([m[int(d)] for d in ds_], pa.int64()))
+            return sig.map_batches(add, batch_format="pyarrow")
+        # big-corpus path: shuffle-join by doc_id (label rows ride with
+        # band=-1 and are stripped after the group co-locates them)
+        both = sig.map_batches(
+            lambda t: t.append_column(
+                "label", pa.array([-1] * len(t), pa.int64())),
+            batch_format="pyarrow").union(labels.map_batches(
+                lambda t: pa.table({
+                    "band": pa.array(np.full(len(t), -1, np.int32)),
+                    "key": t.column("doc_id").cast(pa.int64()),
+                    "doc_id": t.column("doc_id"),
+                    "label": t.column("label")}),
+                batch_format="pyarrow"))
+
+        def spread(g: pa.Table) -> pa.Table:
+            lab_rows = g.filter(pc.equal(g.column("band"), -1))
+            lv = int(lab_rows.column("label")[0].as_py()) if len(lab_rows) \
+                else int(g.column("doc_id")[0].as_py())
+            g2 = g.filter(pc.not_equal(g.column("band"), -1))
+            return pa.table({
+                "band": g2.column("band"), "key": g2.column("key"),
+                "doc_id": g2.column("doc_id"),
+                "label": pa.array([lv] * len(g2), pa.int64())})
+        return both.groupby("doc_id").map_groups(spread,
+                                                 batch_format="pyarrow")
+
+    def bucket_min(g: pa.Table) -> pa.Table:
+        lv = int(pc.min(g.column("label")).as_py())
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "blabel": pa.array(np.full(len(g), lv, np.int64))})
+
+    small = sig.count() <= 5_000_000
+    labels = None
+    for _ in range(iters):
+        rows = attach(labels, small)
+        # bucket min -> doc min  (one groupby pair per round)
+        bmin = rows.groupby(["band", "key"]).map_groups(
+            bucket_min, batch_format="pyarrow")
+        labels = bmin.groupby("doc_id").aggregate(
+            Min("blabel", alias_name="label")).materialize()
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "keeper": t.column("label")}),
+        batch_format="pyarrow")
+
+
 def jaccard_verify(path: str, pairs: list[tuple[int, int]],
                    shingle_k=3) -> ray.data.Dataset:
-    """Exact n-gram Jaccard for candidate pairs: broadcast the (small)
-    involved-doc shingle sets via ray.put, map over the pair list."""
-    involved = sorted({d for p in pairs for d in p})
-    inv_set = set(involved)
-    sh_map = {}
+    """Exact n-gram Jaccard for candidate pairs. The involved docs are
+    read with a doc_id predicate pushed into the Parquet scan (row-group
+    pruning) — never a full-corpus pass."""
+    involved = sorted({int(d) for p in pairs for d in p})
     analyzer = StandardAnalyzer()
-    for batch in read_documents(path).iter_batches(batch_format="pyarrow"):
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if d in inv_set:
-                sh_map[d] = _shingles(analyzer(t or ""), shingle_k)
+    import pyarrow.compute as pc
+    sub = ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(involved))
+    sh_map = {}
+    for r in sub.take_all():  # small by construction: only the pair docs
+        sh_map[r["doc_id"]] = _shingles(analyzer(r["text"] or ""), shingle_k)
     ref = ray.put(sh_map)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -159,7 +322,11 @@ def jaccard_verify(path: str, pairs: list[tuple[int, int]],
 
 class SimHash:
     """64-bit simhash over term frequencies; emits (doc_id, simhash,
-    band0..band3) — 16-bit bands for hamming<=3 blocking."""
+    band0..band3) — 16-bit bands for hamming<=3 blocking.
+
+    Batch-vectorized: Arrow tokenize -> dictionary-encode; md5 runs once
+    per UNIQUE term in the batch, contributions accumulate with one
+    ``np.add.at`` over (doc, occurrence) pairs."""
 
     def __init__(self):
         self.analyzer = StandardAnalyzer()
@@ -181,13 +348,37 @@ class SimHash:
                 out |= (1 << i)
         return out
 
+    def _batch_simhash(self, batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+        from ..index.builder import _tokenize_batch_arrow
+        n = len(batch)
+        flat, didx = _tokenize_batch_arrow(batch["text"], self.analyzer)
+        if len(flat) == 0:
+            return np.zeros(n, dtype=np.uint64)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        # md5 once per unique term; bit matrix matches np.unpackbits on
+        # the little-endian 8-byte digest prefix (same as simhash())
+        digests = np.frombuffer(
+            b"".join(hashlib.md5(u.encode()).digest()[:8] for u in uniq),
+            dtype=np.uint8).reshape(len(uniq), 8)
+        signs = (2 * np.unpackbits(digests, axis=1).astype(np.int64) - 1)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, didx, signs[codes])
+        bits = (acc > 0).astype(np.uint64)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        return (bits * weights).sum(axis=1, dtype=np.uint64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash(t) for t in batch["text"].to_pylist()]
+        hs = self._batch_simhash(batch)
+        masked = (hs & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
         return pa.table({
             "doc_id": batch["doc_id"],
-            "simhash": pa.array([h & 0x7FFFFFFFFFFFFFFF for h in hs], pa.int64()),
-            **{f"band{i}": pa.array([(h >> (16 * i)) & 0xFFFF for h in hs],
-                                    pa.int32()) for i in range(4)},
+            "simhash": pa.array(masked, pa.int64()),
+            **{f"band{i}": pa.array(
+                ((hs >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int32),
+                pa.int32()) for i in range(4)},
         })
 
 
@@ -215,23 +406,42 @@ def _explode_simhash_bands(t: pa.Table) -> pa.Table:
 
 def simhash_candidates(path: str, max_hamming=3) -> ray.data.Dataset:
     """Near-dup pairs by simhash: docs sharing any 16-bit band (pigeonhole
-    for hamming<=3 over 64 bits in 4 bands), verified by true hamming."""
+    for hamming<=3 over 64 bits in 4 bands), verified by true hamming.
+
+    Buckets over BUCKET_CAP switch from all-pairs to a sorted-window
+    probe (each doc vs its W neighbors in simhash order — exact dups and
+    low-bit variants sort adjacent; the other 3 bands re-probe the rest),
+    so a degenerate boilerplate bucket costs O(B log B), not O(B^2)."""
     allb = simhash_table(path).map_batches(_explode_simhash_bands,
                                            batch_format="pyarrow")
 
     def pairs_verified(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group["doc_id"].to_pylist(),
-                          group["simhash"].to_pylist()))
-        a, b, hd = [], [], []
-        for (d1, h1), (d2, h2) in combinations(rows, 2):
-            ham = bin(h1 ^ h2).count("1")
-            if ham <= max_hamming:
-                a.append(d1)
-                b.append(d2)
-                hd.append(ham)
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64()),
-                         "hamming": pa.array(hd, pa.int32())})
+        docs = group["doc_id"].to_numpy()
+        hashes = group["simhash"].to_numpy().view(np.uint64)
+        order = np.lexsort((docs, hashes))
+        docs, hashes = docs[order], hashes[order]
+        m = len(docs)
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int32())})
+        if m < 2:
+            return empty
+        if m <= BUCKET_CAP:
+            ii, jj = np.triu_indices(m, k=1)
+        else:
+            W = 8  # sorted-window probe for oversized buckets
+            ii = np.concatenate([np.arange(0, m - w) for w in range(1, W + 1)])
+            jj = np.concatenate([np.arange(w, m) for w in range(1, W + 1)])
+        ham = _popcount64(hashes[ii] ^ hashes[jj])
+        keep = ham <= max_hamming
+        ii, jj, ham = ii[keep], jj[keep], ham[keep]
+        a = np.minimum(docs[ii], docs[jj])
+        b = np.maximum(docs[ii], docs[jj])
+        ok = a != b
+        return pa.table({"doc_a": pa.array(a[ok], pa.int64()),
+                         "doc_b": pa.array(b[ok], pa.int64()),
+                         "hamming": pa.array(ham[ok].astype(np.int32),
+                                             pa.int32())})
 
     cand = allb.groupby(["band", "key"]).map_groups(pairs_verified,
                                                     batch_format="pyarrow")
@@ -241,11 +451,73 @@ def simhash_candidates(path: str, max_hamming=3) -> ray.data.Dataset:
 
 # --- embedding near-dup ----------------------------------------------------
 
-def embedding_neardup(path: str, threshold=0.95) -> ray.data.Dataset:
-    """Pairs with cosine >= threshold. The (n_vectors x dim) matrix is
-    broadcast once via ray.put; each batch matmuls against it (fine to a
-    few hundred thousand vectors; beyond that use the LSH variant in
-    similarity.py)."""
+def embedding_neardup(path: str, threshold=0.95, n_bits=8, n_tables=8,
+                      bucket_cap=512, seed=29) -> ray.data.Dataset:
+    """Pairs with cosine >= threshold via hyperplane-LSH bucketing — the
+    streaming scale path: vectors shuffle to (table, bucket) groups and
+    all matmuls stay bucket-local (no driver materialization, no global
+    matrix). Data amplification is n_tables x (each vector lands in one
+    bucket per table); recall for cos >= 0.95 with 8x8-bit tables is
+    ~0.97+. Oversized buckets compare each vector against the bucket's
+    first ``bucket_cap`` members (bounded work under degenerate skew).
+
+    For exact all-pairs on small corpora use
+    :func:`embedding_neardup_exact`."""
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_pylist()).astype(np.float32)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        d = mat.shape[1]
+        r = np.random.default_rng(seed)  # same planes in every task
+        planes = r.standard_normal((n_tables, n_bits, d)).astype(np.float32)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        vids = batch["vec_id"].to_numpy()
+        vec_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), d)
+        parts = []
+        for t in range(n_tables):
+            b = ((mat @ planes[t].T) > 0) @ weights
+            parts.append(pa.table({
+                "tbl": pa.array(np.full(len(vids), t, dtype=np.int32)),
+                "bucket": pa.array(b, pa.int64()),
+                "vec_id": pa.array(vids, pa.int64()),
+                "vec": vec_col,
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        vids = group["vec_id"].to_numpy()
+        order = np.argsort(vids)
+        vids = vids[order]
+        m = len(vids)
+        empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                          "vec_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if m < 2:
+            return empty
+        mat = np.stack(group["vec"].to_pylist()).astype(np.float32)[order]
+        base = mat[:min(m, bucket_cap)]
+        sims = (mat @ base.T).astype(np.float64)
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = vids[ii] < vids[jj]
+        return pa.table({
+            "vec_a": pa.array(vids[ii][keep], pa.int64()),
+            "vec_b": pa.array(vids[jj][keep], pa.int64()),
+            "cosine": pa.array(sims[ii, jj][keep], pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+    pairs = buckets.groupby(["tbl", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))
+
+
+def embedding_neardup_exact(path: str, threshold=0.95) -> ray.data.Dataset:
+    """Exact all-pairs cosine >= threshold. The (n x dim) matrix is
+    broadcast once via ray.put; each batch matmuls against it. O(N^2)
+    compare and whole-table broadcast: SMALL CORPORA ONLY (< ~500k
+    vectors); the LSH variant above is the scale path."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["vec_id", "embedding"])
