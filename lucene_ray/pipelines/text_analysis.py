@@ -28,53 +28,74 @@ def read_documents(path: str, columns=("doc_id", "text")) -> ray.data.Dataset:
 
 class TokenizeDocTerms:
     """(doc_id, text) batches -> exploded (doc_id, term, tf) rows, one
-    row per distinct term per doc (the partial/combiner step for df/ttf)."""
+    row per distinct term per doc (the partial/combiner step for df/ttf).
+
+    Runs on the shared Arrow tokenize kernel
+    (``analysis/arrow_tokenize.py`` — same semantics as the Python
+    analyzer, ~3x faster) with a vectorized (doc, term) count."""
 
     def __init__(self, stop_words=frozenset()):
         self.analyzer = StandardAnalyzer(stop_words=stop_words)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out_doc, out_term, out_tf = [], [], []
-        for d, text in zip(doc_ids, texts):
-            counts = Counter(self.analyzer(text or ""))
-            out_doc.extend([d] * len(counts))
-            out_term.extend(counts.keys())
-            out_tf.extend(counts.values())
+        import pyarrow.compute as pc
+        from ..analysis.arrow_tokenize import _tokenize_batch_arrow
+        n = len(batch)
+        flat, didx = _tokenize_batch_arrow(batch["text"], self.analyzer)
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.large_string()),
+                             "tf": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = enc.dictionary
+        key = didx * len(uniques) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        d_idx = uk // len(uniques)
+        t_codes = uk % len(uniques)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "term": pa.array(out_term, pa.large_string()),
-            "tf": pa.array(out_tf, pa.int64()),
+            "doc_id": pa.array(doc_ids[d_idx], pa.int64()),
+            "term": uniques.take(pa.array(t_codes)).cast(pa.large_string()),
+            "tf": pa.array(tf, pa.int64()),
         })
 
 
 class TokenizeDocStats:
-    """(doc_id, text) -> per-doc stats (doc_len, uniq, chars, norms...)."""
+    """(doc_id, text) -> per-doc stats (doc_len, uniq, chars, norms...),
+    computed from the flat Arrow token stream with bincounts."""
 
     def __init__(self, stop_words=frozenset()):
         self.analyzer = StandardAnalyzer(stop_words=stop_words)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        n_tok, n_uniq, n_chars, n_bpe = [], [], [], []
-        for text in texts:
-            text = text or ""
-            terms = self.analyzer(text)
-            n_tok.append(len(terms))
-            n_uniq.append(len(set(terms)))
-            n_chars.append(len(text))
+        import pyarrow.compute as pc
+        from ..analysis.arrow_tokenize import _tokenize_batch_arrow
+        n = len(batch)
+        flat, didx = _tokenize_batch_arrow(batch["text"], self.analyzer)
+        n_tok = np.bincount(didx, minlength=n).astype(np.int64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq_keys = np.unique(didx * len(enc.dictionary) + codes)
+            n_uniq = np.bincount(uniq_keys // len(enc.dictionary),
+                                 minlength=n).astype(np.int64)
             # BPE-ish piece estimate: greedy <=4-char chunks per token
-            n_bpe.append(sum((len(t) + 3) // 4 for t in terms))
-        doc_lens = np.asarray(n_tok, dtype=np.int64)
+            tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            n_bpe = np.bincount(didx, weights=(tok_lens + 3) // 4,
+                                minlength=n).astype(np.int64)
+        else:
+            n_uniq = np.zeros(n, dtype=np.int64)
+            n_bpe = np.zeros(n, dtype=np.int64)
+        n_chars = pc.utf8_length(
+            pc.fill_null(batch["text"], "")).to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "doc_id": batch["doc_id"],
             "n_tokens": pa.array(n_tok, pa.int64()),
             "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
-            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
             "n_bpe_pieces": pa.array(n_bpe, pa.int64()),
-            "norm": pa.array(int_to_byte4_array(doc_lens).astype(np.int64), pa.int64()),
+            "norm": pa.array(int_to_byte4_array(n_tok).astype(np.int64), pa.int64()),
         })
 
 
