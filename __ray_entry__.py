@@ -69,7 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bm25_topk, bm25_topk_lucene, cached_index, conjunction_docs,
         dismax_topk, match_query_docs,
     )
-    from lucene_ray.pipelines.search_queries import phrase_topk
+    from lucene_ray.pipelines.search_queries import (
+        dedup_update_live_docs, incremental_build_stats, phrase_topk,
+    )
     from lucene_ray.search import (
         FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery,
     )
@@ -139,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B))),
         "bm25_phrase": lambda sf: phrase_topk(
             _docp(sf), [_TERM_A, _TERM_B], 20),  # rows-only (f32 scores)
+        # --- incremental indexing / deletes (SURVEY §2.1 live docs) ---
+        "incremental_build": lambda sf: incremental_build_stats(_docp(sf)),
+        "dedup_update": lambda sf: dedup_update_live_docs(_docp(sf)),
         # --- dedup family (training-data ops) ---
         "dedup_exact": lambda sf: dedup.exact_dedup(_docp(sf)),
         "dedup_first_per_group": lambda sf: dedup.first_per_group(_docp(sf)),
@@ -210,6 +215,13 @@ def oracle_sql() -> dict[str, str]:
 {_TOKS}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM toks
 GROUP BY term""",
+        "incremental_build": f"""
+{_TOKS}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM toks
+GROUP BY term""",
+        "dedup_update": ("SELECT CASE WHEN lang = 'de' THEN doc_id + 100000 "
+                         "ELSE doc_id END AS doc_id FROM documents "
+                         "ORDER BY doc_id"),
         "collection_stats": f"""
 {_TOKS}
 SELECT (SELECT count(*) FROM documents) AS n_docs,

@@ -260,6 +260,8 @@ def build_index(
     compute_term_stats: bool = True,
     index_positions: bool = False,
     analyzer=None,
+    mode: str = "create_or_append",
+    allow_doc_overlap: bool = False,
 ) -> IndexManifest:
     """Build an inverted index over a Parquet corpus / Dataset.
 
@@ -267,6 +269,13 @@ def build_index(
     ``id_col`` must be int64, unique and monotone in storage order (the
     global docID; SURVEY.md §1.2). ``analyzer``: optional custom
     analysis chain (callable ``text -> tokens``; Analyzer hook).
+
+    ``mode``: "create_or_append" (default, IndexWriter OpenMode analog —
+    a build over an existing index APPENDS its segments to the manifest
+    chain like addDocuments+commit, ``index/IndexWriter.java:1468,4020``)
+    or "create" (start a fresh chain ignoring prior segments). Appends
+    whose doc-id range overlaps existing segments are rejected unless
+    ``allow_doc_overlap`` (docIDs are the caller's primary key).
     """
     batch_kwargs: dict = {"batch_size": batch_size}
     if isinstance(source, (str, os.PathLike)) or (
@@ -314,9 +323,30 @@ def build_index(
         field_doc_count=int(r["field_doc_count"])) for r in seg_rows]
     segments.sort(key=lambda s: s.min_doc)
 
-    from .manifest import latest_generation
+    from .manifest import latest_generation, read_manifest
+    prev_gen = latest_generation(out_dir)
+    if mode == "create_or_append" and prev_gen >= 0:
+        prev = read_manifest(out_dir, prev_gen)
+        if prev.field != text_col or prev.stop_words != sorted(stop_words):
+            raise ValueError(
+                "append with different field/stop_words than the index "
+                f"({prev.field!r}/{len(prev.stop_words)} stop words)")
+        if not allow_doc_overlap:
+            old_ids = {s.seg_id for s in prev.segments}
+            for s in segments:
+                if s.seg_id in old_ids:
+                    raise ValueError(
+                        f"append would duplicate segment {s.seg_id} "
+                        "(same docs already indexed)")
+                for o in prev.segments:
+                    if s.min_doc <= o.max_doc and o.min_doc <= s.max_doc:
+                        raise ValueError(
+                            f"appended docID range [{s.min_doc},{s.max_doc}]"
+                            f" overlaps existing segment {o.seg_id}; use "
+                            "update_by_key or allow_doc_overlap=True")
+        segments = sorted(prev.segments + segments, key=lambda s: s.min_doc)
     manifest = IndexManifest(
-        generation=latest_generation(out_dir) + 1,
+        generation=prev_gen + 1,
         num_docs=sum(s.num_docs for s in segments),
         sum_doc_len=sum(s.sum_doc_len for s in segments),
         field=text_col,

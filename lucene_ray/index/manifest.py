@@ -19,13 +19,21 @@ from dataclasses import asdict, dataclass, field
 @dataclass
 class SegmentInfo:
     seg_id: str
-    num_docs: int
+    num_docs: int  # maxDoc-like: all docs in the segment incl. tombstoned
     min_doc: int
     max_doc: int
     sum_doc_len: int
     num_terms: int
     lineage: str = ""  # input provenance (file/row-range fingerprint)
     field_doc_count: int = 0  # docs with >=1 term (CollectionStatistics.docCount)
+    # live-docs generation (Lucene90LiveDocsFormat analog): deletes live
+    # in segments/<id>/deletes_gen<del_gen>.parquet; -1 = none
+    del_gen: int = -1
+    del_count: int = 0
+
+    @property
+    def live_docs(self) -> int:
+        return self.num_docs - self.del_count
 
     @property
     def paths(self):
@@ -42,6 +50,14 @@ class IndexManifest:
     stop_words: list[str]
     segments: list[SegmentInfo] = field(default_factory=list)
     field_doc_count: int = 0
+
+    @property
+    def num_deleted(self) -> int:
+        return sum(s.del_count for s in self.segments)
+
+    @property
+    def live_docs(self) -> int:
+        return self.num_docs - self.num_deleted
 
     @property
     def avgdl_stats(self):

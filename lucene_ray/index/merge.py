@@ -145,8 +145,39 @@ def _merge_one_term(rows: list[dict], norms_data) -> PackedPostings:
         return out
 
 
+def _drop_docs(p: PackedPostings, deleted: np.ndarray,
+               norms_lookup) -> PackedPostings | None:
+    """Remove tombstoned docs from a merged posting (decode -> filter ->
+    repack with fresh impacts). None if every posting doc was deleted."""
+    docs, freqs = unpack_postings(p)
+    pos = np.searchsorted(deleted, docs)
+    pos = np.minimum(pos, len(deleted) - 1)
+    keep = deleted[pos] != docs
+    if keep.all():
+        return p
+    if not keep.any():
+        return None
+    has_pos = len(p.positions) > 0
+    if has_pos:
+        from ..codecs.postings import pack_positions_many, unpack_positions
+        flat = unpack_positions(p.positions, p.chunk_occ_counts, freqs)
+        offs = np.concatenate([[0], np.cumsum(freqs)])
+        flat = np.concatenate([flat[offs[i]:offs[i + 1]]
+                               for i in np.nonzero(keep)[0]]) \
+            if keep.any() else np.empty(0, np.int64)
+    docs, freqs = docs[keep], freqs[keep]
+    out = pack_postings(docs, freqs, norms_lookup(docs))
+    if has_pos:
+        g_starts = np.concatenate([[0], np.cumsum(freqs)[:-1]])
+        bufs = pack_positions_many(flat, np.array([0, len(flat)]),
+                                   g_starts.astype(np.int64))
+        out = out._replace(positions=bufs[0],
+                           chunk_occ_counts=np.array([len(flat)], np.int64))
+    return out
+
+
 def _merge_bucket(group: pa.Table, norms_data, repack: bool,
-                  with_okey: bool = False) -> pa.Table:
+                  with_okey: bool = False, deleted: np.ndarray | None = None) -> pa.Table:
     """Merge a whole bucket of terms -> merged posting rows (one/term).
 
     Chunk order within a term comes from the data itself: ``okey`` =
@@ -157,6 +188,11 @@ def _merge_bucket(group: pa.Table, norms_data, repack: bool,
     rows = group.select(list(_MERGED_COLS) + ["okey"]).to_pylist()
     out = {k: [] for k in _MERGED_COLS}
     okeys = []
+    if norms_data is not None:
+        doc_ids_all, norms_all = norms_data
+
+        def norms_lookup(d):
+            return norms_all[np.searchsorted(doc_ids_all, d)]
     i = 0
     while i < len(rows):
         j = i
@@ -164,10 +200,13 @@ def _merge_bucket(group: pa.Table, norms_data, repack: bool,
         while j < len(rows) and rows[j]["term"] == term:
             j += 1
         merged = _merge_one_term(rows[i:j], norms_data)
+        if deleted is not None and len(deleted):
+            merged = _drop_docs(merged, deleted, norms_lookup)
+            if merged is None:  # all docs tombstoned -> term vanishes
+                i = j
+                continue
         if repack and norms_data is not None:
-            doc_ids_all, norms_all = norms_data
-            merged = repack_postings(
-                merged, lambda d: norms_all[np.searchsorted(doc_ids_all, d)])
+            merged = repack_postings(merged, norms_lookup)
         _packed_to_cols(term, merged, out)
         okeys.append(rows[i]["okey"])
         i = j
@@ -184,8 +223,12 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
     groups); returns the new manifest generation."""
     m = read_manifest(index_dir)
     groups = plan_merges(m.segments, segs_per_tier, max_merged_docs)
-    merge_jobs = [g for g in groups if len(g) >= min_group]
-    new_segments = [s for g in groups if len(g) < min_group for s in g]
+    # singleton segments with tombstones still merge (reclaim deletes)
+    merge_jobs = [g for g in groups
+                  if len(g) >= min_group or any(s.del_count for s in g)]
+    new_segments = [s for g in groups
+                    if not (len(g) >= min_group or any(s.del_count for s in g))
+                    for s in g]
     gen = m.generation + 1
 
     if merge_jobs:
@@ -209,11 +252,40 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
             doc_tables = [pq.read_table(os.path.join(
                 index_dir, "segments", s.seg_id, "docs.parquet")) for s in g]
             docs_table = pa.concat_tables(doc_tables).sort_by("doc_id")
-            pq.write_table(docs_table, os.path.join(seg_dir, "docs.parquet"))
+            # tombstones of the group: reclaimed by this merge — the
+            # merged docs table keeps live rows only, postings drop the
+            # deleted docs at the final reduce
+            dels = [pq.read_table(os.path.join(
+                        index_dir, "segments", s.seg_id,
+                        f"deletes_gen{s.del_gen}.parquet"))
+                    .column("doc_id").to_numpy()
+                    for s in g if s.del_gen >= 0]
+            deleted = np.unique(np.concatenate(dels)) if dels else None
+            live_table = docs_table
+            if deleted is not None and len(deleted):
+                ids = docs_table.column("doc_id").to_numpy()
+                pos = np.minimum(np.searchsorted(deleted, ids),
+                                 len(deleted) - 1)
+                live_table = docs_table.filter(pa.array(deleted[pos] != ids))
+            pq.write_table(live_table, os.path.join(seg_dir, "docs.parquet"))
+            # norms broadcast keeps ALL docs (repack of a partial chunk
+            # may still reference a doc deleted elsewhere in the group)
             norms_refs[gi] = ray.put(
                 (docs_table.column("doc_id").to_numpy(),
-                 docs_table.column("norm").to_numpy().astype(np.uint8)))
-            group_meta.append((gi, g, seg_id, seg_dir))
+                 docs_table.column("norm").to_numpy().astype(np.uint8),
+                 deleted))
+            live_stats = (
+                len(live_table),
+                int(live_table.column("doc_len").to_numpy().sum())
+                if len(live_table) else 0,
+                int((live_table.column("doc_len").to_numpy() > 0).sum())
+                if len(live_table) else 0,
+                int(live_table.column("doc_id")[0].as_py())
+                if len(live_table) else 0,
+                int(live_table.column("doc_id")[-1].as_py())
+                if len(live_table) else 0,
+            )
+            group_meta.append((gi, g, seg_id, seg_dir, live_stats))
 
         # ONE read over every input segment's postings; group & order are
         # derived from the data (okey = first block's last docID), so no
@@ -226,19 +298,19 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
             return [path]
 
         all_paths = [f
-                     for _, g, _, _ in group_meta for s in g
+                     for _, g, _, _, _ in group_meta for s in g
                      for f in _expand(os.path.join(
                          index_dir, "segments", s.seg_id, "postings.parquet"))]
         ds = ray.data.read_parquet(all_paths)
 
-        group_max_docs = np.array([g[-1].max_doc for _, g, _, _ in group_meta],
-                                  dtype=np.int64)
+        group_max_docs = np.array(
+            [g[-1].max_doc for _, g, _, _, _ in group_meta], dtype=np.int64)
         # per-group segment boundaries for salting (seg index from okey)
         seg_bounds = {gi: np.array([s.max_doc for s in g], dtype=np.int64)
-                      for gi, g, _, _ in group_meta}
+                      for gi, g, _, _, _ in group_meta}
         seg_per_salt = {gi: max(1, (len(g) + salt_buckets - 1) // salt_buckets)
-                        for gi, g, _, _ in group_meta}
-        seg_dirs = {gi: seg_dir for gi, _, _, seg_dir in group_meta}
+                        for gi, g, _, _, _ in group_meta}
+        seg_dirs = {gi: seg_dir for gi, _, _, seg_dir, _ in group_meta}
 
         def add_keys(t: pa.Table, salted: bool) -> pa.Table:
             import pyarrow.compute as pc
@@ -269,8 +341,9 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
         def reduce_write(group: pa.Table) -> pa.Table:
             gid = group.column("group_id")[0].as_py()
             bucket = group.column("bucket")[0].as_py()
-            norms_data = ray.get(norms_refs[gid])
-            merged = _merge_bucket(group, norms_data, repack)
+            ids_all, norms_all, deleted = ray.get(norms_refs[gid])
+            merged = _merge_bucket(group, (ids_all, norms_all), repack,
+                                   deleted=deleted)
             out_path = os.path.join(seg_dirs[gid], "postings.parquet",
                                     f"part-{bucket:05d}.parquet")
             from .builder import POSTINGS_ROW_GROUP
@@ -281,8 +354,9 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
 
         def reduce_partial(group: pa.Table) -> pa.Table:
             gid = group.column("group_id")[0].as_py()
-            norms_data = ray.get(norms_refs[gid])
-            merged = _merge_bucket(group, norms_data, False, with_okey=True)
+            ids_all, norms_all, _deleted = ray.get(norms_refs[gid])
+            merged = _merge_bucket(group, (ids_all, norms_all), False,
+                                   with_okey=True)
             gids = pa.array([gid] * len(merged), pa.int64())
             return merged.append_column("group_id", gids)
 
@@ -306,31 +380,39 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
             term_counts[r["group_id"]] = term_counts.get(r["group_id"], 0) \
                 + int(r["n_terms"])
 
-        for gi, g, seg_id, seg_dir in group_meta:
+        for gi, g, seg_id, seg_dir, live in group_meta:
+            n_live, sum_dl_live, fdc_live, min_live, max_live = live
             new_segments.append(SegmentInfo(
                 seg_id=seg_id,
-                num_docs=sum(s.num_docs for s in g),
-                min_doc=min(s.min_doc for s in g),
-                max_doc=max(s.max_doc for s in g),
-                sum_doc_len=sum(s.sum_doc_len for s in g),
+                num_docs=n_live,  # tombstones reclaimed by this merge
+                min_doc=min_live,
+                max_doc=max_live,
+                sum_doc_len=sum_dl_live,
                 num_terms=term_counts.get(gi, 0),
                 lineage="+".join(s.lineage for s in g)[:120],
-                field_doc_count=sum(s.field_doc_count for s in g),
+                field_doc_count=fdc_live,
             ))
 
+    # totals recomputed: merged groups reclaimed their tombstones, so
+    # their live counts replace the pre-merge (maxDoc-like) contributions
     new_manifest = IndexManifest(
         generation=gen,
-        num_docs=m.num_docs,
-        sum_doc_len=m.sum_doc_len,
+        num_docs=sum(s.num_docs for s in new_segments),
+        sum_doc_len=sum(s.sum_doc_len for s in new_segments),
         field=m.field,
         stop_words=m.stop_words,
         segments=sorted(new_segments, key=lambda s: s.min_doc),
-        field_doc_count=m.field_doc_count,
+        field_doc_count=sum(s.field_doc_count for s in new_segments),
     )
     write_manifest(index_dir, new_manifest)
-    # stats are per-corpus, not per-segment-layout: link previous gen
-    src = os.path.join(index_dir, "global", f"term_stats_gen{m.generation}")
-    dst = os.path.join(index_dir, "global", f"term_stats_gen{gen}")
-    if os.path.isdir(src) and not os.path.exists(dst):
-        os.symlink(os.path.abspath(src), dst)
+    if m.num_deleted > 0 and os.path.isdir(os.path.join(index_dir, "global")):
+        # a reclaiming merge changed df/ttf: rebuild global stats
+        from .builder import compute_global_term_stats
+        compute_global_term_stats(index_dir, new_manifest)
+    else:
+        # stats are per-corpus, not per-segment-layout: link previous gen
+        src = os.path.join(index_dir, "global", f"term_stats_gen{m.generation}")
+        dst = os.path.join(index_dir, "global", f"term_stats_gen{gen}")
+        if os.path.isdir(src) and not os.path.exists(dst):
+            os.symlink(os.path.abspath(src), dst)
     return new_manifest

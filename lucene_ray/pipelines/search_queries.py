@@ -134,3 +134,75 @@ def bm25_topk_lucene(doc_path: str, terms: list[str], kind: str = "term",
         "doc_id": pa.array(td.doc_ids, pa.int64()),
         "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
     })
+
+
+def incremental_build_stats(doc_path: str) -> pa.Table:
+    """Two-phase build: index the first half of the corpus, then APPEND
+    the second half (addDocuments+commit analog,
+    ``index/IndexWriter.java:1468,4020``; ``TestAddIndexes.java``), and
+    read back the final generation's global term stats. An SQL oracle
+    over the whole table must match — proving the appended chain equals
+    a single build."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(("incr:" + doc_path).encode()).hexdigest()[:12]
+    root = os.path.join(_CACHE_ROOT, f"incr-{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    t = pq.read_table(doc_path, columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    mid = int(np.median(ids))
+    import pyarrow.compute as pc
+    pq.write_table(t.filter(pc.less_equal(t.column("doc_id"), mid)),
+                   os.path.join(src, "half1.parquet"))
+    pq.write_table(t.filter(pc.greater(t.column("doc_id"), mid)),
+                   os.path.join(src, "half2.parquet"))
+    out = os.path.join(root, "idx")
+    build_index(os.path.join(src, "half1.parquet"), out, batch_size=2048)
+    build_index(os.path.join(src, "half2.parquet"), out, batch_size=2048)
+    stats = IndexReader(out).all_term_stats()
+    terms = sorted(stats)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array([stats[x][0] for x in terms], pa.int64()),
+        "ttf": pa.array([stats[x][1] for x in terms], pa.int64()),
+    })
+
+
+def dedup_update_live_docs(doc_path: str, key_col: str = "lang",
+                           key_val: str = "de", offset: int = 100000) -> pa.Table:
+    """updateDocument end-to-end: tombstone every doc whose ``key_col``
+    equals ``key_val`` and re-add the same texts under ``doc_id+offset``
+    (``IndexWriter.java:1828``, ``TestPerSegmentDeletes.java``). Returns
+    the LIVE doc ids via MatchAllDocsQuery — the tombstone mask and the
+    appended segments both show up in the answer."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..index.deletes import update_by_key
+    from ..search import MatchAllDocsQuery
+
+    key = hashlib.md5(("upd:" + doc_path).encode()).hexdigest()[:12]
+    root = os.path.join(_CACHE_ROOT, f"upd-{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    out = os.path.join(root, "idx")
+    build_index(doc_path, out, batch_size=2048, stored_cols=(key_col,))
+    t = pq.read_table(doc_path, columns=["doc_id", "text", key_col])
+    sel = t.filter(pc.equal(t.column(key_col), key_val))
+    new = pa.table({
+        "doc_id": pc.add(sel.column("doc_id"), offset),
+        "text": sel.column("text"),
+        key_col: sel.column(key_col),
+    })
+    src = os.path.join(root, "replacements.parquet")
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(new, src)
+    update_by_key(out, src, key_col, batch_size=2048)
+    s = Searcher(IndexReader(out))
+    docs = s.match_docs(MatchAllDocsQuery())
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})

@@ -170,7 +170,8 @@ def _row_to_postings(t: pa.Table, i: int) -> PackedPostings:
 
 
 class SegmentReader:
-    def __init__(self, seg_dir: str, cache_size: int = 4096):
+    def __init__(self, seg_dir: str, cache_size: int = 4096,
+                 del_gen: int = -1):
         self._seg_dir = seg_dir
         self._postings = _ShardedPostings(
             os.path.join(seg_dir, "postings.parquet"))
@@ -190,9 +191,33 @@ class SegmentReader:
         self._cache_size = cache_size
         self._df: dict[str, int] = {}
         self._absent: set[str] = set()
+        # live docs (Lucene90LiveDocsFormat analog): sorted deleted docIDs
+        self.deleted: np.ndarray | None = None
+        if del_gen >= 0:
+            dp = os.path.join(seg_dir, f"deletes_gen{del_gen}.parquet")
+            self.deleted = np.sort(pq.read_table(
+                dp, columns=["doc_id"]).column("doc_id").to_numpy())
         # observability: rows/row-groups materialized from postings files
         self.rows_loaded = 0
         self.rg_reads = 0
+
+    @property
+    def live_count(self) -> int:
+        return len(self.doc_ids) - (len(self.deleted)
+                                    if self.deleted is not None else 0)
+
+    def live_mask(self, docs: np.ndarray) -> np.ndarray | None:
+        """Boolean live mask for global docIDs, or None when no deletes."""
+        if self.deleted is None or len(self.deleted) == 0:
+            return None
+        pos = np.searchsorted(self.deleted, docs)
+        pos = np.minimum(pos, len(self.deleted) - 1)
+        return self.deleted[pos] != docs
+
+    def live_doc_ids(self) -> np.ndarray:
+        docs = self.doc_ids.astype(np.int64)
+        m = self.live_mask(docs)
+        return docs if m is None else docs[m]
 
     def _idx_for(self, docs: np.ndarray) -> np.ndarray:
         if self._contiguous:
@@ -342,7 +367,13 @@ class IndexReader:
     def segment(self, seg_id: str) -> SegmentReader:
         r = self._readers.get(seg_id)
         if r is None:
-            r = SegmentReader(os.path.join(self.index_dir, "segments", seg_id))
+            del_gen = -1
+            for info in self.segment_infos:
+                if info.seg_id == seg_id:
+                    del_gen = info.del_gen
+                    break
+            r = SegmentReader(os.path.join(self.index_dir, "segments", seg_id),
+                              del_gen=del_gen)
             self._readers[seg_id] = r
         return r
 

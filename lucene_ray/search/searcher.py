@@ -290,7 +290,7 @@ class Searcher:
             dt = np.float64 if self.exact64 else np.float32
             return docs, np.full(len(docs), prep[2], dtype=dt)
         if kind == "matchall":
-            docs = sr.doc_ids.astype(np.int64)
+            docs = sr.live_doc_ids()
             dt = np.float64 if self.exact64 else np.float32
             return docs, np.full(len(docs), prep[1], dtype=dt)
         if kind == "phrase":
@@ -345,8 +345,8 @@ class Searcher:
             if got is None:
                 return None, None
             per_term.append(got)
-        # candidate docs = conjunction
-        cand = per_term[0][0]
+        # candidate docs = conjunction (live only)
+        cand, = self._live(sr, per_term[0][0])
         for docs, _f, _p in per_term[1:]:
             cand = cand[np.isin(cand, docs, assume_unique=True)]
             if len(cand) == 0:
@@ -374,7 +374,7 @@ class Searcher:
         if isinstance(q, ConstantScoreQuery):
             return self._match_docs(sr, q.inner)
         if isinstance(q, MatchAllDocsQuery):
-            return sr.doc_ids.astype(np.int64)
+            return sr.live_doc_ids()
         if isinstance(q, DisjunctionMaxQuery):
             parts = [self._match_docs(sr, s) for s in q.disjuncts]
             parts = [p for p in parts if len(p)]
@@ -386,6 +386,16 @@ class Searcher:
         raise TypeError(f"unmatchable query {type(q)}")
 
     # -- per-segment --------------------------------------------------------
+    @staticmethod
+    def _live(sr: SegmentReader, docs: np.ndarray, *arrs):
+        """Drop tombstoned docs (live-docs bitmap analog) — applied at
+        every candidate-formation point so thresholds never rise from
+        deleted docs' scores."""
+        m = sr.live_mask(docs)
+        if m is None:
+            return (docs, *arrs)
+        return (docs[m], *[a[m] for a in arrs])
+
     def _decode_scored(self, sr: SegmentReader, t: _TermPlan):
         p = sr.get_postings(t.term)
         if p is None:
@@ -460,7 +470,7 @@ class Searcher:
             np.asarray(p.imp_offsets), t.weight, self.cache)
         nblocks = len(bounds)
         if nblocks <= 8:
-            docs, freqs = unpack_postings(p)
+            docs, freqs = self._live(sr, *unpack_postings(p))
             return docs, bm25.score_freqs(freqs, sr.norms_for(docs), t.weight,
                                           self.cache).astype(np.float64)
         # process blocks in bound-descending batches; after each batch the
@@ -482,7 +492,7 @@ class Searcher:
             if np.isfinite(theta):
                 take = take[bounds[take] >= np.float32(theta)]
             if len(take):
-                d, f = decode_selected_blocks(p, np.sort(take))
+                d, f = self._live(sr, *decode_selected_blocks(p, np.sort(take)))
                 sc = bm25.score_freqs(f, sr.norms_for(d), t.weight, self.cache)
                 docs_parts.append(d)
                 score_parts.append(sc)
@@ -514,7 +524,7 @@ class Searcher:
             loaded.append((t, scores_q, p))
         order = sorted(range(len(loaded)), key=lambda i: loaded[i][2].doc_count)
         t0, s0, p0 = loaded[order[0]]
-        cand, freqs0 = unpack_postings(p0)
+        cand, freqs0 = self._live(sr, *unpack_postings(p0))
         term_freqs: dict[int, np.ndarray] = {order[0]: freqs0}
         for oi in order[1:]:
             t, scores_q, p = loaded[oi]
@@ -593,7 +603,7 @@ class Searcher:
             # seed from the highest-upper-bound term's own top-k scores
             seed_i = int(np.argmax(ubs))
             t, p = postings[seed_i]
-            docs0, freqs0 = unpack_postings(p)
+            docs0, freqs0 = self._live(sr, *unpack_postings(p))
             pre_decoded[seed_i] = (docs0, freqs0)
             if len(docs0) > k:
                 s0 = bm25.score_freqs(freqs0, sr.norms_for(docs0), t.weight,
@@ -620,7 +630,8 @@ class Searcher:
         parts_docs = []
         for i, (t, p) in enumerate(postings):
             if essential[i]:
-                docs, freqs = pre_decoded.get(i) or unpack_postings(p)
+                docs, freqs = pre_decoded.get(i) or \
+                    self._live(sr, *unpack_postings(p))
                 ess_decoded[i] = (docs, freqs)
                 parts_docs.append(docs)
 
