@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dismax": lambda sf: dismax_topk(_docp(sf), _OR_TERMS, 0.3, 20),
         "phrase_match": lambda sf: match_query_docs(
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B))),
+        "phrase_slop_match": lambda sf: match_query_docs(
+            _docp(sf), PhraseQuery((_TERM_A, _TERM_B), slop=2)),
         "bm25_phrase": lambda sf: phrase_topk(
             _docp(sf), [_TERM_A, _TERM_B], 20),  # rows-only (f32 scores)
         # --- incremental indexing / deletes (SURVEY §2.1 live docs) ---
@@ -292,6 +294,17 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
         "phrase_match": (
             "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE "
             f"'% {_TERM_A} {_TERM_B} %' ORDER BY doc_id"),
+        "phrase_slop_match": f"""
+WITH lists AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS l
+               FROM documents),
+pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+        FROM lists),
+a AS (SELECT doc_id, pos AS ap FROM pos WHERE term = '{_TERM_A}'),
+b AS (SELECT doc_id, pos - 1 AS ap FROM pos WHERE term = '{_TERM_B}')
+SELECT DISTINCT a.doc_id AS doc_id
+FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.ap - b.ap) <= 2
+ORDER BY a.doc_id""",
         "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
         "dedup_first_per_group": ("SELECT lang, source, min(doc_id) AS doc_id "

@@ -42,13 +42,21 @@ class BooleanQuery(Query):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
-    """Exact phrase over analyzed terms (search/PhraseQuery.java,
-    ExactPhraseMatcher): docs where term_i appears at position p+i for
-    some p. Scored with BM25 using the phrase frequency and the summed
-    idf of the terms (BM25Similarity.idfExplain for multiple stats).
-    Requires an index built with positions."""
+    """Phrase over analyzed terms (search/PhraseQuery.java).
+
+    ``slop == 0``: ExactPhraseMatcher — term_i at position p+i.
+    ``slop > 0``: SloppyPhraseMatcher (search/SloppyPhraseMatcher.java,
+    ``PhraseQuery.java:75-92`` slop builder): a doc matches when some
+    occurrence tuple's *adjusted* positions (pos_i - i) span at most
+    ``slop`` (transposed terms therefore need slop >= 2, matching
+    ``TestSloppyPhraseQuery.java``); phrase freq accumulates
+    ``1/(1+matchLength)`` per match of the pq walk. Scored with BM25
+    using the phrase frequency and the summed idf of the terms
+    (BM25Similarity.idfExplain). Requires an index built with
+    positions."""
     terms: tuple = ()
     boost: float = 1.0
+    slop: int = 0
 
     def __post_init__(self):
         if not isinstance(self.terms, tuple):

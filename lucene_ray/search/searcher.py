@@ -168,7 +168,7 @@ class Searcher:
         if isinstance(q, PhraseQuery):
             if len(q.terms) == 1:
                 return TermQuery(q.terms[0], q.boost * boost)
-            return PhraseQuery(q.terms, q.boost * boost)
+            return PhraseQuery(q.terms, q.boost * boost, q.slop)
         if isinstance(q, FuzzyQuery):
             terms = self._expand(q)
             return BooleanQuery(should=tuple(
@@ -270,7 +270,7 @@ class Searcher:
                 if df > 0:
                     idf_sum += float(bm25.idf(df, n))
             weight = np.float32(np.float32(q.boost) * np.float32(idf_sum))
-            return ("phrase", q.terms, weight, dfs)
+            return ("phrase", q.terms, weight, dfs, q.slop)
         raise TypeError(f"unpreparable query {type(q)}")
 
     def _eval(self, sr: SegmentReader, prep, k: int, threshold: float,
@@ -294,7 +294,7 @@ class Searcher:
             dt = np.float64 if self.exact64 else np.float32
             return docs, np.full(len(docs), prep[1], dtype=dt)
         if kind == "phrase":
-            docs, freqs = self._phrase_freqs(sr, prep[1])
+            docs, freqs = self._phrase_freqs(sr, prep[1], prep[4])
             if docs is None or len(docs) == 0:
                 return None, None
             weight = prep[2]
@@ -333,12 +333,15 @@ class Searcher:
             return cand, scores.astype(dt)
         raise AssertionError(kind)
 
-    def _phrase_freqs(self, sr: SegmentReader, terms: tuple):
-        """(docs, phrase_freq) for an exact phrase in one segment.
+    def _phrase_freqs(self, sr: SegmentReader, terms: tuple, slop: int = 0):
+        """(docs, phrase_freq) for a phrase in one segment.
 
-        Vectorized ExactPhraseMatcher: occurrences become keys
-        ``doc_ord * 2^32 + (pos - i)``; intersecting the key sets across
-        terms leaves one key per phrase start."""
+        slop == 0 — vectorized ExactPhraseMatcher: occurrences become
+        keys ``doc_ord * 2^32 + (pos - i)``; intersecting the key sets
+        across terms leaves one key per phrase start.
+        slop > 0 — SloppyPhraseMatcher pq walk per candidate doc."""
+        if slop > 0:
+            return self._sloppy_freqs(sr, terms, slop)
         per_term = []
         for t in terms:
             got = sr.get_positions(t)
@@ -367,6 +370,121 @@ class Searcher:
         hit = pfreq > 0
         return cand[hit], pfreq[hit].astype(np.int32)
 
+    def _sloppy_freqs(self, sr: SegmentReader, terms: tuple, slop: int):
+        """SloppyPhraseMatcher analog (search/SloppyPhraseMatcher.java,
+        TestSloppyPhraseQuery.java semantics): per candidate doc, walk a
+        priority queue over each phrase slot's ADJUSTED positions
+        (pos - slot); every state whose adjusted span fits in ``slop``
+        is a match contributing ``1/(1+span)`` to the phrase freq
+        (PhraseScorer sloppyWeight). Advancing the minimum slot
+        enumerates every minimal window, so match(doc) == "some
+        occurrence tuple spans <= slop" exactly. Repeating phrase terms
+        use the same walk with a distinct-source check per state (the
+        reference's repeats machinery, SloppyPhraseMatcher.java:180-260,
+        is approximated)."""
+        per_term = []
+        for t in terms:
+            got = sr.get_positions(t)
+            if got is None:
+                return None, None
+            per_term.append(got)
+        cand, = self._live(sr, per_term[0][0])
+        for docs, _f, _p in per_term[1:]:
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+            if len(cand) == 0:
+                return None, None
+        n = len(terms)
+        has_repeats = len(set(terms)) < n
+        # per slot: occurrences restricted to cand docs, grouped by doc
+        slot_pos: list[np.ndarray] = []
+        slot_bounds: list[np.ndarray] = []
+        for i, (docs, freqs, pos) in enumerate(per_term):
+            occ_doc = np.repeat(docs, freqs)
+            sel = np.isin(occ_doc, cand)
+            od = occ_doc[sel]
+            ap = pos[sel] - i  # adjusted position
+            slot_pos.append(ap)
+            # od is sorted (docs sorted, repeat preserves order)
+            slot_bounds.append(np.searchsorted(od, cand))
+        out_docs, out_freqs = [], []
+        for j in range(len(cand)):
+            slots = []
+            for i in range(n):
+                lo = slot_bounds[i][j]
+                hi = slot_bounds[i][j + 1] if j + 1 < len(cand) \
+                    else len(slot_pos[i])
+                slots.append(slot_pos[i][lo:hi])
+            freq = 0.0
+            ptrs = [0] * n
+            vals = [int(s[0]) for s in slots]
+            while True:
+                mx, mn = max(vals), min(vals)
+                if mx - mn <= slop:
+                    ok = True
+                    if has_repeats:
+                        bysrc = {}
+                        for i in range(n):
+                            bysrc.setdefault(terms[i], set()).add(vals[i] + i)
+                        ok = all(len(v) == sum(1 for t in terms if t == k)
+                                 for k, v in bysrc.items())
+                    if ok:
+                        freq += 1.0 / (1 + mx - mn)
+                i_min = vals.index(mn)
+                ptrs[i_min] += 1
+                if ptrs[i_min] >= len(slots[i_min]):
+                    break
+                vals[i_min] = int(slots[i_min][ptrs[i_min]])
+            if freq == 0 and has_repeats:
+                # the pq walk can step past a distinct-source assignment
+                # when slots share a term; a pruned DFS decides matching
+                # exactly (the reference's repeats machinery)
+                best = self._best_distinct_span(slots, terms, slop)
+                if best is not None:
+                    freq = 1.0 / (1 + best)
+            if freq > 0:
+                out_docs.append(cand[j])
+                out_freqs.append(freq)
+        if not out_docs:
+            return None, None
+        return (np.asarray(out_docs, dtype=np.int64),
+                np.asarray(out_freqs, dtype=np.float64))
+
+    @staticmethod
+    def _best_distinct_span(slots, terms, slop):
+        """Min adjusted span over occurrence tuples with pairwise-distinct
+        source positions for repeated terms; None if no tuple fits in
+        ``slop``. Pruned DFS — branching is bounded by the slop window."""
+        n = len(slots)
+        order = sorted(range(n), key=lambda i: len(slots[i]))
+        best = None
+
+        def dfs(k, used, mn, mx):
+            nonlocal best
+            if mx - mn > slop:
+                return
+            if k == n:
+                if best is None or mx - mn < best:
+                    best = mx - mn
+                return
+            i = order[k]
+            for v in slots[i]:
+                v = int(v)
+                src = v + i
+                if src in used:
+                    continue
+                nmn = v if v < mn else mn
+                nmx = v if v > mx else mx
+                if nmx - nmn > slop:
+                    continue
+                used.add(src)
+                dfs(k + 1, used, nmn, nmx)
+                used.remove(src)
+                if best == 0:
+                    return
+
+        dfs(0, set(), 10**15, -10**15)
+        return best
+
     def _match_docs(self, sr: SegmentReader, q: Query) -> np.ndarray:
         if isinstance(q, (TermQuery, BooleanQuery)):
             docs, _ = self._match_and_score(sr, self._plan(q), scoring=False)
@@ -381,7 +499,7 @@ class Searcher:
             return (np.unique(np.concatenate(parts))
                     if parts else np.empty(0, np.int64))
         if isinstance(q, PhraseQuery):
-            docs, _ = self._phrase_freqs(sr, q.terms)
+            docs, _ = self._phrase_freqs(sr, q.terms, q.slop)
             return docs if docs is not None else np.empty(0, np.int64)
         raise TypeError(f"unmatchable query {type(q)}")
 
