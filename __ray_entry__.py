@@ -70,7 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dismax_topk, match_query_docs,
     )
     from lucene_ray.pipelines.search_queries import (
-        dedup_update_live_docs, incremental_build_stats, phrase_topk,
+        dedup_update_live_docs, incremental_build_stats, parsed_query_docs,
+        phrase_topk,
     )
     from lucene_ray.search import (
         FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery,
@@ -141,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B))),
         "phrase_slop_match": lambda sf: match_query_docs(
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B), slop=2)),
+        "parsed_query": lambda sf: parsed_query_docs(
+            _docp(sf), 'data AND (merge OR "window data") -spark'),
         "bm25_phrase": lambda sf: phrase_topk(
             _docp(sf), [_TERM_A, _TERM_B], 20),  # rows-only (f32 scores)
         # --- incremental indexing / deletes (SURVEY §2.1 live docs) ---
@@ -305,6 +308,18 @@ b AS (SELECT doc_id, pos - 1 AS ap FROM pos WHERE term = '{_TERM_B}')
 SELECT DISTINCT a.doc_id AS doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.ap - b.ap) <= 2
 ORDER BY a.doc_id""",
+        "parsed_query": f"""
+{_TOKS}
+SELECT DISTINCT doc_id FROM toks t
+WHERE term = 'data'
+  AND (EXISTS (SELECT 1 FROM toks x
+               WHERE x.doc_id = t.doc_id AND x.term = 'merge')
+       OR EXISTS (SELECT 1 FROM documents d
+                  WHERE d.doc_id = t.doc_id
+                    AND ' ' || d.text || ' ' LIKE '% window data %'))
+  AND NOT EXISTS (SELECT 1 FROM toks y
+                  WHERE y.doc_id = t.doc_id AND y.term = 'spark')
+ORDER BY doc_id""",
         "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
         "dedup_first_per_group": ("SELECT lang, source, min(doc_id) AS doc_id "

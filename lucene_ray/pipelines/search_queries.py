@@ -206,3 +206,17 @@ def dedup_update_live_docs(doc_path: str, key_col: str = "lang",
     s = Searcher(IndexReader(out))
     docs = s.match_docs(MatchAllDocsQuery())
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
+def parsed_query_docs(doc_path: str, expr: str) -> pa.Table:
+    """Classic-parser round trip: parse ``expr`` (queryparser/classic
+    syntax) against the cached documents index and return the matching
+    doc ids — the driver's SQL oracle reproduces the boolean semantics
+    directly."""
+    from ..search.queryparser import parse_query
+
+    idx = cached_index(doc_path)
+    s = Searcher(IndexReader(idx), similarity="bm25_exact64")
+    q = parse_query(expr, default_field="text")
+    docs = s.match_docs(q)
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})

@@ -23,6 +23,7 @@ class Query:
 class TermQuery(Query):
     term: str
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass(frozen=True)
@@ -57,6 +58,7 @@ class PhraseQuery(Query):
     terms: tuple = ()
     boost: float = 1.0
     slop: int = 0
+    field: str | None = None
 
     def __post_init__(self):
         if not isinstance(self.terms, tuple):
@@ -106,18 +108,21 @@ MAX_CLAUSE_COUNT = 1024  # IndexSearcher.java:81
 class PrefixQuery(Query):
     prefix: str = ""
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str = ""  # '*' any run, '?' one char (WildcardQuery.java)
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     pattern: str = ""
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -127,6 +132,7 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -139,6 +145,7 @@ class FuzzyQuery(Query):
     prefix_length: int = 0
     transpositions: bool = True
     boost: float = 1.0
+    field: str | None = None
 
 
 def expand_terms(q: Query, vocab) -> list[str]:

@@ -353,6 +353,10 @@ class IndexReader:
         self._vocab_cache: "OrderedDict[tuple, list[str]]" = OrderedDict()
 
     @property
+    def field(self) -> str:  # the indexed field's name
+        return self.manifest.field
+
+    @property
     def doc_count(self) -> int:  # docs with the field (for idf / avgdl)
         return self.manifest.field_doc_count
 

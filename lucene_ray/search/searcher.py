@@ -136,6 +136,14 @@ class Searcher:
         }
 
     # -- rewrite (Query.rewrite fixpoint, SURVEY §3.3 step 2) ---------------
+    # querying a field the index doesn't have matches nothing (Lucene
+    # semantics for absent fields): rewrite to an impossible term
+    _NO_MATCH = "\x00\x00absent-field"
+
+    def _field_ok(self, q: Query) -> bool:
+        f = getattr(q, "field", None)
+        return f is None or f == self.reader.field
+
     def _expand(self, q: Query) -> list[str]:
         from .query import expansion_range
         lo, hi = expansion_range(q)
@@ -148,6 +156,8 @@ class Searcher:
         disjunction of the expanded terms."""
         if isinstance(q, BoostQuery):
             return self.rewrite(q.inner, boost * q.boost)
+        if not self._field_ok(q):
+            return TermQuery(self._NO_MATCH, getattr(q, "boost", 1.0) * boost)
         if isinstance(q, TermQuery):
             return TermQuery(q.term, q.boost * boost)
         if isinstance(q, BooleanQuery):
@@ -249,6 +259,17 @@ class Searcher:
 
     # -- generalized per-segment evaluation ---------------------------------
     def _prepare(self, q: Query):
+        if isinstance(q, BooleanQuery) and any(
+                not isinstance(c, TermQuery)
+                for c in (*q.must, *q.should, *q.must_not, *q.filter)):
+            # nested boolean (query-parser groups): generic recursive
+            # evaluation — children return COMPLETE (docs, scores)
+            return ("nbool",
+                    [self._prepare(c) for c in q.must],
+                    [self._prepare(c) for c in q.should],
+                    [self._prepare(c) for c in q.must_not],
+                    [self._prepare(c) for c in q.filter],
+                    q.min_should_match)
         if isinstance(q, (TermQuery, BooleanQuery)):
             return ("bool", self._plan(q))
         if isinstance(q, ConstantScoreQuery):
@@ -312,6 +333,8 @@ class Searcher:
             norms = sr.norms_for(docs)
             scores = bm25.score_freqs(freqs, norms, weight, self.cache)
             return docs, scores
+        if kind == "nbool":
+            return self._eval_nested(sr, prep, k)
         if kind == "dismax":
             per = [self._eval(sr, p, k, -np.inf) for p in prep[1]]
             per = [(d, s) for d, s in per if d is not None and len(d)]
@@ -332,6 +355,69 @@ class Searcher:
             dt = np.float64 if self.exact64 else np.float32
             return cand, scores.astype(dt)
         raise AssertionError(kind)
+
+    def _eval_nested(self, sr: SegmentReader, prep, k: int):
+        """Generic boolean combiner over arbitrary sub-queries
+        (BooleanWeight over non-term clauses): children are evaluated
+        unpruned, scores sum in double (DisjunctionSumScorer), FILTER
+        matches without scoring, minShouldMatch gates SHOULD."""
+        _, musts, shoulds, must_nots, filters, msm = prep
+
+        def ev(p):
+            d, s = self._eval(sr, p, k, -np.inf)
+            if d is None or len(d) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            s = (np.zeros(len(d), np.float64) if s is None
+                 else s.astype(np.float64))
+            if not np.all(d[:-1] <= d[1:]):
+                order = np.argsort(d, kind="stable")
+                d, s = d[order], s[order]
+            return d, s
+
+        m_parts = [ev(p) for p in musts]
+        f_parts = [ev(p)[0] for p in filters]
+        cand = None
+        for d, _ in m_parts:
+            cand = d if cand is None else cand[np.isin(cand, d,
+                                                       assume_unique=True)]
+        for d in f_parts:
+            cand = d if cand is None else cand[np.isin(cand, d,
+                                                       assume_unique=True)]
+        s_parts = [ev(p) for p in shoulds]
+        eff_msm = msm
+        if cand is None:
+            if not s_parts:
+                return None, None
+            eff_msm = max(msm, 1)
+            parts = [d for d, _ in s_parts if len(d)]
+            if not parts:
+                return None, None
+            cand = np.unique(np.concatenate(parts))
+        if len(cand) == 0:
+            return None, None
+        sums = np.zeros(len(cand), np.float64)
+        counts = np.zeros(len(cand), np.int64)
+        for d, s in m_parts:
+            idx = np.searchsorted(cand, d)
+            ok = (idx < len(cand)) & (cand[np.minimum(idx, len(cand) - 1)] == d)
+            sums[idx[ok]] += s[ok]
+        for d, s in s_parts:
+            idx = np.searchsorted(cand, d)
+            ok = (idx < len(cand)) & (cand[np.minimum(idx, len(cand) - 1)] == d)
+            sums[idx[ok]] += s[ok]
+            counts[idx[ok]] += 1
+        if s_parts and eff_msm > 0:
+            keep = counts >= eff_msm
+            cand, sums = cand[keep], sums[keep]
+        for p in must_nots:
+            if len(cand) == 0:
+                break
+            d, _ = ev(p)
+            keep = ~np.isin(cand, d, assume_unique=True)
+            cand, sums = cand[keep], sums[keep]
+        if len(cand) == 0:
+            return None, None
+        return cand, (sums if self.exact64 else sums.astype(np.float32))
 
     def _phrase_freqs(self, sr: SegmentReader, terms: tuple, slop: int = 0):
         """(docs, phrase_freq) for a phrase in one segment.
@@ -487,7 +573,11 @@ class Searcher:
 
     def _match_docs(self, sr: SegmentReader, q: Query) -> np.ndarray:
         if isinstance(q, (TermQuery, BooleanQuery)):
-            docs, _ = self._match_and_score(sr, self._plan(q), scoring=False)
+            prep = self._prepare(q)
+            if prep[0] == "nbool":
+                docs, _ = self._eval_nested(sr, prep, 10)
+                return docs if docs is not None else np.empty(0, np.int64)
+            docs, _ = self._match_and_score(sr, prep[1], scoring=False)
             return docs if docs is not None else np.empty(0, np.int64)
         if isinstance(q, ConstantScoreQuery):
             return self._match_docs(sr, q.inner)
