@@ -216,6 +216,44 @@ def _merge_bucket(group: pa.Table, norms_data, repack: bool,
     return t
 
 
+@ray.remote(num_returns=2)
+def _merge_group_docs(index_dir: str, seg_ids: list[str],
+                      del_gens: list[int], seg_dir: str):
+    """Per-group docs-table leg as a Ray task (no driver-resident docs):
+    concat + sort the group's docs tables, reclaim tombstones, write the
+    merged (live) docs.parquet, and return the norms broadcast tuple +
+    the group's live stats."""
+    doc_tables = [pq.read_table(os.path.join(
+        index_dir, "segments", sid, "docs.parquet")) for sid in seg_ids]
+    docs_table = pa.concat_tables(doc_tables).sort_by("doc_id")
+    dels = [pq.read_table(os.path.join(
+                index_dir, "segments", sid, f"deletes_gen{dg}.parquet"))
+            .column("doc_id").to_numpy()
+            for sid, dg in zip(seg_ids, del_gens) if dg >= 0]
+    deleted = np.unique(np.concatenate(dels)) if dels else None
+    live_table = docs_table
+    if deleted is not None and len(deleted):
+        ids = docs_table.column("doc_id").to_numpy()
+        pos = np.minimum(np.searchsorted(deleted, ids), len(deleted) - 1)
+        live_table = docs_table.filter(pa.array(deleted[pos] != ids))
+    pq.write_table(live_table, os.path.join(seg_dir, "docs.parquet"))
+    live_stats = (
+        len(live_table),
+        int(live_table.column("doc_len").to_numpy().sum())
+        if len(live_table) else 0,
+        int((live_table.column("doc_len").to_numpy() > 0).sum())
+        if len(live_table) else 0,
+        int(live_table.column("doc_id")[0].as_py()) if len(live_table) else 0,
+        int(live_table.column("doc_id")[-1].as_py()) if len(live_table) else 0,
+    )
+    # norms keep ALL docs (repack of a partial chunk may reference a doc
+    # deleted elsewhere in the group)
+    norms = (docs_table.column("doc_id").to_numpy(),
+             docs_table.column("norm").to_numpy().astype(np.uint8),
+             deleted)
+    return norms, live_stats
+
+
 def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
                    max_merged_docs: int = 10_000_000, salt_buckets: int = 1,
                    repack: bool = False, min_group: int = 2) -> IndexManifest:
@@ -249,43 +287,16 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
             with open(os.path.join(seg_dir, "postings.parquet",
                                    "_BUCKETS.json"), "w") as bf:
                 _json.dump({"n_buckets": n_buckets, "hash": "crc32"}, bf)
-            doc_tables = [pq.read_table(os.path.join(
-                index_dir, "segments", s.seg_id, "docs.parquet")) for s in g]
-            docs_table = pa.concat_tables(doc_tables).sort_by("doc_id")
-            # tombstones of the group: reclaimed by this merge — the
-            # merged docs table keeps live rows only, postings drop the
-            # deleted docs at the final reduce
-            dels = [pq.read_table(os.path.join(
-                        index_dir, "segments", s.seg_id,
-                        f"deletes_gen{s.del_gen}.parquet"))
-                    .column("doc_id").to_numpy()
-                    for s in g if s.del_gen >= 0]
-            deleted = np.unique(np.concatenate(dels)) if dels else None
-            live_table = docs_table
-            if deleted is not None and len(deleted):
-                ids = docs_table.column("doc_id").to_numpy()
-                pos = np.minimum(np.searchsorted(deleted, ids),
-                                 len(deleted) - 1)
-                live_table = docs_table.filter(pa.array(deleted[pos] != ids))
-            pq.write_table(live_table, os.path.join(seg_dir, "docs.parquet"))
-            # norms broadcast keeps ALL docs (repack of a partial chunk
-            # may still reference a doc deleted elsewhere in the group)
-            norms_refs[gi] = ray.put(
-                (docs_table.column("doc_id").to_numpy(),
-                 docs_table.column("norm").to_numpy().astype(np.uint8),
-                 deleted))
-            live_stats = (
-                len(live_table),
-                int(live_table.column("doc_len").to_numpy().sum())
-                if len(live_table) else 0,
-                int((live_table.column("doc_len").to_numpy() > 0).sum())
-                if len(live_table) else 0,
-                int(live_table.column("doc_id")[0].as_py())
-                if len(live_table) else 0,
-                int(live_table.column("doc_id")[-1].as_py())
-                if len(live_table) else 0,
-            )
-            group_meta.append((gi, g, seg_id, seg_dir, live_stats))
+            # docs-table leg runs as one Ray task per group (read +
+            # concat + tombstone filter + write, off the driver); the
+            # norms tuple STAYS in the object store — only its ref and
+            # the tiny live stats come back
+            norms_refs[gi], stats_ref = _merge_group_docs.remote(
+                index_dir, [s.seg_id for s in g], [s.del_gen for s in g],
+                seg_dir)
+            group_meta.append((gi, g, seg_id, seg_dir, stats_ref))
+        group_meta = [(gi, g, seg_id, seg_dir, tuple(ray.get(ref)))
+                      for gi, g, seg_id, seg_dir, ref in group_meta]
 
         # ONE read over every input segment's postings; group & order are
         # derived from the data (okey = first block's last docID), so no
