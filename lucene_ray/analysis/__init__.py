@@ -1,6 +1,7 @@
 """Analysis chain: StandardAnalyzer-conformant tokenization + norms."""
 
-from .analyzer import ENGLISH_STOP_WORDS, AnalyzedToken, StandardAnalyzer
+from .analyzer import (ENGLISH_STOP_WORDS, AnalyzedToken, KeywordAnalyzer,
+                       StandardAnalyzer)
 from .smallfloat import (
     LENGTH_TABLE,
     byte4_to_int,
@@ -23,6 +24,7 @@ from .tokenizer import (
 from .props import java_lowercase
 
 __all__ = [
+    "KeywordAnalyzer",
     "ENGLISH_STOP_WORDS",
     "AnalyzedToken",
     "StandardAnalyzer",

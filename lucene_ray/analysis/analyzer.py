@@ -107,3 +107,23 @@ class StandardAnalyzer:
                 continue
             out.append(self(text))
         return out
+
+
+class KeywordAnalyzer:
+    """Whole-value-as-one-token analyzer (``analysis/core/
+    KeywordAnalyzer.java``): for id/keyword fields (url, lang, source)
+    where the stored value IS the term. Callable + picklable like
+    StandardAnalyzer."""
+
+    stop_words: frozenset = frozenset()
+    max_token_length = 32766  # IndexWriter.MAX_TERM_LENGTH-ish
+
+    def __call__(self, text: str) -> list:
+        return [text] if text else []
+
+    def analyze_batch(self, texts):
+        return [self(t or "") for t in texts]
+
+    def tokens(self, text: str):
+        from .analyzer import AnalyzedToken
+        return ([AnalyzedToken(text, 0, 0, len(text))] if text else [])

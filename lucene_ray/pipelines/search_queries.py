@@ -220,3 +220,25 @@ def parsed_query_docs(doc_path: str, expr: str) -> pa.Table:
     q = parse_query(expr, default_field="text")
     docs = s.match_docs(q)
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
+def multi_field_match(doc_path: str, expr: str) -> pa.Table:
+    """Cross-field query over a multi-field index of the documents
+    table (text: StandardAnalyzer, lang + source: KeywordAnalyzer) —
+    FieldInfos-style per-field postings, combined on global docIDs."""
+    from ..analysis import KeywordAnalyzer
+    from ..index.multi_field import build_multi_field_index
+    from ..search.multi_field import MultiFieldSearcher
+    from ..search.queryparser import parse_query
+
+    key = hashlib.md5(("mf:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"mfidx-{key}")
+    if not os.path.exists(os.path.join(out, "multi_field.json")):
+        build_multi_field_index(
+            doc_path, out,
+            fields={"text": None, "lang": KeywordAnalyzer(),
+                    "source": KeywordAnalyzer()},
+            batch_size=2048)
+    s = MultiFieldSearcher(out)
+    docs = s.match_docs(parse_query(expr, default_field="text"))
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})

@@ -237,6 +237,28 @@ class Searcher:
                                       [len(all_scores) - k])
         return merge_top_docs(parts, k)
 
+    def eval_complete(self, q: Query):
+        """COMPLETE (docs, scores float64) across all segments, unpruned
+        — the building block cross-field/cross-index combiners use
+        (docs sorted ascending, scores aligned)."""
+        q = self.rewrite(q)
+        prep = self._prepare(q)
+        self._prefetch(sorted(set(query_terms(q))))
+        parts_d, parts_s = [], []
+        for sr in self.reader.segments():
+            d, s = self._eval(sr, prep, 10, -np.inf, top=False)
+            if d is not None and len(d):
+                parts_d.append(d)
+                parts_s.append(s.astype(np.float64))
+        if not parts_d:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs = np.concatenate(parts_d)
+        scores = np.concatenate(parts_s)
+        if not np.all(docs[:-1] <= docs[1:]):
+            order = np.argsort(docs, kind="stable")
+            docs, scores = docs[order], scores[order]
+        return docs, scores
+
     def count(self, q: Query) -> int:
         q = self.rewrite(q)
         self._prefetch(sorted(set(query_terms(q))))
