@@ -651,7 +651,8 @@ class Searcher:
             return docs, scores.astype(np.float32)
 
         if must or plan["filter"]:
-            cand, sums, match_counts = self._conjunction(sr, plan, scoring)
+            cand, sums, match_counts = self._conjunction(
+                sr, plan, scoring, threshold=threshold, top=top)
             if cand is None or len(cand) == 0:
                 return empty
         else:
@@ -741,8 +742,14 @@ class Searcher:
         scores = np.concatenate(score_parts)
         return docs, scores.astype(np.float64)
 
-    def _conjunction(self, sr: SegmentReader, plan: dict, scoring: bool):
-        """Lead with the rarest required term; block-skip the rest."""
+    def _conjunction(self, sr: SegmentReader, plan: dict, scoring: bool,
+                     threshold: float = -np.inf, top: bool = False):
+        """Lead with the rarest required term; block-skip the rest.
+
+        With a live threshold at the top level, lead blocks whose
+        block-max bound plus every other scoring term's global max
+        cannot reach it are never decoded (BlockMaxConjunctionScorer,
+        wired per ``Boolean2ScorerSupplier.java:202-247``)."""
         must, flt, should = plan["must"], plan["filter"], plan["should"]
         required = [(t, True) for t in must] + [(t, False) for t in flt]
         # postings for required terms; any missing -> empty
@@ -754,7 +761,43 @@ class Searcher:
             loaded.append((t, scores_q, p))
         order = sorted(range(len(loaded)), key=lambda i: loaded[i][2].doc_count)
         t0, s0, p0 = loaded[order[0]]
-        cand, freqs0 = self._live(sr, *unpack_postings(p0))
+        prune = (top and scoring and not self.exact64
+                 and np.isfinite(threshold) and plan["msm"] <= 1)
+        cand = None
+        if prune and len(p0.imp_freqs):
+            lead_ub = bm25.max_block_scores(
+                np.asarray(p0.imp_freqs), np.asarray(p0.imp_norms),
+                np.asarray(p0.imp_offsets), t0.weight if s0 else np.float32(0),
+                self.cache).astype(np.float64)
+            rest = 0.0
+            for i, (t, scores_q, p) in enumerate(loaded):
+                if i == order[0] or not scores_q or not self._scores_term(t):
+                    continue
+                ub = bm25.max_block_scores(
+                    np.asarray(p.imp_freqs), np.asarray(p.imp_norms),
+                    np.asarray(p.imp_offsets), t.weight, self.cache)
+                rest += float(ub.max()) if len(ub) else 0.0
+            for t in should:  # optional clauses add score on matches
+                if not self._scores_term(t):
+                    continue
+                p = sr.get_postings(t.term)
+                if p is not None and len(p.imp_freqs):
+                    rest += float(bm25.max_block_scores(
+                        np.asarray(p.imp_freqs), np.asarray(p.imp_norms),
+                        np.asarray(p.imp_offsets), t.weight,
+                        self.cache).max())
+            theta_low = float(np.nextafter(np.float32(threshold),
+                                           np.float32(-np.inf)))
+            keep = lead_ub + rest >= theta_low
+            if not keep.all():
+                from ..codecs.postings import decode_selected_blocks
+                sel = np.nonzero(keep)[0]
+                if len(sel) == 0:
+                    return None, None, None
+                cand, freqs0 = self._live(
+                    sr, *decode_selected_blocks(p0, sel))
+        if cand is None:
+            cand, freqs0 = self._live(sr, *unpack_postings(p0))
         term_freqs: dict[int, np.ndarray] = {order[0]: freqs0}
         for oi in order[1:]:
             t, scores_q, p = loaded[oi]
@@ -817,64 +860,31 @@ class Searcher:
         # only sound when this disjunction IS the top-level collector:
         # sub-query evaluations (DisMax disjuncts, ConstantScore inners)
         # must return COMPLETE (docs, scores) sets, so top gates prune.
+        # MUST_NOT exclusion happens AFTER this returns, so a
+        # self-raised threshold would be tainted by soon-excluded docs:
+        # only prune when there is no exclusion clause
         prune = (top and scoring and msm == 1 and len(postings) > 1
-                 and not self.exact64)
-        ubs = np.array([
-            float(bm25.max_block_scores(np.asarray(p.imp_freqs),
-                                        np.asarray(p.imp_norms),
-                                        np.asarray(p.imp_offsets),
-                                        t.weight, self.cache).max())
-            if len(p.imp_freqs) else 0.0
-            for t, p in postings])
+                 and not plan["must_not"] and not self.exact64)
+        if prune:
+            # doc-at-a-time block-max WAND over merged block windows;
+            # returns NotImplemented when the bounds can't prune (the
+            # equal-hot-terms adversary) -> dense exhaustive path below
+            res = self._wand_topk(sr, postings, k, threshold)
+            if res is not NotImplemented:
+                return res
 
-        theta = threshold
-        pre_decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        if prune and not np.isfinite(theta):
-            # seed from the highest-upper-bound term's own top-k scores
-            seed_i = int(np.argmax(ubs))
-            t, p = postings[seed_i]
-            docs0, freqs0 = self._live(sr, *unpack_postings(p))
-            pre_decoded[seed_i] = (docs0, freqs0)
-            if len(docs0) > k:
-                s0 = bm25.score_freqs(freqs0, sr.norms_for(docs0), t.weight,
-                                      self.cache)
-                theta = float(np.partition(s0, len(s0) - k)[len(s0) - k])
-
-        essential = np.ones(len(postings), dtype=bool)
-        if prune and np.isfinite(theta):
-            order = np.argsort(ubs)  # ascending
-            csum = np.cumsum(ubs[order])
-            # conservative: final scores are float64 sums cast to float32,
-            # which can round UP to exactly theta; prune only sets whose
-            # bound-sum stays below theta minus one float32 ulp so an
-            # equal-score lower-docID doc can never be dropped
-            theta_low = float(np.nextafter(np.float32(theta),
-                                           np.float32(-np.inf)))
-            non_essential = order[csum < theta_low]
-            essential[non_essential] = False
-            if not essential.any():
-                essential[int(np.argmax(ubs))] = True
-
-        # candidate set = union of essential terms' docs (full decode)
-        ess_decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        parts_docs = []
-        for i, (t, p) in enumerate(postings):
-            if essential[i]:
-                docs, freqs = pre_decoded.get(i) or \
-                    self._live(sr, *unpack_postings(p))
-                ess_decoded[i] = (docs, freqs)
-                parts_docs.append(docs)
+        # exhaustive path: every term fully decoded
+        decoded = [self._live(sr, *unpack_postings(p)) for _, p in postings]
 
         if sr._contiguous:
-            # dense candidate bitmap from the essential terms (a term's
-            # docs are unique, so fancy-indexed += is exact), then ONE
-            # accumulation loop in original clause order so scores are
-            # bit-identical whatever the essential/non-essential split was
+            # dense per-doc accumulators (a term's docs are unique, so
+            # fancy-indexed += is exact); accumulation in clause order
+            # keeps scores bit-identical to every other path
             n = len(sr)
             base = sr._base
             cnt = np.zeros(n, dtype=np.int32)
-            for i in ess_decoded:
-                cnt[ess_decoded[i][0] - base] += 1
+            for docs, _f in decoded:
+                cnt[docs - base] += 1
             cand_idx = np.nonzero(cnt)[0]
             cand = cand_idx + base
             counts = cnt[cand_idx].astype(np.int64)
@@ -882,39 +892,122 @@ class Searcher:
             norms_cand = self._norm_data(sr, cand) if scoring else None
             posmap = np.empty(n, dtype=np.int64)
             posmap[cand_idx] = np.arange(len(cand))
-            for i, (t, p) in enumerate(postings):
-                if i in ess_decoded:
-                    docs, freqs = ess_decoded[i]
-                    if scoring and self._scores_term(t):
+            if scoring:
+                for (t, p), (docs, freqs) in zip(postings, decoded):
+                    if self._scores_term(t):
                         pos = posmap[docs - base]
                         sums[pos] += self._contrib(t, freqs, norms_cand[pos])
-                else:
-                    f = lookup_postings(p, cand)
-                    hit = f > 0
-                    counts += hit.astype(np.int64)
-                    if scoring and self._scores_term(t) and hit.any():
-                        sums[hit] += self._contrib(t, f[hit], norms_cand[hit])
             return cand, sums, counts
 
-        cand = np.unique(np.concatenate(parts_docs))
+        cand = np.unique(np.concatenate([d for d, _ in decoded]))
         counts = np.zeros(len(cand), dtype=np.int64)
         sums = np.zeros(len(cand), dtype=np.float64) if scoring else None
         norms_cand = self._norm_data(sr, cand) if scoring else None
-
-        # accumulate in clause order so scores are bit-identical whatever
-        # the essential/non-essential split was
-        for i, (t, p) in enumerate(postings):
-            if i in ess_decoded:
-                docs, freqs = ess_decoded[i]
-                pos = np.searchsorted(cand, docs)
-                counts[pos] += 1
-                if scoring and self._scores_term(t):
-                    sums[pos] += self._contrib(t, freqs, norms_cand[pos])
-            else:
-                # non-essential: candidate-only lookup (block-skip decode)
-                f = lookup_postings(p, cand)
-                hit = f > 0
-                counts += hit.astype(np.int64)
-                if scoring and self._scores_term(t) and hit.any():
-                    sums[hit] += self._contrib(t, f[hit], norms_cand[hit])
+        for (t, p), (docs, freqs) in zip(postings, decoded):
+            pos = np.searchsorted(cand, docs)
+            counts[pos] += 1
+            if scoring and self._scores_term(t):
+                sums[pos] += self._contrib(t, freqs, norms_cand[pos])
         return cand, sums, counts
+
+    def _wand_topk(self, sr: SegmentReader, postings: list, k: int,
+                   threshold: float):
+        """Doc-at-a-time block-max WAND (``search/WANDScorer.java:30-120``
+        role, window formulation): merge every term's block boundaries
+        into disjoint doc WINDOWS; a window's bound is the sum of the
+        covering blocks' impact bounds, so equal-global-bound hot terms
+        still prune wherever their *block* maxima dip. Windows process
+        in bound-descending geometric batches; after each batch the k-th
+        collected float32 score raises the threshold. Scores accumulate
+        per doc in clause order -> bit-identical to the exhaustive path.
+        """
+        blasts, ubs = [], []
+        for t, p in postings:
+            ub = bm25.max_block_scores(
+                np.asarray(p.imp_freqs), np.asarray(p.imp_norms),
+                np.asarray(p.imp_offsets), t.weight, self.cache)
+            blasts.append(np.asarray(p.block_last_docs, dtype=np.int64))
+            ubs.append(ub.astype(np.float64))
+        edges = np.unique(np.concatenate(blasts))
+        m = len(edges)
+        wb = np.zeros(m, dtype=np.float64)
+        for bl, ub in zip(blasts, ubs):
+            idx = np.searchsorted(bl, edges)
+            valid = idx < len(bl)
+            wb[valid] += ub[np.minimum(idx, len(ub) - 1)][valid] \
+                if len(ub) else 0.0
+        win_lo = np.empty(m, dtype=np.int64)
+        win_lo[0] = -(2**62)
+        win_lo[1:] = edges[:-1] + 1
+        if np.isfinite(threshold):
+            tl = float(np.nextafter(np.float32(threshold),
+                                    np.float32(-np.inf)))
+            if (wb >= tl).mean() > 0.6:
+                # bounds barely exceed the threshold (equal-hot-term
+                # adversary): batch machinery costs more than the dense
+                # exhaustive accumulate — let the caller run that instead
+                return NotImplemented
+        order = np.argsort(-wb, kind="stable")
+        from ..codecs.postings import decode_selected_blocks
+        theta = threshold
+        out_docs, out_sums = [], []
+        n_collected = 0
+        i = 0
+        batch = max(32, (8 * k) // 128 + 1)
+        while i < m:
+            theta_low = (float(np.nextafter(np.float32(theta),
+                                            np.float32(-np.inf)))
+                         if np.isfinite(theta) else -np.inf)
+            if wb[order[i]] < theta_low:
+                break  # descending order: nothing below can compete
+            take = order[i:i + batch]
+            if np.isfinite(theta):
+                take = take[wb[take] >= theta_low]
+            if len(take):
+                sel = np.sort(take)
+                his = edges[sel]
+                los = win_lo[sel]
+                per = []
+                for (t, p), bl in zip(postings, blasts):
+                    bidx = np.unique(np.searchsorted(bl, his))
+                    bidx = bidx[bidx < len(bl)]
+                    if len(bidx) == 0:
+                        per.append(None)
+                        continue
+                    d, f = decode_selected_blocks(p, bidx)
+                    pos = np.minimum(np.searchsorted(his, d), len(his) - 1)
+                    ok = (d <= his[pos]) & (d >= los[pos])
+                    d, f = self._live(sr, d[ok], f[ok])
+                    per.append((d, f) if len(d) else None)
+                parts = [pr[0] for pr in per if pr]
+                if parts:
+                    cand = np.unique(np.concatenate(parts))
+                    sums = np.zeros(len(cand), dtype=np.float64)
+                    norms_cand = self._norm_data(sr, cand)
+                    for (t, p), pr in zip(postings, per):
+                        if pr is None or not self._scores_term(t):
+                            continue
+                        d, f = pr
+                        pos = np.searchsorted(cand, d)
+                        sums[pos] += self._contrib(t, f, norms_cand[pos])
+                    out_docs.append(cand)
+                    out_sums.append(sums)
+                    n_collected += len(cand)
+                    if n_collected >= k:
+                        allsc = np.concatenate(out_sums).astype(np.float32)
+                        kth = float(np.partition(allsc, len(allsc) - k)
+                                    [len(allsc) - k])
+                        theta = max(theta, kth)
+            i += batch
+            # once a threshold exists, check whether it actually prunes;
+            # if most remaining windows survive, sweep them in ONE batch
+            if np.isfinite(theta) and i < m:
+                tl = float(np.nextafter(np.float32(theta),
+                                        np.float32(-np.inf)))
+                if (wb[order[i:]] >= tl).mean() > 0.6:
+                    batch = m
+                    continue
+            batch = min(batch * 4, 4096)
+        if not out_docs:
+            return None, None, None
+        return np.concatenate(out_docs), np.concatenate(out_sums), None
