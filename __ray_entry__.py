@@ -71,7 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from lucene_ray.pipelines.search_queries import (
         dedup_update_live_docs, incremental_build_stats, multi_field_match,
-        parsed_query_docs, phrase_topk,
+        numeric_range_match, parsed_query_docs, phrase_topk,
     )
     from lucene_ray.search import (
         FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery,
@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), 'data AND (merge OR "window data") -spark'),
         "multi_field_match": lambda sf: multi_field_match(
             _docp(sf), 'lang:en AND data -source:src7'),
+        "numeric_range_match": lambda sf: numeric_range_match(
+            _docp(sf), "data", "n_chars", 200, 900),
         "bm25_phrase": lambda sf: phrase_topk(
             _docp(sf), [_TERM_A, _TERM_B], 20),  # rows-only (f32 scores)
         # --- incremental indexing / deletes (SURVEY §2.1 live docs) ---
@@ -310,6 +312,11 @@ b AS (SELECT doc_id, pos - 1 AS ap FROM pos WHERE term = '{_TERM_B}')
 SELECT DISTINCT a.doc_id AS doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.ap - b.ap) <= 2
 ORDER BY a.doc_id""",
+        "numeric_range_match": f"""
+{_TOKS}
+SELECT DISTINCT t.doc_id FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+WHERE t.term = 'data' AND d.n_chars BETWEEN 200 AND 900
+ORDER BY t.doc_id""",
         "multi_field_match": f"""
 {_TOKS}
 SELECT DISTINCT t.doc_id FROM toks t JOIN documents d ON t.doc_id = d.doc_id

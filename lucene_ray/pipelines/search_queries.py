@@ -242,3 +242,20 @@ def multi_field_match(doc_path: str, expr: str) -> pa.Table:
     s = MultiFieldSearcher(out)
     docs = s.match_docs(parse_query(expr, default_field="text"))
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
+def numeric_range_match(doc_path: str, term: str, col: str, lo: int,
+                        hi: int) -> pa.Table:
+    """Term + numeric-range FILTER (PointRangeQuery analog over a
+    stored doc-values column)."""
+    from ..search.query import NumericRangeQuery
+
+    key = hashlib.md5(("num:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"numidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048, stored_cols=(col,))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    q = BooleanQuery(must=(TermQuery(term),),
+                     filter=(NumericRangeQuery(col, lo, hi),))
+    docs = s.match_docs(q)
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})

@@ -20,6 +20,35 @@ from .reader import IndexReader
 from .searcher import Searcher, TopDocs, merge_top_docs
 
 
+@ray.remote(num_cpus=0)
+class MaxScoreAccumulator:
+    """Shared min-competitive score exchange
+    (``search/MaxScoreAccumulator.java:24``): each worker publishes its
+    local k-th score per query; every worker's per-segment threshold
+    starts from the global maximum published so far. Keyed by query id
+    so interleaved queries don't cross-talk."""
+
+    def __init__(self):
+        self._v: dict[int, float] = {}
+        self._next = 0
+
+    def begin(self) -> int:
+        qid = self._next
+        self._next += 1
+        self._v[qid] = -float("inf")
+        if len(self._v) > 256:  # drop oldest finished queries
+            for key in sorted(self._v)[:-128]:
+                del self._v[key]
+        return qid
+
+    def update(self, qid: int, x: float) -> None:
+        if x > self._v.get(qid, -float("inf")):
+            self._v[qid] = x
+
+    def get(self, qid: int) -> float:
+        return self._v.get(qid, -float("inf"))
+
+
 @ray.remote
 class QueryWorker:
     def __init__(self, index_dir: str, seg_ids: list[str], similarity: str,
@@ -35,8 +64,14 @@ class QueryWorker:
         self.searcher.reader.term_stats([])
         return n
 
-    def search(self, q: Query, k: int):
-        td = self.searcher.search(q, k)
+    def search(self, q: Query, k: int, acc=None, qid: int = -1):
+        cbs = {}
+        if acc is not None:
+            cbs = {
+                "threshold_cb": lambda: ray.get(acc.get.remote(qid)),
+                "publish_cb": lambda v: acc.update.remote(qid, v),
+            }
+        td = self.searcher.search(q, k, **cbs)
         return td.doc_ids, td.scores
 
     def count(self, q: Query) -> int:
@@ -47,7 +82,8 @@ class RaySearcher:
     """Driver-side facade over the worker pool."""
 
     def __init__(self, index_dir: str, num_workers: int | None = None,
-                 similarity: str = "lucene", generation: int | None = None):
+                 similarity: str = "lucene", generation: int | None = None,
+                 share_min_competitive: bool = True):
         from ..index.manifest import read_manifest
         m = read_manifest(index_dir, generation)
         segs = sorted(m.segments, key=lambda s: s.min_doc)
@@ -68,10 +104,18 @@ class RaySearcher:
         self.workers = [
             QueryWorker.remote(index_dir, sl, similarity, m.generation)
             for sl in slices if sl]
+        # shared k-th-score floor across workers (skip for single worker
+        # or exact64, where pruning is off anyway)
+        self.acc = None
+        if share_min_competitive and len(self.workers) > 1 \
+                and similarity != "bm25_exact64":
+            self.acc = MaxScoreAccumulator.remote()
         ray.get([w.warm.remote() for w in self.workers])
 
     def search(self, q: Query, k: int = 10) -> TopDocs:
-        parts = ray.get([w.search.remote(q, k) for w in self.workers])
+        qid = ray.get(self.acc.begin.remote()) if self.acc else -1
+        parts = ray.get([w.search.remote(q, k, self.acc, qid)
+                         for w in self.workers])
         tds = [TopDocs(np.asarray(d, dtype=np.int64), np.asarray(s))
                for d, s in parts if len(d)]
         return merge_top_docs(tds, k)
@@ -80,7 +124,10 @@ class RaySearcher:
         return sum(ray.get([w.count.remote(q) for w in self.workers]))
 
     def search_batch(self, queries: list[Query], k: int = 10) -> list[TopDocs]:
-        futs = [[w.search.remote(q, k) for w in self.workers] for q in queries]
+        qids = (ray.get([self.acc.begin.remote() for _ in queries])
+                if self.acc else [-1] * len(queries))
+        futs = [[w.search.remote(q, k, self.acc, qid) for w in self.workers]
+                for q, qid in zip(queries, qids)]
         out = []
         for row in futs:
             parts = ray.get(row)

@@ -136,6 +136,22 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class NumericRangeQuery(Query):
+    """Docs whose stored NUMERIC column lies in [lower, upper] — the
+    PointRangeQuery / SortedNumericDocValuesField.newSlowRangeQuery
+    role (``search/PointRangeQuery.java``, ``document/IntPoint.java``).
+    Evaluated as a columnar predicate-pushdown scan of the segment's
+    stored column (doc-values pattern) rather than a BKD tree; constant
+    score. The column must be in the index's ``stored_cols``."""
+    column: str = ""
+    lower: float | int | None = None
+    upper: float | int | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FuzzyQuery(Query):
     """Terms within edit distance <= max_edits (search/FuzzyQuery.java;
     defaults maxEdits=2, prefixLength=0, transpositions=True i.e.

@@ -322,6 +322,21 @@ class SegmentReader:
     def doc_lens_for(self, docs: np.ndarray) -> np.ndarray:
         return self.doc_lens[self._idx_for(docs)]
 
+    def numeric_range_docs(self, col: str, lower, upper,
+                           include_lower: bool = True,
+                           include_upper: bool = True) -> np.ndarray:
+        """Sorted docIDs whose stored numeric ``col`` is in range —
+        a predicate-pushdown columnar scan (doc-values filter pattern);
+        Parquet row-group stats prune where the column clusters."""
+        filters = []
+        if lower is not None:
+            filters.append((col, ">=" if include_lower else ">", lower))
+        if upper is not None:
+            filters.append((col, "<=" if include_upper else "<", upper))
+        t = pq.read_table(self._docs_path, columns=["doc_id"],
+                          filters=filters or None)
+        return np.sort(t.column("doc_id").to_numpy().astype(np.int64))
+
     def stored(self, docs: np.ndarray, col: str):
         """Stored-field values for the given docIDs (lazy, predicate-
         pushdown read of only the needed column + row groups)."""

@@ -29,6 +29,7 @@ from .query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    NumericRangeQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -175,6 +176,9 @@ class Searcher:
                 q.tie_breaker)
         if isinstance(q, MatchAllDocsQuery):
             return MatchAllDocsQuery(q.boost * boost)
+        if isinstance(q, NumericRangeQuery):
+            from dataclasses import replace as _rep
+            return _rep(q, boost=q.boost * boost)
         if isinstance(q, PhraseQuery):
             if len(q.terms) == 1:
                 return TermQuery(q.terms[0], q.boost * boost)
@@ -218,13 +222,23 @@ class Searcher:
         list(Searcher._ex.map(
             lambda sid: self.reader.segment(sid).ensure_terms(terms), jobs))
 
-    def search(self, q: Query, k: int = 10) -> TopDocs:
+    def search(self, q: Query, k: int = 10, *, threshold_cb=None,
+               publish_cb=None) -> TopDocs:
+        """Top-k search. ``threshold_cb``/``publish_cb`` plug a shared
+        min-competitive score exchange (MaxScoreAccumulator.java:24):
+        before each segment the external floor is folded in; after each
+        segment the local k-th score is published, so concurrent workers
+        prune with each other's progress."""
         q = self.rewrite(q)
         prep = self._prepare(q)
         self._prefetch(sorted(set(query_terms(q))))
         parts = []
         threshold = -np.inf
         for sr in self.reader.segments():
+            if threshold_cb is not None:
+                ext = threshold_cb()
+                if ext is not None and ext > threshold:
+                    threshold = float(ext)
             docs, scores = self._eval(sr, prep, k, threshold, top=True)
             if docs is None or len(docs) == 0:
                 continue
@@ -233,8 +247,12 @@ class Searcher:
                 parts.append(td)
                 all_scores = np.concatenate([p.scores for p in parts])
                 if len(all_scores) >= k:
-                    threshold = float(np.partition(all_scores, len(all_scores) - k)
-                                      [len(all_scores) - k])
+                    kth = float(np.partition(all_scores, len(all_scores) - k)
+                                [len(all_scores) - k])
+                    if kth > threshold:
+                        threshold = kth
+                        if publish_cb is not None:
+                            publish_cb(kth)
         return merge_top_docs(parts, k)
 
     def eval_complete(self, q: Query):
@@ -298,6 +316,8 @@ class Searcher:
             return ("const", self._prepare(q.inner), np.float64(q.boost))
         if isinstance(q, MatchAllDocsQuery):
             return ("matchall", np.float64(q.boost))
+        if isinstance(q, NumericRangeQuery):
+            return ("numrange", q)
         if isinstance(q, DisjunctionMaxQuery):
             return ("dismax", [self._prepare(s) for s in q.disjuncts],
                     float(q.tie_breaker))
@@ -355,6 +375,13 @@ class Searcher:
             norms = sr.norms_for(docs)
             scores = bm25.score_freqs(freqs, norms, weight, self.cache)
             return docs, scores
+        if kind == "numrange":
+            nq = prep[1]
+            docs = sr.numeric_range_docs(nq.column, nq.lower, nq.upper,
+                                         nq.include_lower, nq.include_upper)
+            docs, = self._live(sr, docs)
+            dt = np.float64 if self.exact64 else np.float32
+            return docs, np.full(len(docs), nq.boost, dtype=dt)
         if kind == "nbool":
             return self._eval_nested(sr, prep, k)
         if kind == "dismax":
@@ -605,6 +632,11 @@ class Searcher:
             return self._match_docs(sr, q.inner)
         if isinstance(q, MatchAllDocsQuery):
             return sr.live_doc_ids()
+        if isinstance(q, NumericRangeQuery):
+            docs = sr.numeric_range_docs(q.column, q.lower, q.upper,
+                                         q.include_lower, q.include_upper)
+            docs, = self._live(sr, docs)
+            return docs
         if isinstance(q, DisjunctionMaxQuery):
             parts = [self._match_docs(sr, s) for s in q.disjuncts]
             parts = [p for p in parts if len(p)]

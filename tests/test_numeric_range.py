@@ -1,0 +1,58 @@
+"""NumericRangeQuery — PointRangeQuery / doc-values range filter analog
+(``search/PointRangeQuery.java``): predicate-pushdown scan of a stored
+numeric column, composed with text clauses as a FILTER."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index import build_index
+from lucene_ray.search import IndexReader, Searcher, TermQuery
+from lucene_ray.search.query import BooleanQuery, NumericRangeQuery
+
+
+@pytest.fixture(scope="module")
+def num_index(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(23)
+    n = 400
+    texts = [" ".join(rng.choice(["alpha", "beta", "gamma"], 6))
+             for _ in range(n)]
+    years = rng.integers(1990, 2030, n)
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string()),
+                  "year": pa.array(years, pa.int64())})
+    d = tmp_path_factory.mktemp("numr")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    out = str(d / "idx")
+    build_index(path, out, batch_size=100, stored_cols=("year",))
+    return out, texts, years
+
+
+def test_bare_range(num_index):
+    out, texts, years = num_index
+    s = Searcher(IndexReader(out))
+    q = NumericRangeQuery("year", 2000, 2009)
+    want = {i for i, y in enumerate(years) if 2000 <= y <= 2009}
+    assert set(s.match_docs(q).tolist()) == want
+    # open + exclusive bounds
+    q2 = NumericRangeQuery("year", None, 2000, include_upper=False)
+    want2 = {i for i, y in enumerate(years) if y < 2000}
+    assert set(s.match_docs(q2).tolist()) == want2
+
+
+def test_range_as_filter_clause(num_index):
+    out, texts, years = num_index
+    s = Searcher(IndexReader(out))
+    q = BooleanQuery(must=(TermQuery("alpha"),),
+                     filter=(NumericRangeQuery("year", 2010, None),))
+    want = {i for i in range(len(texts))
+            if "alpha" in texts[i].split() and years[i] >= 2010}
+    assert set(s.match_docs(q).tolist()) == want
+    # scored: filter does not contribute to the score
+    td = s.search(q, k=5)
+    td_plain = s.search(TermQuery("alpha"), k=400)
+    by_doc = dict(zip(td_plain.doc_ids.tolist(), td_plain.scores.tolist()))
+    for d, sc in zip(td.doc_ids.tolist(), td.scores.tolist()):
+        assert sc == by_doc[d]
