@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": lambda sf: similarity.knn_brute(_embp(sf), range(10), 10),
         "knn_lsh_top10": lambda sf: similarity.knn_lsh(
             _embp(sf), range(10), 10),  # rows-only (approximate)
+        "knn_ivf_top10": lambda sf: __import__(
+            "lucene_ray.pipelines.ivf", fromlist=["knn_ivf"]).knn_ivf(
+            _embp(sf), range(10), 10, nprobe=22),  # partitioned ANN index
     }
 
 
@@ -344,6 +347,15 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= 0.5
 ORDER BY vec_a, vec_b""",
+        "knn_ivf_top10": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < 10),
+sims AS (SELECT q.qid, e.vec_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
         "knn_top10": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
            WHERE vec_id < 10),
