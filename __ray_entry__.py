@@ -110,6 +110,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return text_analysis.doc_stats(_docp(sf_dir)).select_columns(
             ["doc_id", "norm"])
 
+    def _stable_pairs(ds):
+        # an EMPTY Dataset loses its schema through to_pandas; pin the
+        # (vec_a, vec_b) schema so 0-row results still hash-compare
+        import pyarrow as pa
+        rows = ds.take_all()
+        return pa.table({
+            "vec_a": pa.array([r["vec_a"] for r in rows], pa.int64()),
+            "vec_b": pa.array([r["vec_b"] for r in rows], pa.int64()),
+        })
+
     return {
         # --- index / term dictionary / stats (SURVEY §2.2, §2.5) ---
         "term_stats": term_stats,
@@ -162,8 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf)),  # rows-only (pair-free component keeper selection)
         "simhash_table": lambda sf: dedup.simhash_table(_docp(sf))
             .select_columns(["doc_id", "simhash"]),  # rows-only
-        "embedding_neardup": lambda sf: dedup.embedding_neardup_exact(
-            _embp(sf), threshold=0.5).select_columns(["vec_a", "vec_b"]),
+        "embedding_neardup": lambda sf: _stable_pairs(
+            dedup.embedding_neardup_exact(_embp(sf), threshold=0.5)),
         "embedding_neardup_lsh": lambda sf: dedup.embedding_neardup(
             _embp(sf), threshold=0.5),  # rows-only (LSH-bucketed, approx)
         # --- similarity search ---
