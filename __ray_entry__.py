@@ -70,8 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dismax_topk, match_query_docs,
     )
     from lucene_ray.pipelines.search_queries import (
-        dedup_update_live_docs, incremental_build_stats, multi_field_match,
-        numeric_range_match, parsed_query_docs, phrase_topk,
+        dedup_update_live_docs, facet_lang_counts, highlight_top,
+        incremental_build_stats,
+        multi_field_match, numeric_range_match, parsed_query_docs,
+        phrase_topk,
     )
     from lucene_ray.search import (
         FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery,
@@ -109,6 +111,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_norms(sf_dir):
         return text_analysis.doc_stats(_docp(sf_dir)).select_columns(
             ["doc_id", "norm"])
+
+    def _mm_images(sf_dir):
+        # deterministic synthetic BMP corpus (media isn't in the sf
+        # tables); REAL decode -> grid features; rows-only but
+        # hash-stable (content-derived, seeded)
+        import os
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.multimodal import (image_features,
+                                                     synth_image_table)
+        p = "/tmp/lucene_ray_cache/mm_images.parquet"
+        if not os.path.exists(p):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            pq.write_table(synth_image_table(64), p)
+        return image_features(p, batch_size=16)
+
+    def _mm_audio(sf_dir):
+        import os
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.multimodal import (audio_spectrograms,
+                                                     synth_audio_table)
+        p = "/tmp/lucene_ray_cache/mm_audio.parquet"
+        if not os.path.exists(p):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            pq.write_table(synth_audio_table(32), p)
+        return audio_spectrograms(p, batch_size=16)
 
     def _stable_pairs(ds):
         # an EMPTY Dataset loses its schema through to_pandas; pin the
@@ -158,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), 'lang:en AND data -source:src7'),
         "numeric_range_match": lambda sf: numeric_range_match(
             _docp(sf), "data", "n_chars", 200, 900),
+        "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
+        "highlight_top5": lambda sf: highlight_top(
+            _docp(sf), "data", 5),  # rows-only (snippet strings)
         "bm25_phrase": lambda sf: phrase_topk(
             _docp(sf), [_TERM_A, _TERM_B], 20),  # rows-only (f32 scores)
         # --- incremental indexing / deletes (SURVEY §2.1 live docs) ---
@@ -180,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": lambda sf: similarity.knn_brute(_embp(sf), range(10), 10),
         "knn_lsh_top10": lambda sf: similarity.knn_lsh(
             _embp(sf), range(10), 10),  # rows-only (approximate)
+        # --- multimodal (real BMP/WAV codecs; deterministic synth input) ---
+        "image_grid_features": lambda sf: _mm_images(sf),
+        "audio_band_spectra": lambda sf: _mm_audio(sf),
         "knn_ivf_top10": lambda sf: __import__(
             "lucene_ray.pipelines.ivf", fromlist=["knn_ivf"]).knn_ivf(
             _embp(sf), range(10), 10, nprobe=22),  # partitioned ANN index
@@ -325,6 +358,13 @@ b AS (SELECT doc_id, pos - 1 AS ap FROM pos WHERE term = '{_TERM_B}')
 SELECT DISTINCT a.doc_id AS doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.ap - b.ap) <= 2
 ORDER BY a.doc_id""",
+        "facet_lang_counts": f"""
+{_TOKS}
+SELECT d.lang, count(*) AS count
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t
+              WHERE t.doc_id = d.doc_id AND t.term = 'data')
+GROUP BY d.lang ORDER BY count DESC, d.lang""",
         "numeric_range_match": f"""
 {_TOKS}
 SELECT DISTINCT t.doc_id FROM toks t JOIN documents d ON t.doc_id = d.doc_id

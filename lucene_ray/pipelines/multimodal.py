@@ -1,12 +1,13 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata, processed by actor-pool map_batches stages.
+"""Multimodal columns: image/audio as opaque binary columns with typed
+metadata, processed by actor-pool map_batches stages.
 
-The container ships no image/audio codecs, so the *decode kernels* are
-stubs: ``decoder="fake"`` (default) derives deterministic features from
-the bytes themselves — making the Ray-side plumbing (schema, batch
-sizing, actor signatures, output layout) real and testable — while
-``decoder="pil"`` / ``decoder="soundfile"`` raise NotImplementedError
-until the real libraries are present (import-gated).
+The decode kernels are REAL for the fully-specified public formats this
+container can handle in numpy alone — BMP (24-bit) and WAV (PCM16
+mono), implemented in ``mm_codecs.py``: encoded bytes in, pixels /
+samples out, features computed from actual content. Formats that need
+external libraries (JPEG/PNG via PIL, FLAC/OGG via soundfile) stay
+import-gated and raise NotImplementedError when the library is absent.
+``decoder="fake"`` keeps the digest-seeded path for plumbing tests.
 
 Batch sizing note (100 TB): binary payloads dominate memory, so stages
 default to small ``batch_size`` — a batch x concurrency must fit the
@@ -23,6 +24,14 @@ import pyarrow as pa
 import ray.data
 
 from ..util import default_concurrency
+from .mm_codecs import (
+    decode_bmp,
+    decode_wav,
+    frame_energies,
+    image_grid_features,
+    resize_bilinear,
+    spectrogram,
+)
 
 IMAGE_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
@@ -36,11 +45,13 @@ IMAGE_SCHEMA = pa.schema([
 class ImageFeatureExtractor:
     """Actor-pool stage: encoded image bytes -> fixed-size feature vector.
 
-    Real decoders load once per actor in ``__init__`` (model/codec the
-    expensive part); ``__call__`` is per batch.
+    ``decoder="bmp"`` (default) decodes real BMP bytes and computes
+    grid-mean-RGB + grayscale-histogram features from the pixels;
+    ``decoder="fake"`` derives digest-seeded pseudo-features (plumbing
+    tests); ``decoder="pil"`` import-gates the general path.
     """
 
-    def __init__(self, decoder: str = "fake", feature_dim: int = 64):
+    def __init__(self, decoder: str = "bmp", feature_dim: int = 64):
         self.feature_dim = feature_dim
         self.decoder = decoder
         if decoder == "pil":
@@ -49,9 +60,9 @@ class ImageFeatureExtractor:
                 self._pil = Image
             except ImportError as e:
                 raise NotImplementedError(
-                    "PIL not available in this environment; use decoder='fake' "
-                    "for plumbing tests") from e
-        elif decoder != "fake":
+                    "PIL not available in this environment; use "
+                    "decoder='bmp' (real, numpy) or 'fake'") from e
+        elif decoder not in ("bmp", "fake"):
             raise ValueError(f"unknown decoder {decoder}")
 
     def _fake_features(self, blob: bytes) -> np.ndarray:
@@ -61,12 +72,18 @@ class ImageFeatureExtractor:
         rng = np.random.default_rng(seed)
         return rng.standard_normal(self.feature_dim).astype(np.float32)
 
+    def _features(self, blob: bytes) -> np.ndarray:
+        if self.decoder == "fake":
+            return self._fake_features(blob)
+        img = decode_bmp(blob)
+        f = image_grid_features(img).astype(np.float32)
+        if len(f) < self.feature_dim:
+            f = np.pad(f, (0, self.feature_dim - len(f)))
+        return f[:self.feature_dim]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column("image").to_pylist()
-        if self.decoder == "fake":
-            feats = [self._fake_features(b or b"") for b in blobs]
-        else:  # pragma: no cover - real decoder path
-            raise NotImplementedError("real image decode is a stub in this env")
+        feats = [self._features(b or b"") for b in blobs]
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "feature": pa.array([f.tolist() for f in feats],
@@ -75,35 +92,91 @@ class ImageFeatureExtractor:
         })
 
 
-class AudioFrameSampler:
-    """Actor-pool stage: audio bytes -> sampled frame stats (stub kernel,
-    real plumbing). Output: one row per (doc, frame)."""
+class ImageResizer:
+    """Actor-pool stage: BMP bytes -> resized BMP bytes (bilinear)."""
 
-    def __init__(self, decoder: str = "fake", frames_per_clip: int = 4):
+    def __init__(self, out_w: int = 64, out_h: int = 64):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .mm_codecs import encode_bmp
+        out = []
+        for b in batch.column("image").to_pylist():
+            img = decode_bmp(b)
+            out.append(encode_bmp(resize_bilinear(img, self.out_w,
+                                                  self.out_h)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "image": pa.array(out, pa.binary()),
+            "mime": pa.array(["image/bmp"] * len(out), pa.string()),
+            "width": pa.array([self.out_w] * len(out), pa.int32()),
+            "height": pa.array([self.out_h] * len(out), pa.int32()),
+        })
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: WAV bytes -> per-frame RMS energy rows
+    (one row per (doc, frame)); ``decoder="fake"`` keeps the byte-mean
+    plumbing path."""
+
+    def __init__(self, decoder: str = "wav", frames_per_clip: int = 4):
         self.frames = frames_per_clip
-        if decoder != "fake":
-            raise NotImplementedError("audio codecs unavailable; use 'fake'")
+        self.decoder = decoder
+        if decoder not in ("wav", "fake"):
+            raise NotImplementedError(
+                "audio codecs beyond PCM WAV unavailable; use 'wav'/'fake'")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, frame_ids, energies = [], [], []
         for d, blob in zip(batch.column("doc_id").to_pylist(),
                            batch.column("audio").to_pylist()):
             blob = blob or b""
-            step = max(1, len(blob) // self.frames)
+            if self.decoder == "wav":
+                samples, _sr = decode_wav(blob)
+                es = frame_energies(samples, self.frames)
+            else:
+                step = max(1, len(blob) // self.frames)
+                es = [float(np.frombuffer(blob[f * step:(f + 1) * step],
+                                          dtype=np.uint8)
+                            .astype(np.float64).mean())
+                      if blob[f * step:(f + 1) * step] else 0.0
+                      for f in range(self.frames)]
             for f in range(self.frames):
-                chunk = blob[f * step:(f + 1) * step]
                 doc_ids.append(d)
                 frame_ids.append(f)
-                energies.append(float(np.frombuffer(
-                    chunk, dtype=np.uint8).astype(np.float64).mean())
-                    if chunk else 0.0)
+                energies.append(float(es[f]))
         return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
                          "frame": pa.array(frame_ids, pa.int32()),
                          "energy": pa.array(energies, pa.float64())})
 
 
+class AudioSpectrogram:
+    """Actor-pool stage: WAV bytes -> flattened magnitude spectrogram
+    summary (per-band mean over time) — batched FFT feature extraction."""
+
+    def __init__(self, frame: int = 256, hop: int = 128, bands: int = 32):
+        self.frame, self.hop, self.bands = frame, hop, bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for blob in batch.column("audio").to_pylist():
+            samples, _sr = decode_wav(blob or b"")
+            spec = spectrogram(samples, self.frame, self.hop)
+            nb = spec.shape[1]
+            edges = np.linspace(0, nb, self.bands + 1).astype(np.int64)
+            band = np.array([spec[:, edges[i]:edges[i + 1]].mean()
+                             if edges[i + 1] > edges[i] else 0.0
+                             for i in range(self.bands)], dtype=np.float32)
+            feats.append(band)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "spec": pa.array([f.tolist() for f in feats],
+                             pa.list_(pa.float32(), self.bands)),
+        })
+
+
 def image_features(ds_or_path, *, batch_size: int = 64,
-                   decoder: str = "fake") -> ray.data.Dataset:
+                   decoder: str = "bmp") -> ray.data.Dataset:
     """image table -> feature table. Small batches: payloads are large."""
     ds = (ray.data.read_parquet(ds_or_path)
           if isinstance(ds_or_path, str) else ds_or_path)
@@ -113,23 +186,82 @@ def image_features(ds_or_path, *, batch_size: int = 64,
         concurrency=default_concurrency())
 
 
-def audio_frames(ds_or_path, *, batch_size: int = 64) -> ray.data.Dataset:
+def image_resize(ds_or_path, out_w: int = 64, out_h: int = 64, *,
+                 batch_size: int = 64) -> ray.data.Dataset:
     ds = (ray.data.read_parquet(ds_or_path)
           if isinstance(ds_or_path, str) else ds_or_path)
     return ds.map_batches(
-        AudioFrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        ImageResizer, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", batch_size=batch_size,
         concurrency=default_concurrency())
 
 
-def synth_image_table(n: int, seed: int = 3) -> pa.Table:
-    """Deterministic fake image corpus for plumbing tests."""
+def audio_frames(ds_or_path, *, batch_size: int = 64,
+                 decoder: str = "wav") -> ray.data.Dataset:
+    ds = (ray.data.read_parquet(ds_or_path)
+          if isinstance(ds_or_path, str) else ds_or_path)
+    return ds.map_batches(
+        AudioFrameSampler, fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=default_concurrency())
+
+
+def audio_spectrograms(ds_or_path, *, batch_size: int = 64) -> ray.data.Dataset:
+    ds = (ray.data.read_parquet(ds_or_path)
+          if isinstance(ds_or_path, str) else ds_or_path)
+    return ds.map_batches(
+        AudioSpectrogram, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=default_concurrency())
+
+
+def synth_image_table(n: int, seed: int = 3, real: bool = True) -> pa.Table:
+    """Deterministic image corpus. ``real=True``: actual BMP bytes
+    (gradient + noise patterns); ``real=False``: random blobs for
+    plumbing tests."""
+    from .mm_codecs import encode_bmp
     rng = np.random.default_rng(seed)
-    blobs = [rng.integers(0, 256, size=int(rng.integers(512, 4096)),
-                          dtype=np.uint8).tobytes() for _ in range(n)]
+    blobs, ws, hs = [], [], []
+    for _ in range(n):
+        if real:
+            w = int(rng.integers(16, 64))
+            h = int(rng.integers(16, 64))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([
+                (xx * 255 // max(w - 1, 1)),
+                (yy * 255 // max(h - 1, 1)),
+                rng.integers(0, 256, (h, w)),
+            ], axis=2).astype(np.uint8)
+            blobs.append(encode_bmp(img))
+        else:
+            w = int(rng.integers(16, 512))
+            h = int(rng.integers(16, 512))
+            blobs.append(rng.integers(0, 256, size=int(rng.integers(512, 4096)),
+                                      dtype=np.uint8).tobytes())
+        ws.append(w)
+        hs.append(h)
     return pa.table({
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
         "image": pa.array(blobs, pa.binary()),
-        "mime": pa.array(["image/fake"] * n, pa.string()),
-        "width": pa.array(rng.integers(16, 512, n).astype(np.int32), pa.int32()),
-        "height": pa.array(rng.integers(16, 512, n).astype(np.int32), pa.int32()),
+        "mime": pa.array(["image/bmp" if real else "image/fake"] * n,
+                         pa.string()),
+        "width": pa.array(np.asarray(ws, dtype=np.int32), pa.int32()),
+        "height": pa.array(np.asarray(hs, dtype=np.int32), pa.int32()),
+    })
+
+
+def synth_audio_table(n: int, seed: int = 4, sr: int = 8000,
+                      dur: float = 0.25) -> pa.Table:
+    """Deterministic WAV corpus: sine + noise clips (real PCM16)."""
+    from .mm_codecs import encode_wav
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * dur)) / sr
+    blobs = []
+    for i in range(n):
+        f0 = float(rng.uniform(100, 2000))
+        x = 0.6 * np.sin(2 * np.pi * f0 * t) \
+            + 0.1 * rng.standard_normal(len(t))
+        blobs.append(encode_wav(x, sr))
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "audio": pa.array(blobs, pa.binary()),
     })

@@ -259,3 +259,31 @@ def numeric_range_match(doc_path: str, term: str, col: str, lo: int,
                      filter=(NumericRangeQuery(col, lo, hi),))
     docs = s.match_docs(q)
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
+def facet_lang_counts(doc_path: str, term: str, col: str = "lang") -> pa.Table:
+    """Facet counts (FacetsCollector analog) for docs matching a term,
+    over a stored keyword column."""
+    from ..search.facets import facet_counts
+
+    key = hashlib.md5(("facet:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"facetidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    stored_cols=("lang", "source", "text"))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    return facet_counts(s, TermQuery(term), col)
+
+
+def highlight_top(doc_path: str, term: str, k: int = 5) -> pa.Table:
+    """Search + snippet highlighting (UnifiedHighlighter analog) over
+    the facet-cache index (stores text)."""
+    from ..search.highlight import highlight_topk
+
+    key = hashlib.md5(("facet:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"facetidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    stored_cols=("lang", "source", "text"))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    return highlight_topk(s, TermQuery(term), k=k)

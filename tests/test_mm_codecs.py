@@ -1,0 +1,112 @@
+"""Real multimodal codecs: BMP and WAV round-trips, resize, features,
+spectrograms — decoded content, not digests."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.pipelines.mm_codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    frame_energies,
+    image_grid_features,
+    resize_bilinear,
+    resize_nearest,
+    spectrogram,
+)
+from lucene_ray.pipelines.multimodal import (
+    AudioSpectrogram,
+    ImageFeatureExtractor,
+    audio_frames,
+    audio_spectrograms,
+    image_features,
+    image_resize,
+    synth_audio_table,
+    synth_image_table,
+)
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    for w, h in [(1, 1), (3, 2), (17, 5), (64, 33)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOTABMP" * 10)
+
+
+def test_resize_shapes_and_identity():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    assert resize_nearest(img, 15, 10).shape == (10, 15, 3)
+    assert resize_bilinear(img, 60, 40).shape == (40, 60, 3)
+    # identity resize is exact for nearest
+    np.testing.assert_array_equal(resize_nearest(img, 30, 20), img)
+
+
+def test_features_depend_on_content():
+    a = np.zeros((32, 32, 3), dtype=np.uint8)
+    b = np.full((32, 32, 3), 255, dtype=np.uint8)
+    fa, fb = image_grid_features(a), image_grid_features(b)
+    assert fa.shape == (64,)
+    assert not np.allclose(fa, fb)
+    # dark image -> grid means ~0; bright -> ~1
+    assert fa[:48].max() < 0.01 and fb[:48].min() > 0.99
+
+
+def test_wav_roundtrip_close():
+    rng = np.random.default_rng(3)
+    x = np.clip(rng.standard_normal(1000) * 0.3, -1, 1)
+    y, sr = decode_wav(encode_wav(x, 12345))
+    assert sr == 12345 and len(y) == 1000
+    assert np.abs(y - x).max() < 1.0 / 32000  # PCM16 quantization only
+
+
+def test_frame_energies_and_spectrogram():
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 440 * t)
+    es = frame_energies(x, 4)
+    assert np.allclose(es, 1 / np.sqrt(2), atol=0.01)  # sine RMS
+    spec = spectrogram(x, frame=256, hop=128)
+    # peak bin ~ 440/8000*256 = 14
+    assert abs(int(np.argmax(spec.mean(axis=0))) - 14) <= 1
+
+
+def test_image_pipeline_real(ray_session, tmp_path_factory):
+    t = synth_image_table(20)
+    d = tmp_path_factory.mktemp("mmimg")
+    path = str(d / "images.parquet")
+    pq.write_table(t, path)
+    feats = image_features(path, batch_size=8).take_all()
+    assert len(feats) == 20 and len(feats[0]["feature"]) == 64
+    # deterministic and content-derived: gradient images have rising
+    # red channel across grid columns
+    fx = ImageFeatureExtractor()
+    f = fx._features(t.column("image")[0].as_py())
+    grid = np.array(f[:48]).reshape(4, 4, 3)
+    red = grid[:, :, 0].mean(axis=0)
+    assert (np.diff(red) > 0).all()
+    # resize stage round-trips through the codec
+    resized = image_resize(path, 16, 16, batch_size=8).take_all()
+    img = decode_bmp(resized[0]["image"])
+    assert img.shape == (16, 16, 3)
+
+
+def test_audio_pipeline_real(ray_session, tmp_path_factory):
+    t = synth_audio_table(10)
+    d = tmp_path_factory.mktemp("mmaud")
+    path = str(d / "audio.parquet")
+    pq.write_table(t, path)
+    rows = audio_frames(path).take_all()
+    assert len(rows) == 40  # 10 docs x 4 frames
+    # sine+noise clips: RMS energy ~ 0.43 for every frame
+    for r in rows:
+        assert 0.2 < r["energy"] < 0.8
+    specs = audio_spectrograms(path).take_all()
+    assert len(specs) == 10 and len(specs[0]["spec"]) == 32

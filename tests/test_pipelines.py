@@ -132,18 +132,18 @@ def test_multimodal_plumbing(ray_session, tmp_path_factory):
     import ray.data
     from lucene_ray.pipelines.multimodal import (
         ImageFeatureExtractor, image_features, synth_image_table)
-    t = synth_image_table(40)
+    t = synth_image_table(40, real=False)  # random blobs, fake decoder
     d = tmp_path_factory.mktemp("imgs")
     path = str(d / "images.parquet")
     pq.write_table(t, path)
-    feats = image_features(path, batch_size=8).take_all()
+    feats = image_features(path, batch_size=8, decoder="fake").take_all()
     assert len(feats) == 40
     assert len(feats[0]["feature"]) == 64
     # deterministic: same blob -> same features
-    fx = ImageFeatureExtractor()
+    fx = ImageFeatureExtractor(decoder="fake")
     blob = t.column("image")[0].as_py()
     np.testing.assert_array_equal(fx._fake_features(blob), fx._fake_features(blob))
-    # real decoder is an explicit stub
+    # PIL-backed general decoding stays import-gated in this container
     with pytest.raises(NotImplementedError):
         ImageFeatureExtractor(decoder="pil")
 
@@ -159,7 +159,7 @@ def test_audio_plumbing(ray_session, tmp_path_factory):
     d = tmp_path_factory.mktemp("audio")
     path = str(d / "audio.parquet")
     pq.write_table(t, path)
-    rows = audio_frames(path).take_all()
+    rows = audio_frames(path, decoder="fake").take_all()
     assert len(rows) == 40  # 10 docs x 4 frames
 
 
