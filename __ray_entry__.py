@@ -71,7 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from lucene_ray.pipelines.search_queries import (
         dedup_update_live_docs, facet_lang_counts, highlight_top,
-        incremental_build_stats,
+        incremental_build_stats, suggest_completions, suggest_corrections,
         multi_field_match, numeric_range_match, parsed_query_docs,
         phrase_topk,
     )
@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
         "highlight_top5": lambda sf: highlight_top(
             _docp(sf), "data", 5),  # rows-only (snippet strings)
+        "suggest_prefix": lambda sf: suggest_completions(_docp(sf), "me", 10),
+        "suggest_spell": lambda sf: suggest_corrections(_docp(sf), "merje", 5),
         "bm25_phrase": lambda sf: phrase_topk(
             _docp(sf), [_TERM_A, _TERM_B], 20),  # rows-only (f32 scores)
         # --- incremental indexing / deletes (SURVEY §2.1 live docs) ---
@@ -358,6 +360,18 @@ b AS (SELECT doc_id, pos - 1 AS ap FROM pos WHERE term = '{_TERM_B}')
 SELECT DISTINCT a.doc_id AS doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.ap - b.ap) <= 2
 ORDER BY a.doc_id""",
+        "suggest_prefix": f"""
+{_TOKS}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE term LIKE 'me%' GROUP BY term
+ORDER BY df DESC, term LIMIT 10""",
+        "suggest_spell": f"""
+{_TOKS},
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, levenshtein(term, 'merje') AS distance, df FROM dict
+WHERE term LIKE 'm%' AND abs(length(term) - 5) <= 2
+  AND levenshtein(term, 'merje') <= 2
+ORDER BY distance, df DESC, term LIMIT 5""",
         "facet_lang_counts": f"""
 {_TOKS}
 SELECT d.lang, count(*) AS count

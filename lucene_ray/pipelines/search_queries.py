@@ -287,3 +287,18 @@ def highlight_top(doc_path: str, term: str, k: int = 5) -> pa.Table:
                     stored_cols=("lang", "source", "text"))
     s = Searcher(IndexReader(out), similarity="bm25_exact64")
     return highlight_topk(s, TermQuery(term), k=k)
+
+
+def suggest_completions(doc_path: str, prefix: str, k: int = 10) -> pa.Table:
+    """Prefix completion ranked by df (AnalyzingSuggester role)."""
+    from ..search.suggest import complete_prefix
+    idx = cached_index(doc_path)
+    return complete_prefix(IndexReader(idx), prefix, k)
+
+
+def suggest_corrections(doc_path: str, word: str, k: int = 5) -> pa.Table:
+    """Did-you-mean (DirectSpellChecker role); plain Levenshtein so the
+    DuckDB oracle (levenshtein) reproduces the ranking."""
+    from ..search.suggest import spell_correct
+    idx = cached_index(doc_path)
+    return spell_correct(IndexReader(idx), word, k, transpositions=False)

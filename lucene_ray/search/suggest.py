@@ -1,0 +1,60 @@
+"""Term suggestion: prefix completion + fuzzy spell correction.
+
+Plays the role of the reference's suggest/spellcheck modules
+(``lucene/suggest/.../analyzing/AnalyzingSuggester.java`` for
+completion, ``lucene/suggest/.../DirectSpellChecker.java`` for
+did-you-mean): candidates come from the term dictionary (range-pruned
+vocab reads), ranked by popularity (df) for completion and by
+(edit distance, -df, term) for correction — DirectSpellChecker's
+score ordering.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .query import _edit_distance, _prefix_upper
+from .reader import IndexReader
+
+
+def complete_prefix(reader: IndexReader, prefix: str, k: int = 10) -> pa.Table:
+    """Top-k completions of ``prefix`` by document frequency
+    (ties: term asc). Reads only the prefix's vocab row groups."""
+    terms = reader.vocab(prefix, _prefix_upper(prefix))
+    terms = [t for t in terms if t.startswith(prefix)]
+    stats = reader.term_stats(terms)
+    ranked = sorted(terms, key=lambda t: (-stats[t][0], t))[:k]
+    return pa.table({
+        "term": pa.array(ranked, pa.string()),
+        "df": pa.array([stats[t][0] for t in ranked], pa.int64()),
+    })
+
+
+def spell_correct(reader: IndexReader, word: str, k: int = 5,
+                  max_edits: int = 2, prefix_length: int = 1,
+                  min_df: int = 1, transpositions: bool = True) -> pa.Table:
+    """DirectSpellChecker analog: dictionary terms within
+    ``max_edits`` (OSA distance, like FuzzyQuery), sharing the first
+    ``prefix_length`` chars (the reference's default of 1 keeps the
+    scan bounded), ranked by (distance, -df, term)."""
+    pfx = word[:prefix_length]
+    vocab = reader.vocab(pfx, _prefix_upper(pfx)) if pfx \
+        else reader.vocab(None, None)
+    cands = []
+    for t in vocab:
+        if pfx and not t.startswith(pfx):
+            continue
+        if abs(len(t) - len(word)) > max_edits:
+            continue
+        d = _edit_distance(t, word, max_edits, transpositions=transpositions)
+        if d <= max_edits:
+            cands.append((t, d))
+    stats = reader.term_stats([t for t, _ in cands])
+    cands = [(t, d) for t, d in cands if stats[t][0] >= min_df]
+    cands.sort(key=lambda td: (td[1], -stats[td[0]][0], td[0]))
+    cands = cands[:k]
+    return pa.table({
+        "term": pa.array([t for t, _ in cands], pa.string()),
+        "distance": pa.array([d for _, d in cands], pa.int64()),
+        "df": pa.array([stats[t][0] for t, _ in cands], pa.int64()),
+    })

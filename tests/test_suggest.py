@@ -1,0 +1,46 @@
+"""Suggest: prefix completion (AnalyzingSuggester role) + spell
+correction (DirectSpellChecker role)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index import build_index
+from lucene_ray.search import IndexReader
+from lucene_ray.search.suggest import complete_prefix, spell_correct
+
+
+@pytest.fixture(scope="module")
+def sugg_index(ray_session, tmp_path_factory):
+    texts = (["merge sort"] * 10 + ["merged lists"] * 5 + ["memory map"] * 3
+             + ["metric space"] * 7 + ["zebra"] * 2)
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path_factory.mktemp("sugg")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    out = str(d / "idx")
+    build_index(path, out, batch_size=10)
+    return IndexReader(out)
+
+
+def test_complete_prefix_df_order(sugg_index):
+    got = complete_prefix(sugg_index, "me", k=10).to_pylist()
+    assert [r["term"] for r in got] == ["merge", "metric", "merged", "memory"]
+    assert [r["df"] for r in got] == [10, 7, 5, 3]
+    assert complete_prefix(sugg_index, "zz", 5).num_rows == 0
+
+
+def test_spell_correct_ranking(sugg_index):
+    got = spell_correct(sugg_index, "merge", k=5).to_pylist()
+    assert got[0]["term"] == "merge" and got[0]["distance"] == 0
+    got = spell_correct(sugg_index, "merg", k=5).to_pylist()
+    # distance 1 candidates ranked by df desc: merge(10) before merged(2 ed)
+    assert got[0]["term"] == "merge"
+    # transpositions: "mrege" is 1 OSA edit from "merge"
+    got = spell_correct(sugg_index, "mrege", k=3).to_pylist()
+    assert got[0]["term"] == "merge" and got[0]["distance"] == 1
+    got = spell_correct(sugg_index, "mrege", k=3,
+                        transpositions=False).to_pylist()
+    assert got[0]["distance"] == 2  # plain Levenshtein needs 2
