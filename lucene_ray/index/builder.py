@@ -233,6 +233,11 @@ class SegmentIndexer:
         os.makedirs(seg_dir, exist_ok=True)
         pq.write_table(postings_table, os.path.join(seg_dir, "postings.parquet"),
                        row_group_size=POSTINGS_ROW_GROUP)
+        # term-membership fingerprint: readers skip this segment's
+        # postings entirely for absent terms (FST-presence role)
+        from ..util import term_hash64
+        np.sort(term_hash64(rows["term"] if rows.get("term") else [])) \
+            .tofile(os.path.join(seg_dir, "postings.termset"))
         pq.write_table(docs_table, os.path.join(seg_dir, "docs.parquet"))
 
         return pa.table({

@@ -360,6 +360,12 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
             from .builder import POSTINGS_ROW_GROUP
             pq.write_table(merged, out_path,
                            row_group_size=POSTINGS_ROW_GROUP)
+            from ..util import term_hash64
+            side = os.path.join(os.path.dirname(out_path),
+                                "_" + os.path.basename(out_path)
+                                [:-len(".parquet")] + ".termset")
+            np.sort(term_hash64(merged.column("term").to_pylist())) \
+                .tofile(side)
             return pa.table({"group_id": pa.array([gid], pa.int64()),
                              "n_terms": pa.array([len(merged)], pa.int64())})
 

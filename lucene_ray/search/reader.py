@@ -116,6 +116,27 @@ class _ShardedPostings:
         else:
             self._paths = {"": path}
         self._open: dict[str, TermSortedFile | None] = {}
+        self._termsets: dict[str, np.ndarray | None] = {}
+
+    def termset(self, name: str) -> np.ndarray | None:
+        """Sorted 64-bit term-hash fingerprint for a shard (the
+        term-dictionary presence check) — lets absent terms skip the
+        shard without opening its Parquet file. None if no sidecar."""
+        got = self._termsets.get(name, False)
+        if got is not False:
+            return got
+        p = self._paths.get(name)
+        ts = None
+        if p is not None:
+            side = (os.path.join(os.path.dirname(p),
+                                 "_" + os.path.basename(p)
+                                 [:-len(".parquet")] + ".termset")
+                    if self.is_dir
+                    else os.path.join(os.path.dirname(p), "postings.termset"))
+            if os.path.isfile(side):
+                ts = np.fromfile(side, dtype=np.uint64)
+        self._termsets[name] = ts
+        return ts
 
     def _file(self, name: str) -> TermSortedFile | None:
         got = self._open.get(name, False)
@@ -263,6 +284,17 @@ class SegmentReader:
             return
         found = set()
         for name, shard_terms in self._postings.route(missing).items():
+            ts = self._postings.termset(name)
+            if ts is not None and len(shard_terms):
+                from ..util import term_hash64
+                h = term_hash64(shard_terms)
+                pos = np.minimum(np.searchsorted(ts, h),
+                                 max(len(ts) - 1, 0))
+                member = (ts[pos] == h) if len(ts) else \
+                    np.zeros(len(h), dtype=bool)
+                shard_terms = [t for t, m in zip(shard_terms, member) if m]
+                if not shard_terms:
+                    continue  # shard never opened for absent terms
             f = self._postings._file(name)
             if f is None:
                 continue

@@ -39,3 +39,16 @@ def default_concurrency() -> int:
         return max(1, int(override))
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     return max(1, min(cpus - 1, int(cpus * 0.8)))
+
+
+def term_hash64(terms) -> "np.ndarray":
+    """Stable 64-bit hashes for term-membership fingerprints (the
+    term-dictionary bloom/FST-presence role). blake2b-8 per term."""
+    import hashlib
+
+    import numpy as np
+    out = np.empty(len(terms), dtype=np.uint64)
+    for i, t in enumerate(terms):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+    return out

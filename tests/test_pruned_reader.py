@@ -112,3 +112,17 @@ def test_term_stats_incremental(wide_vocab_index):
     assert st["w00042"][0] == df
     # cache is incremental, not whole-vocab
     assert len(reader._ts_cache) <= 8
+
+
+def test_termset_skips_absent_terms(wide_vocab_index):
+    out, texts = wide_vocab_index
+    reader = IndexReader(out)
+    sr = next(reader.segments())
+    # absent terms: fingerprint rejects without a single row-group read
+    sr.ensure_terms(["zz_not_there", "also_missing"])
+    assert sr.rg_reads == 0 and sr.rows_loaded == 0
+    assert sr.get_postings("zz_not_there") is None
+    # present terms still load
+    sr.ensure_terms(["anchor"])
+    assert sr.get_postings("anchor") is not None
+    assert sr.rg_reads >= 1
