@@ -85,9 +85,13 @@ def run_queries(index_dir: str) -> dict[str, float]:
     # warmup (loads segments)
     s.search(queries[0], k=10)
     for q in queries:
-        t0 = time.perf_counter()
-        s.search(q, k=10)
-        lat.append(time.perf_counter() - t0)
+        # median of 3: this VM's CPU-steal noise is ~2-3x run-to-run
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s.search(q, k=10)
+            ts.append(time.perf_counter() - t0)
+        lat.append(statistics.median(ts))
     lat_ms = sorted(x * 1000 for x in lat)
     return {
         "query_p50_ms": statistics.median(lat_ms),
