@@ -101,3 +101,26 @@ def test_phrase_in_field(mf_index):
     q = PhraseQuery(("data", "merge"), field="body")
     want = {i for i, b in enumerate(bodies) if " data merge " in f" {b} "}
     assert set(s.match_docs(q).tolist()) == want
+
+
+def test_one_pass_equals_sequential(ray_session, mf_index, tmp_path_factory):
+    """one_pass=True must produce identical search results to N
+    sequential column-pruned builds."""
+    out, bodies, titles, langs = mf_index  # built one_pass=True (default)
+    d2 = str(tmp_path_factory.mktemp("mf_seq"))
+    src = pq.read_table  # noqa: F841  (import kept local below)
+    import os
+    # rebuild sequentially from the same parquet
+    src_path = os.path.join(os.path.dirname(out), "docs.parquet")
+    build_multi_field_index(
+        src_path, d2,
+        fields={"body": None, "title": None, "lang": KeywordAnalyzer()},
+        batch_size=100, index_positions=True, one_pass=False)
+    a = MultiFieldSearcher(out)
+    b = MultiFieldSearcher(d2)
+    q = parse_query('lang:de AND (data OR title:beta)', default_field="body")
+    assert a.match_docs(q).tolist() == b.match_docs(q).tolist()
+    ta = a.search(TermQuery("data"), k=20)
+    tb = b.search(TermQuery("data"), k=20)
+    assert ta.doc_ids.tolist() == tb.doc_ids.tolist()
+    assert ta.scores.tolist() == tb.scores.tolist()
