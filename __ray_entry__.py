@@ -212,6 +212,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top10": lambda sf: similarity.knn_brute(_embp(sf), range(10), 10),
         "knn_lsh_top10": lambda sf: similarity.knn_lsh(
             _embp(sf), range(10), 10),  # rows-only (approximate)
+        # --- event-stream ops (sessionization / windows) ---
+        "event_sessions": lambda sf: __import__(
+            "lucene_ray.pipelines.events", fromlist=["sessionize"])
+            .sessionize(f"{sf}/events.parquet")
+            .select_columns(["user_id", "session_start", "n_events"]),
+        "event_window_counts": lambda sf: __import__(
+            "lucene_ray.pipelines.events", fromlist=["tumbling_window_counts"])
+            .tumbling_window_counts(f"{sf}/events.parquet"),
+        "event_user_stats": lambda sf: __import__(
+            "lucene_ray.pipelines.events", fromlist=["user_stats"])
+            .user_stats(f"{sf}/events.parquet")
+            .select_columns(["user_id", "n_events", "first_ts", "last_ts"]),
         # --- multimodal (real BMP/WAV codecs; deterministic synth input) ---
         "image_grid_features": lambda sf: _mm_images(sf),
         "audio_band_spectra": lambda sf: _mm_audio(sf),
@@ -360,6 +372,24 @@ b AS (SELECT doc_id, pos - 1 AS ap FROM pos WHERE term = '{_TERM_B}')
 SELECT DISTINCT a.doc_id AS doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.ap - b.ap) <= 2
 ORDER BY a.doc_id""",
+        "event_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+o AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > 30*60*1000000
+                     THEN 1 ELSE 0 END AS new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS sid FROM o)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+        "event_window_counts": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "event_user_stats": """
+SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id""",
         "suggest_prefix": f"""
 {_TOKS}
 SELECT term, count(DISTINCT doc_id) AS df FROM toks

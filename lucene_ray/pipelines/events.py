@@ -1,0 +1,94 @@
+"""Event-stream operators over the ``events`` table: sessionization and
+windowed aggregates — the batch form of the streaming windows a
+training-data pipeline needs (click/session features).
+
+Shuffle discipline: ONE hash shuffle on the entity key (user_id);
+sessionization and window assignment are then group-local sorted
+sweeps. Tumbling-window aggregates pre-combine inside batches before
+the (window, type) groupby (combiner pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def read_events(path: str, columns=("event_id", "ts", "user_id",
+                                    "event_type", "value")) -> ray.data.Dataset:
+    return ray.data.read_parquet(path, columns=list(columns))
+
+
+def sessionize(path: str, gap_minutes: float = 30.0) -> ray.data.Dataset:
+    """Per-user sessions: a new session starts when the gap since the
+    previous event exceeds ``gap_minutes``. Returns one row per session:
+    (user_id, session_start ts, n_events, total_value, duration_sec).
+
+    One groupby(user_id) shuffle; the per-user sweep is a vectorized
+    diff over the sorted timestamps."""
+    gap_us = int(gap_minutes * 60 * 1e6)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        g = g.take(order)
+        ts = g.column("ts").cast(pa.int64()).to_numpy()  # microseconds
+        vals = g.column("value").to_numpy()
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
+        starts = ts[new]
+        ends = np.maximum.reduceat(ts, np.nonzero(new)[0])
+        counts = np.bincount(sid, minlength=n_sessions)
+        totals = np.bincount(sid, weights=vals, minlength=n_sessions)
+        uid = g.column("user_id")[0].as_py()
+        return pa.table({
+            "user_id": pa.array([uid] * n_sessions, pa.int64()),
+            "session_start": pa.array(starts, pa.int64()),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "total_value": pa.array(np.round(totals, 6), pa.float64()),
+            "duration_sec": pa.array((ends - starts) / 1e6, pa.float64()),
+        })
+
+    return read_events(path).groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow")
+
+
+def tumbling_window_counts(path: str, minutes: int = 60) -> ray.data.Dataset:
+    """Events per (window_start, event_type) for tumbling windows —
+    batch-side partial counts, then a small groupby of (window, type)
+    partials (combiner pattern: the shuffle moves counts, not events)."""
+    width_us = int(minutes * 60 * 1e6)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        win = (ts // width_us) * width_us
+        et = batch.column("event_type").to_pylist()
+        cnt: dict = {}
+        for w, e in zip(win, et):
+            cnt[(int(w), e)] = cnt.get((int(w), e), 0) + 1
+        return pa.table({
+            "window_start": pa.array([k[0] for k in cnt], pa.int64()),
+            "event_type": pa.array([k[1] for k in cnt], pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    return read_events(path, columns=("ts", "event_type")) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n_events"))
+
+
+def user_stats(path: str) -> ray.data.Dataset:
+    """Per-user activity profile (feature table)."""
+    return read_events(path).groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="total_value"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+    )
