@@ -85,6 +85,35 @@ def validate_index(index_dir: str, generation: int | None = None) -> list[str]:
         if int(d.column("doc_len").to_numpy().sum()) != s.sum_doc_len:
             errors.append(f"{s.seg_id}: sum_doc_len mismatch")
 
+        # live-docs file (tombstones): exists, sorted, in-range, count
+        if s.del_gen >= 0:
+            dp = os.path.join(seg_dir, f"deletes_gen{s.del_gen}.parquet")
+            if not os.path.isfile(dp):
+                errors.append(f"{s.seg_id}: missing deletes_gen{s.del_gen}")
+            else:
+                dels = pq.read_table(dp).column("doc_id").to_numpy()
+                if len(dels) != s.del_count:
+                    errors.append(f"{s.seg_id}: del_count mismatch")
+                if len(dels) and (np.diff(dels) <= 0).any():
+                    errors.append(f"{s.seg_id}: deletes not sorted/unique")
+                if len(dels) and not np.isin(dels, doc_ids).all():
+                    errors.append(f"{s.seg_id}: deleted docID not in segment")
+
+        # term-membership fingerprints cover the shard vocabularies
+        from ..search.reader import _ShardedPostings
+        from ..util import term_hash64
+        sp = _ShardedPostings(os.path.join(seg_dir, "postings.parquet"))
+        for name in sp._paths:
+            ts = sp.termset(name)
+            if ts is None:
+                continue
+            f = sp._file(name)
+            terms = f.pf.read(columns=["term"]).column("term").to_pylist()
+            h = np.sort(term_hash64(terms))
+            if not np.array_equal(h, ts):
+                errors.append(f"{s.seg_id}/{name or 'postings'}: "
+                              "termset fingerprint mismatch")
+
         ds = ray.data.read_parquet(os.path.join(seg_dir, "postings.parquet"))
         err_ds = ds.map_batches(
             _check_postings_batch, batch_format="pyarrow",
