@@ -175,9 +175,19 @@ def expand_terms(q: Query, vocab) -> list[str]:
             if t.startswith(q.prefix):
                 out.append(t)
     elif isinstance(q, WildcardQuery):
-        rx = _re.compile(
-            "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                    for c in q.pattern) + r"\Z")
+        parts = []
+        i = 0
+        pat = q.pattern
+        while i < len(pat):
+            c = pat[i]
+            if c == "\\" and i + 1 < len(pat):  # \x = literal x
+                parts.append(_re.escape(pat[i + 1]))
+                i += 2
+                continue
+            parts.append(".*" if c == "*" else "." if c == "?"
+                         else _re.escape(c))
+            i += 1
+        rx = _re.compile("".join(parts) + r"\Z")
         out = [t for t in vocab if rx.match(t)]
     elif isinstance(q, RegexpQuery):
         rx = _re.compile(q.pattern + r"\Z")  # anchored, Lucene semantics
@@ -225,7 +235,13 @@ def _literal_prefix(pattern: str, wildcard: bool) -> str:
     every matching term must start with)."""
     out = []
     specials = set("*?") if wildcard else _REGEX_SPECIALS
-    for i, c in enumerate(pattern):
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if wildcard and c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i + 1])  # escaped literal
+            i += 2
+            continue
         if c in specials:
             # a following regex quantifier makes the previous literal
             # optional: drop it
@@ -236,6 +252,7 @@ def _literal_prefix(pattern: str, wildcard: bool) -> str:
         if not wildcard and nxt in "?*+{":
             break
         out.append(c)
+        i += 1
     return "".join(out)
 
 

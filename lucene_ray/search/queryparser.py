@@ -67,7 +67,26 @@ class ParseException(ValueError):
 
 
 def _unescape(s: str) -> str:
-    return re.sub(r"\\(.)", r"\1", s)
+    r"""discardEscapeChar (QueryParserBase.java:907): drop backslashes,
+    decode ``\uXXXX`` unicode escapes."""
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            if (s[i + 1] == "u" and i + 6 <= n
+                    and all(ch in "0123456789abcdefABCDEF"
+                            for ch in s[i + 2:i + 6])):
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            out.append(s[i + 1])
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _float_to_edits(sim: float, term_len: int) -> int:
@@ -252,8 +271,12 @@ class QueryParser:
         if kind == "regex":
             return RegexpQuery(m.group("regex")[1:-1], field=self._norm_field(fld))
         if kind == "range":
-            lo = _unescape(m.group("lo"))
-            hi = _unescape(m.group("hi"))
+            def bound(x):
+                if len(x) >= 2 and x[0] == '"' and x[-1] == '"':
+                    x = x[1:-1]
+                return _unescape(x)
+            lo = bound(m.group("lo"))
+            hi = bound(m.group("hi"))
             raw = m.group("range")
             inc_lo = raw.lstrip()[0] == "["
             inc_hi = raw.rstrip()[-1] == "]"
@@ -297,11 +320,15 @@ class QueryParser:
             return FuzzyQuery(base, max_edits=edits, field=self._norm_field(field))
         has_wild = re.search(r"(?<!\\)[*?]", text) is not None
         if has_wild:
-            pat = _unescape(text).lower()
+            pat = text.lower()
             if pat == "*":
                 return MatchAllDocsQuery()
-            if pat.endswith("*") and not re.search(r"[*?]", pat[:-1]):
-                return PrefixQuery(pat[:-1], field=self._norm_field(field))
+            if pat.endswith("*") and not re.search(r"(?<!\\)[*?]",
+                                                   pat[:-1]):
+                return PrefixQuery(_unescape(pat[:-1]),
+                                   field=self._norm_field(field))
+            # escapes stay IN the pattern (\* = literal star), matching
+            # WildcardQuery.toString semantics
             return WildcardQuery(pat, field=self._norm_field(field))
         terms = self.analyzer(_unescape(text))
         if not terms:

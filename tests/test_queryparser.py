@@ -203,3 +203,50 @@ def test_parse_and_search_end_to_end(ray_session, tmp_path_factory):
     # nested boolean scoring path returns ranked results too
     td = s.search(P("(alpha AND beta) OR gamma^2", default_field="text"), k=5)
     assert len(td.doc_ids) > 0
+
+
+# QueryParserTestBase.testEscaped / testEscapedVsQuestionMarkAsWildcard
+ESCAPED_CASES = [
+    (r"a\-b:c", "a-b:c"),
+    (r"a\+b:c", "a+b:c"),
+    (r"a\:b:c", "a:b:c"),
+    (r"a\\b:c", "a\\b:c"),
+    (r"a:b\-c", "a:b-c"),
+    (r"a:b\+c", "a:b+c"),
+    (r"a:b\:c", "a:b:c"),
+    (r"a:b\\c", "a:b\\c"),
+    (r"a:b\-c*", "a:b-c*"),
+    (r"a:b\+c*", "a:b+c*"),
+    (r"a:b\:c*", "a:b:c*"),
+    (r"a:b\-c~", "a:b-c~2"),
+    (r"a:b\+c~", "a:b+c~2"),
+    (r"a:b\:c~", "a:b:c~2"),
+    (r"[ a\- TO a\+ ]", "[a- TO a+]"),
+    (r"[ a\: TO a\~ ]", "[a: TO a~]"),
+    (r"a\\\+b", "a\\+b"),
+    (r'a \"b c\" d', 'a "b c" d'),
+    (r'"a \+b c d"', '"a +b c d"'),
+    (r"c\:\\temp\\\~foo.txt", "c:\\temp\\~foo.txt"),
+    (r"a\u0062c", "abc"),
+    # escaped wildcard chars stay escaped IN the pattern
+    (r"a:b\-?c", r"a:b\-?c"),
+    (r"a:b\+?c", r"a:b\+?c"),
+]
+
+
+@pytest.mark.parametrize("inp,want", ESCAPED_CASES)
+def test_escaped_cases(inp, want):
+    assert qstr(P(inp)) == want, inp
+
+
+def test_escape_at_end_raises():
+    with pytest.raises(ParseException):
+        P("XY\\")
+
+
+def test_escaped_wildcard_literal_star():
+    from lucene_ray.search.query import WildcardQuery, expand_terms
+    # \* is a literal star, ? still a wildcard
+    q = P(r"a\*?c")
+    assert isinstance(q, WildcardQuery)
+    assert expand_terms(q, ["a*bc", "axbc", "a*c"]) == ["a*bc"]
