@@ -87,11 +87,13 @@ class SegmentIndexer:
     def __init__(self, out_dir: str, text_col: str, id_col: str,
                  stored_cols: tuple, stop_words: frozenset,
                  arrow_fast_path: bool = True, index_positions: bool = False,
-                 analyzer=None):
+                 analyzer=None, doc_value_cols: tuple = ()):
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
-        self.stored_cols = tuple(stored_cols)
+        self.doc_value_cols = tuple(doc_value_cols)
+        self.stored_cols = tuple(dict.fromkeys(
+            (*stored_cols, *doc_value_cols)))
         # Analyzer.createComponents analog (SURVEY §2.10): any picklable
         # callable `text -> list[str]` (with .tokens() for positions and
         # .stop_words/.max_token_length attrs for the fast path) plugs in
@@ -233,6 +235,14 @@ class SegmentIndexer:
         os.makedirs(seg_dir, exist_ok=True)
         pq.write_table(postings_table, os.path.join(seg_dir, "postings.parquet"),
                        row_group_size=POSTINGS_ROW_GROUP)
+        # value-sorted doc-values sidecars (BKD/SortedNumericDocValues
+        # role): numeric range filters read only the covering row groups
+        for c in self.doc_value_cols:
+            dv = pa.table({"value": docs_table.column(c),
+                           "doc_id": docs_table.column("doc_id")}) \
+                .sort_by("value")
+            pq.write_table(dv, os.path.join(seg_dir, f"dv_{c}.parquet"),
+                           row_group_size=4096)
         # term-membership fingerprint: readers skip this segment's
         # postings entirely for absent terms (FST-presence role)
         from ..util import term_hash64
@@ -267,6 +277,7 @@ def build_index(
     analyzer=None,
     mode: str = "create_or_append",
     allow_doc_overlap: bool = False,
+    doc_value_cols: tuple = (),
 ) -> IndexManifest:
     """Build an inverted index over a Parquet corpus / Dataset.
 
@@ -285,7 +296,8 @@ def build_index(
     batch_kwargs: dict = {"batch_size": batch_size}
     if isinstance(source, (str, os.PathLike)) or (
             isinstance(source, (list, tuple)) and source and isinstance(source[0], str)):
-        cols = list(dict.fromkeys([id_col, text_col, *stored_cols]))
+        cols = list(dict.fromkeys(
+            [id_col, text_col, *stored_cols, *doc_value_cols]))
         # one batch == one contiguous read block: size blocks to batch_size
         # at the read and disable batch coalescing, so every segment is a
         # contiguous doc range no matter how tasks are scheduled (batch
@@ -310,7 +322,8 @@ def build_index(
         concurrency = default_concurrency()
     fn_kwargs = dict(out_dir=out_dir, text_col=text_col, id_col=id_col,
                      stored_cols=stored_cols, stop_words=stop_words,
-                     index_positions=index_positions, analyzer=analyzer)
+                     index_positions=index_positions, analyzer=analyzer,
+                     doc_value_cols=doc_value_cols)
     meta = ds.map_batches(
         SegmentIndexer,
         fn_constructor_kwargs=fn_kwargs,

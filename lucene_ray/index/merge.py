@@ -237,6 +237,17 @@ def _merge_group_docs(index_dir: str, seg_ids: list[str],
         pos = np.minimum(np.searchsorted(deleted, ids), len(deleted) - 1)
         live_table = docs_table.filter(pa.array(deleted[pos] != ids))
     pq.write_table(live_table, os.path.join(seg_dir, "docs.parquet"))
+    # regenerate value-sorted doc-values sidecars for the merged segment
+    src0 = os.path.join(index_dir, "segments", seg_ids[0])
+    for f in sorted(os.listdir(src0)):
+        if f.startswith("dv_") and f.endswith(".parquet"):
+            col = f[len("dv_"):-len(".parquet")]
+            if col in live_table.column_names:
+                dv = pa.table({"value": live_table.column(col),
+                               "doc_id": live_table.column("doc_id")}) \
+                    .sort_by("value")
+                pq.write_table(dv, os.path.join(seg_dir, f),
+                               row_group_size=4096)
     live_stats = (
         len(live_table),
         int(live_table.column("doc_len").to_numpy().sum())

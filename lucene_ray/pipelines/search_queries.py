@@ -250,10 +250,11 @@ def numeric_range_match(doc_path: str, term: str, col: str, lo: int,
     stored doc-values column)."""
     from ..search.query import NumericRangeQuery
 
-    key = hashlib.md5(("num:" + doc_path).encode()).hexdigest()[:12]
+    key = hashlib.md5(("num2:" + doc_path).encode()).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, f"numidx-{key}")
     if not os.path.exists(os.path.join(out, "manifest_0.json")):
-        build_index(doc_path, out, batch_size=2048, stored_cols=(col,))
+        build_index(doc_path, out, batch_size=2048,
+                    doc_value_cols=(col,))
     s = Searcher(IndexReader(out), similarity="bm25_exact64")
     q = BooleanQuery(must=(TermQuery(term),),
                      filter=(NumericRangeQuery(col, lo, hi),))

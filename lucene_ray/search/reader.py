@@ -357,9 +357,38 @@ class SegmentReader:
     def numeric_range_docs(self, col: str, lower, upper,
                            include_lower: bool = True,
                            include_upper: bool = True) -> np.ndarray:
-        """Sorted docIDs whose stored numeric ``col`` is in range —
-        a predicate-pushdown columnar scan (doc-values filter pattern);
-        Parquet row-group stats prune where the column clusters."""
+        """Sorted docIDs whose stored numeric ``col`` is in range.
+
+        Prefers the VALUE-SORTED ``dv_<col>.parquet`` sidecar (the
+        BKD/SortedNumericDocValues role — row-group min/max stats bound
+        the read to the range's row groups); falls back to a pushdown
+        scan of the stored column."""
+        dv_path = os.path.join(self._seg_dir, f"dv_{col}.parquet")
+        if os.path.isfile(dv_path):
+            pf = pq.ParquetFile(dv_path)
+            md = pf.metadata
+            rgs = []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(0).statistics
+                if st is None or not st.has_min_max:
+                    rgs = list(range(md.num_row_groups))
+                    break
+                if lower is not None and st.max < lower:
+                    continue
+                if upper is not None and st.min > upper:
+                    continue
+                rgs.append(i)
+            if not rgs:
+                return np.empty(0, np.int64)
+            t = pf.read_row_groups(rgs, use_threads=False)
+            v = t.column("value").to_numpy()
+            keep = np.ones(len(v), dtype=bool)
+            if lower is not None:
+                keep &= (v >= lower) if include_lower else (v > lower)
+            if upper is not None:
+                keep &= (v <= upper) if include_upper else (v < upper)
+            return np.sort(t.column("doc_id").to_numpy()
+                           .astype(np.int64)[keep])
         filters = []
         if lower is not None:
             filters.append((col, ">=" if include_lower else ">", lower))

@@ -56,3 +56,37 @@ def test_range_as_filter_clause(num_index):
     by_doc = dict(zip(td_plain.doc_ids.tolist(), td_plain.scores.tolist()))
     for d, sc in zip(td.doc_ids.tolist(), td.scores.tolist()):
         assert sc == by_doc[d]
+
+
+def test_doc_value_sidecar_pruned(ray_session, tmp_path_factory):
+    """dv_<col>.parquet sidecar: value-sorted, row-group pruned, same
+    results as the pushdown fallback — and survives a merge."""
+    import os
+
+    from lucene_ray.index.merge import merge_segments
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    texts = ["alpha beta"] * n
+    years = rng.integers(0, 100000, n)
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string()),
+                  "year": pa.array(years, pa.int64())})
+    d = tmp_path_factory.mktemp("dv")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    out = str(d / "idx")
+    build_index(path, out, batch_size=500, doc_value_cols=("year",))
+    reader = IndexReader(out)
+    for sr in reader.segments():
+        assert os.path.isfile(os.path.join(sr._seg_dir, "dv_year.parquet"))
+    s = Searcher(reader)
+    q = NumericRangeQuery("year", 10000, 20000)
+    want = {int(i) for i, y in enumerate(years) if 10000 <= y <= 20000}
+    assert set(s.match_docs(q).tolist()) == want
+    # merged segment regenerates the sidecar
+    merge_segments(out)
+    reader2 = IndexReader(out)
+    for sr in reader2.segments():
+        assert os.path.isfile(os.path.join(sr._seg_dir, "dv_year.parquet"))
+    assert set(Searcher(reader2).match_docs(q).tolist()) == want
