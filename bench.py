@@ -93,11 +93,28 @@ def run_queries(index_dir: str) -> dict[str, float]:
             ts.append(time.perf_counter() - t0)
         lat.append(statistics.median(ts))
     lat_ms = sorted(x * 1000 for x in lat)
-    return {
+    out = {
         "query_p50_ms": statistics.median(lat_ms),
         "query_p95_ms": lat_ms[int(len(lat_ms) * 0.95) - 1],
         "query_mean_ms": statistics.mean(lat_ms),
     }
+    # distributed serving path: QueryWorker pool + shared min-competitive
+    # floor (the multi-node analog) over the same query mix
+    from lucene_ray.search.distributed import RaySearcher
+    rs = RaySearcher(index_dir, num_workers=8)
+    rs.search(queries[0], k=10)  # warm worker pools
+    dlat = []
+    for q in queries:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rs.search(q, k=10)
+            ts.append(time.perf_counter() - t0)
+        dlat.append(statistics.median(ts) * 1000)
+    dlat.sort()
+    out["query_dist_p50_ms"] = statistics.median(dlat)
+    out["query_dist_p95_ms"] = dlat[int(len(dlat) * 0.95) - 1]
+    return out
 
 
 def run_stage_benchmarks(sf_dir: str) -> dict[str, float]:

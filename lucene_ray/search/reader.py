@@ -212,6 +212,7 @@ class SegmentReader:
         self._cache_size = cache_size
         self._df: dict[str, int] = {}
         self._absent: set[str] = set()
+        self._dv_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
         # live docs (Lucene90LiveDocsFormat analog): sorted deleted docIDs
         self.deleted: np.ndarray | None = None
         if del_gen >= 0:
@@ -363,6 +364,20 @@ class SegmentReader:
         BKD/SortedNumericDocValues role — row-group min/max stats bound
         the read to the range's row groups); falls back to a pushdown
         scan of the stored column."""
+        ck = (col, lower, upper, include_lower, include_upper)
+        cached = self._dv_cache.get(ck)
+        if cached is not None:
+            self._dv_cache.move_to_end(ck)
+            return cached
+        out = self._numeric_range_docs(col, lower, upper, include_lower,
+                                       include_upper)
+        self._dv_cache[ck] = out
+        if len(self._dv_cache) > 64:  # LRUQueryCache role for filters
+            self._dv_cache.popitem(last=False)
+        return out
+
+    def _numeric_range_docs(self, col, lower, upper, include_lower,
+                            include_upper) -> np.ndarray:
         dv_path = os.path.join(self._seg_dir, f"dv_{col}.parquet")
         if os.path.isfile(dv_path):
             pf = pq.ParquetFile(dv_path)
