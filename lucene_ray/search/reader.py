@@ -213,6 +213,9 @@ class SegmentReader:
         self._df: dict[str, int] = {}
         self._absent: set[str] = set()
         self._dv_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        # decoded-postings LRU (page-cache role): hot terms skip the
+        # bit-unpack on repeat queries; bounded per segment
+        self._decoded: "OrderedDict[str, tuple]" = OrderedDict()
         # live docs (Lucene90LiveDocsFormat analog): sorted deleted docIDs
         self.deleted: np.ndarray | None = None
         if del_gen >= 0:
@@ -328,6 +331,23 @@ class SegmentReader:
             return None
         self.ensure_terms([term])
         return self._cache.get(term)
+
+    def get_decoded(self, term: str):
+        """(docs int64, freqs int32) fully decoded, LRU-cached — the OS
+        page-cache role for hot postings. None if the term is absent."""
+        got = self._decoded.get(term)
+        if got is not None:
+            self._decoded.move_to_end(term)
+            return got
+        p = self.get_postings(term)
+        if p is None:
+            return None
+        from ..codecs.postings import unpack_postings
+        d, f = unpack_postings(p)
+        self._decoded[term] = (d, f)
+        if len(self._decoded) > 16:
+            self._decoded.popitem(last=False)
+        return d, f
 
     def get_positions(self, term: str):
         """(docs, freqs, flat positions) or None. Requires an index built

@@ -733,7 +733,7 @@ class Searcher:
             np.asarray(p.imp_offsets), t.weight, self.cache)
         nblocks = len(bounds)
         if nblocks <= 8:
-            docs, freqs = self._live(sr, *unpack_postings(p))
+            docs, freqs = self._live(sr, *sr.get_decoded(t.term))
             return docs, bm25.score_freqs(freqs, sr.norms_for(docs), t.weight,
                                           self.cache).astype(np.float64)
         # process blocks in bound-descending batches; after each batch the
@@ -829,7 +829,7 @@ class Searcher:
                 cand, freqs0 = self._live(
                     sr, *decode_selected_blocks(p0, sel))
         if cand is None:
-            cand, freqs0 = self._live(sr, *unpack_postings(p0))
+            cand, freqs0 = self._live(sr, *sr.get_decoded(t0.term))
         term_freqs: dict[int, np.ndarray] = {order[0]: freqs0}
         for oi in order[1:]:
             t, scores_q, p = loaded[oi]
@@ -905,8 +905,10 @@ class Searcher:
             if res is not NotImplemented:
                 return res
 
-        # exhaustive path: every term fully decoded
-        decoded = [self._live(sr, *unpack_postings(p)) for _, p in postings]
+        # exhaustive path: every term fully decoded (hot terms come
+        # from the decoded-postings LRU)
+        decoded = [self._live(sr, *sr.get_decoded(t.term))
+                   for t, _p in postings]
 
         if sr._contiguous:
             # dense per-doc accumulators (a term's docs are unique, so
