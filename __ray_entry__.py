@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines.search_queries import (
         dedup_update_live_docs, facet_lang_counts, highlight_top,
         incremental_build_stats, suggest_completions, suggest_corrections,
+        topk_by_numeric_field,
         multi_field_match, numeric_range_match, parsed_query_docs,
         phrase_topk,
     )
@@ -185,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), 'lang:en AND data -source:src7'),
         "numeric_range_match": lambda sf: numeric_range_match(
             _docp(sf), "data", "n_chars", 200, 900),
+        "topk_shortest_docs": lambda sf: topk_by_numeric_field(
+            _docp(sf), "n_chars", 20, ascending=True),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
         "highlight_top5": lambda sf: highlight_top(
             _docp(sf), "data", 5),  # rows-only (snippet strings)
@@ -409,6 +412,9 @@ FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t
               WHERE t.doc_id = d.doc_id AND t.term = 'data')
 GROUP BY d.lang ORDER BY count DESC, d.lang""",
+        "topk_shortest_docs": (
+            "SELECT n_chars, doc_id FROM documents "
+            "ORDER BY n_chars, doc_id LIMIT 20"),
         "numeric_range_match": f"""
 {_TOKS}
 SELECT DISTINCT t.doc_id FROM toks t JOIN documents d ON t.doc_id = d.doc_id

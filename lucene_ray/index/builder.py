@@ -240,7 +240,7 @@ class SegmentIndexer:
         for c in self.doc_value_cols:
             dv = pa.table({"value": docs_table.column(c),
                            "doc_id": docs_table.column("doc_id")}) \
-                .sort_by("value")
+                .sort_by([("value", "ascending"), ("doc_id", "ascending")])
             pq.write_table(dv, os.path.join(seg_dir, f"dv_{c}.parquet"),
                            row_group_size=4096)
         # term-membership fingerprint: readers skip this segment's

@@ -245,7 +245,8 @@ def _merge_group_docs(index_dir: str, seg_ids: list[str],
             if col in live_table.column_names:
                 dv = pa.table({"value": live_table.column(col),
                                "doc_id": live_table.column("doc_id")}) \
-                    .sort_by("value")
+                    .sort_by([("value", "ascending"),
+                              ("doc_id", "ascending")])
                 pq.write_table(dv, os.path.join(seg_dir, f),
                                row_group_size=4096)
     live_stats = (

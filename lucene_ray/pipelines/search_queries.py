@@ -303,3 +303,16 @@ def suggest_corrections(doc_path: str, word: str, k: int = 5) -> pa.Table:
     from ..search.suggest import spell_correct
     idx = cached_index(doc_path)
     return spell_correct(IndexReader(idx), word, k, transpositions=False)
+
+
+def topk_by_numeric_field(doc_path: str, col: str, k: int = 20,
+                          ascending: bool = True) -> pa.Table:
+    """Early-terminating sort-by-field top-k over the dv sidecar
+    (index-sort role)."""
+    from ..search.facets import topk_by_field
+
+    key = hashlib.md5(("num2:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"numidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048, doc_value_cols=(col,))
+    return topk_by_field(IndexReader(out), col, k, ascending)

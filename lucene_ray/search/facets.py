@@ -57,3 +57,51 @@ def drill_down(base: Query, col_terms: dict[str, str],
                             filter=base.filter + filters,
                             min_should_match=base.min_should_match)
     return BooleanQuery(must=(base,), filter=filters)
+
+
+def topk_by_field(reader, col: str, k: int = 10,
+                  ascending: bool = True) -> "pa.Table":
+    """Early-terminating sort-by-field top-k — the index-sort /
+    sort-by-doc-values role (``search/comparators``, IndexWriterConfig
+    setIndexSort early termination): each segment's value-sorted
+    ``dv_<col>`` sidecar yields its k best rows from the FIRST (or
+    last) row groups only; a tiny k*n_segments merge finishes. Ties
+    break to the lower doc_id (asc value order within ties)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    vals_all, docs_all = [], []
+    for info in reader.segment_infos:
+        sr = reader.segment(info.seg_id)
+        dv_path = os.path.join(sr._seg_dir, f"dv_{col}.parquet")
+        if not os.path.isfile(dv_path):
+            raise ValueError(f"no dv sidecar for {col}; build with "
+                             f"doc_value_cols=({col!r},)")
+        pf = pq.ParquetFile(dv_path)
+        nrg = pf.metadata.num_row_groups
+        rows_needed = k
+        got_v, got_d = [], []
+        rg_order = range(nrg) if ascending else range(nrg - 1, -1, -1)
+        for i in rg_order:
+            t = pf.read_row_group(i, use_threads=False)
+            v = t.column("value").to_numpy()
+            d = t.column("doc_id").to_numpy().astype(np.int64)
+            m = sr.live_mask(d)
+            if m is not None:
+                v, d = v[m], d[m]
+            got_v.append(v)
+            got_d.append(d)
+            if sum(len(x) for x in got_v) >= rows_needed:
+                break  # early termination: remaining row groups skipped
+        if got_v:
+            vals_all.append(np.concatenate(got_v))
+            docs_all.append(np.concatenate(got_d))
+    if not vals_all:
+        return pa.table({col: pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+    v = np.concatenate(vals_all)
+    d = np.concatenate(docs_all)
+    order = np.lexsort((d, v if ascending else -v))[:k]
+    return pa.table({col: pa.array(v[order]),
+                     "doc_id": pa.array(d[order], pa.int64())})

@@ -90,3 +90,27 @@ def test_doc_value_sidecar_pruned(ray_session, tmp_path_factory):
     for sr in reader2.segments():
         assert os.path.isfile(os.path.join(sr._seg_dir, "dv_year.parquet"))
     assert set(Searcher(reader2).match_docs(q).tolist()) == want
+
+
+def test_topk_by_field_early_termination(ray_session, tmp_path_factory):
+    from lucene_ray.search.facets import topk_by_field
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    years = rng.integers(0, 50, n)  # heavy ties exercise tie order
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(["x"] * n, pa.string()),
+                  "year": pa.array(years, pa.int64())})
+    d = tmp_path_factory.mktemp("topkf")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    out = str(d / "idx")
+    build_index(path, out, batch_size=1000, doc_value_cols=("year",))
+    reader = IndexReader(out)
+    got = topk_by_field(reader, "year", 25, ascending=True).to_pylist()
+    want = sorted(zip(years.tolist(), range(n)))[:25]
+    assert [(r["year"], r["doc_id"]) for r in got] == want
+    got_d = topk_by_field(reader, "year", 25, ascending=False).to_pylist()
+    want_d = sorted(zip(years.tolist(), range(n)),
+                    key=lambda p: (-p[0], p[1]))[:25]
+    assert [(r["year"], r["doc_id"]) for r in got_d] == want_d
