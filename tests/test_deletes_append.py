@@ -137,3 +137,24 @@ def test_merge_reclaims_tombstones(base_index):
         assert sr.deleted is None
         p = sr.get_postings("w1")
         assert p is None or p.doc_count == 0
+
+
+def test_pruned_paths_identical_with_tombstones(base_index):
+    """Block-max WAND / single-term pruning with tombstones: thresholds
+    must never rise from deleted docs — pruned top-k stays bit-identical
+    to the complete evaluation."""
+    import numpy as np
+
+    from lucene_ray.search import or_query
+    from lucene_ray.search.searcher import _top_k
+
+    out, _ = base_index
+    delete_by_query(out, TermQuery("w2"))
+    s = Searcher(IndexReader(out))
+    for q in [TermQuery("alpha"), or_query(["alpha", "common", "w0"]),
+              or_query(["w3", "w4", "alpha"])]:
+        td = s.search(q, k=15)
+        d, sc = s.eval_complete(q)
+        ref = _top_k(d, sc.astype(np.float32), 15)
+        assert td.doc_ids.tolist() == ref.doc_ids.tolist(), q
+        assert td.scores.tolist() == ref.scores.tolist(), q
