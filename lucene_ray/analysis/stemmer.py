@@ -172,3 +172,67 @@ class EnglishAnalyzer:
 
     def analyze_batch(self, texts):
         return [self(t or "") for t in texts]
+
+
+class NGramFilter:
+    """Token filter: emit all n-grams of each term for min_gram <=
+    n <= max_gram (``analysis/common/.../ngram/NGramTokenFilter.java``
+    semantics: grams in order of start offset, then length)."""
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 3,
+                 preserve_original: bool = False):
+        assert 1 <= min_gram <= max_gram
+        self.min_gram, self.max_gram = min_gram, max_gram
+        self.preserve_original = preserve_original
+
+    def __call__(self, terms):
+        out = []
+        for t in terms:
+            n = len(t)
+            if self.preserve_original and (n < self.min_gram
+                                           or n > self.max_gram):
+                out.append(t)
+            for start in range(n):
+                for g in range(self.min_gram,
+                               min(self.max_gram, n - start) + 1):
+                    out.append(t[start:start + g])
+        return out
+
+
+class SynonymFilter:
+    """Token filter: expand terms by a synonym map
+    (``analysis/common/.../synonym/SynonymGraphFilter.java`` role,
+    single-token expand mode: the original term plus its synonyms)."""
+
+    def __init__(self, synonyms: dict):
+        # normalize: every member of a group maps to the full group
+        self.map = {k: tuple(v) for k, v in synonyms.items()}
+
+    def __call__(self, terms):
+        out = []
+        for t in terms:
+            out.append(t)
+            out.extend(self.map.get(t, ()))
+        return out
+
+
+class AnalyzerChain:
+    """Composable analysis chain: StandardAnalyzer + token filters, in
+    order (Analyzer.createComponents role). Pluggable into build_index
+    via the ``analyzer`` hook."""
+
+    def __init__(self, *filters, stop_words=frozenset()):
+        from .analyzer import StandardAnalyzer
+        self._std = StandardAnalyzer(stop_words=stop_words)
+        self.filters = filters
+        self.stop_words = stop_words
+        self.max_token_length = self._std.max_token_length
+
+    def __call__(self, text: str):
+        terms = self._std(text)
+        for f in self.filters:
+            terms = f(terms)
+        return terms
+
+    def analyze_batch(self, texts):
+        return [self(t or "") for t in texts]

@@ -43,3 +43,35 @@ def test_english_analyzer_hook_end_to_end(ray_session, tmp_path_factory):
     assert set(s.match_docs(TermQuery("connect")).tolist()) == {2}
     # unstemmed surface forms are NOT in the dictionary
     assert s.count(TermQuery("running")) == 0
+
+
+def test_ngram_filter():
+    from lucene_ray.analysis.stemmer import NGramFilter
+    f = NGramFilter(2, 3)
+    assert f(["abcd"]) == ["ab", "abc", "bc", "bcd", "cd"]
+    f1 = NGramFilter(1, 1)
+    assert f1(["ab"]) == ["a", "b"]
+    fp = NGramFilter(2, 3, preserve_original=True)
+    assert "abcde" in fp(["abcde"])
+
+
+def test_synonym_filter_and_chain(ray_session, tmp_path_factory):
+    from lucene_ray.analysis.stemmer import AnalyzerChain, SynonymFilter
+    from lucene_ray.index import build_index
+    from lucene_ray.search import IndexReader, Searcher, TermQuery
+
+    chain = AnalyzerChain(SynonymFilter({"car": ("auto", "vehicle")}))
+    assert chain("the car moves") == ["the", "car", "auto", "vehicle",
+                                      "moves"]
+    texts = ["a car drives", "an auto parks", "a bike rolls"]
+    t = pa.table({"doc_id": pa.array(np.arange(3, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path_factory.mktemp("syn")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    out = str(d / "idx")
+    build_index(path, out, batch_size=10, analyzer=chain)
+    s = Searcher(IndexReader(out))
+    # doc 0's "car" expanded at index time -> searching "auto" finds both
+    assert set(s.match_docs(TermQuery("auto")).tolist()) == {0, 1}
+    assert set(s.match_docs(TermQuery("vehicle")).tolist()) == {0}
