@@ -70,9 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dismax_topk, match_query_docs,
     )
     from lucene_ray.pipelines.search_queries import (
-        dedup_update_live_docs, facet_lang_counts, highlight_top,
-        incremental_build_stats, suggest_completions, suggest_corrections,
-        topk_by_numeric_field,
+        blockjoin_order_keys, dedup_update_live_docs, facet_lang_counts,
+        highlight_top, incremental_build_stats, suggest_completions,
+        suggest_corrections, topk_by_numeric_field,
         multi_field_match, numeric_range_match, parsed_query_docs,
         phrase_topk,
     )
@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), "data", "n_chars", 200, 900),
         "topk_shortest_docs": lambda sf: topk_by_numeric_field(
             _docp(sf), "n_chars", 20, ascending=True),
+        "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
         "highlight_top5": lambda sf: highlight_top(
             _docp(sf), "data", 5),  # rows-only (snippet strings)
@@ -412,6 +413,9 @@ FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t
               WHERE t.doc_id = d.doc_id AND t.term = 'data')
 GROUP BY d.lang ORDER BY count DESC, d.lang""",
+        "blockjoin_orders": (
+            "SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem "
+            "WHERE lower(l_returnflag) = 'r' ORDER BY 1"),
         "topk_shortest_docs": (
             "SELECT n_chars, doc_id FROM documents "
             "ORDER BY n_chars, doc_id LIMIT 20"),

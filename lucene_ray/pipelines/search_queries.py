@@ -316,3 +316,38 @@ def topk_by_numeric_field(doc_path: str, col: str, k: int = 20,
     if not os.path.exists(os.path.join(out, "manifest_0.json")):
         build_index(doc_path, out, batch_size=2048, doc_value_cols=(col,))
     return topk_by_field(IndexReader(out), col, k, ascending)
+
+
+def blockjoin_order_keys(sf_dir: str, flag_term: str = "r") -> pa.Table:
+    """ToParentBlockJoinQuery over orders (parents) + lineitems
+    (children): orders having >= 1 lineitem whose returnflag matches.
+    Children-first parent-last blocks; join = nearest parent above."""
+    import pyarrow.parquet as pq
+
+    from ..search.join import block_join_parents, build_block_index
+
+    key = hashlib.md5(("bj:" + sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"bjidx-{key}")
+    if not os.path.exists(os.path.join(out, "idx", "manifest_0.json")):
+        parents = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_orderkey", "o_orderpriority"])
+        children = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_returnflag", "l_linestatus"])
+        build_block_index(
+            parents, children, out, parent_key="o_orderkey",
+            child_key="l_orderkey",
+            parent_text=lambda r: "parentdoc",
+            child_text=lambda r: f"{r['l_returnflag']} {r['l_linestatus']}"
+            .lower(),
+            stored_parent=("o_orderkey",), batch_size=8192)
+    s = Searcher(IndexReader(os.path.join(out, "idx")),
+                 similarity="bm25_exact64")
+    docs, _ = block_join_parents(s, TermQuery(flag_term), "none")
+    keys = []
+    for info in s.reader.segment_infos:
+        sr = s.reader.segment(info.seg_id)
+        inb = docs[(docs >= info.min_doc) & (docs <= info.max_doc)]
+        if len(inb):
+            keys.extend(sr.stored(inb, "o_orderkey"))
+    return pa.table({"o_orderkey": pa.array(sorted(keys), pa.int64())})

@@ -1,0 +1,123 @@
+"""Parent/child block join — the join module's ToParentBlockJoinQuery
+(``lucene/join/src/java/org/apache/lucene/search/join/
+ToParentBlockJoinQuery.java``, tests ``TestBlockJoin.java``).
+
+Documents are indexed in BLOCKS: each parent's children come first,
+the parent doc LAST (the reference's addDocuments block contract).
+A child-space query joins up to parents: each matching child belongs
+to the nearest parent with a higher docID; child scores combine per
+ScoreMode (none/total/max/avg — ``join/ScoreMode.java``).
+
+The parent bitset (BitSetProducer role) comes from the stored
+``is_parent`` doc-values column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .query import NumericRangeQuery, Query
+from .searcher import Searcher, TopDocs, _top_k
+
+
+def block_join_parents(searcher: Searcher, child_query: Query,
+                       score_mode: str = "total",
+                       parent_col: str = "is_parent") -> tuple:
+    """(parent docIDs sorted, combined scores float32) for parents with
+    >= 1 matching child. score_mode: 'none' | 'total' | 'max' | 'avg'."""
+    assert score_mode in ("none", "total", "max", "avg")
+    q = searcher.rewrite(child_query)
+    prep = searcher._prepare(q)
+    from .query import query_terms
+    searcher._prefetch(sorted(set(query_terms(q))))
+    # join GLOBALLY (docIDs are global, segments doc-ordered): a block
+    # may straddle a segment boundary, so the nearest-parent-above
+    # lookup runs over the concatenated parent set
+    p_parts, c_parts, s_parts = [], [], []
+    for sr in searcher.reader.segments():
+        parents = sr.numeric_range_docs(parent_col, 1, 1)
+        if len(parents):
+            p_parts.append(parents)
+        cdocs, cscores = searcher._eval(sr, prep, 10, -np.inf)
+        if cdocs is not None and len(cdocs):
+            c_parts.append(cdocs)
+            s_parts.append(cscores.astype(np.float64)
+                           if cscores is not None
+                           else np.zeros(len(cdocs)))
+    if not p_parts or not c_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    parents = np.concatenate(p_parts)  # segments are doc-ordered
+    cdocs = np.concatenate(c_parts)
+    cs = np.concatenate(s_parts)
+    # a child's parent is the nearest parent docID ABOVE it
+    pos = np.searchsorted(parents, cdocs, side="left")
+    ok = pos < len(parents)
+    # drop child hits that are actually parent docs themselves
+    is_parent_hit = ok & (parents[np.minimum(pos, len(parents) - 1)]
+                          == cdocs)
+    keep = ok & ~is_parent_hit
+    if not keep.any():
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    pid = parents[pos[keep]]
+    cs = cs[keep]
+    order = np.argsort(pid, kind="stable")
+    pid, cs = pid[order], cs[order]
+    uniq, starts = np.unique(pid, return_index=True)
+    if score_mode == "none":
+        sc = np.zeros(len(uniq))
+    elif score_mode == "total":
+        sc = np.add.reduceat(cs, starts)
+    elif score_mode == "max":
+        sc = np.maximum.reduceat(cs, starts)
+    else:  # avg
+        counts = np.diff(np.append(starts, len(cs)))
+        sc = np.add.reduceat(cs, starts) / counts
+    return uniq, sc.astype(np.float32)
+
+
+def block_join_topk(searcher: Searcher, child_query: Query, k: int = 10,
+                    score_mode: str = "total") -> TopDocs:
+    docs, scores = block_join_parents(searcher, child_query, score_mode)
+    return _top_k(docs, scores, k)
+
+
+def build_block_index(parent_table: pa.Table, child_table: pa.Table,
+                      out_dir: str, *, parent_key: str, child_key: str,
+                      parent_text, child_text, stored_parent=(),
+                      batch_size: int = 4096):
+    """Index parents + children as contiguous blocks (children first,
+    parent LAST — the addDocuments contract). ``parent_text`` /
+    ``child_text`` map a row dict -> text. Returns the manifest.
+
+    Block assembly is a deterministic sort over (key, is_parent):
+    docIDs are assigned in that order, so child docIDs < their
+    parent's."""
+    import pyarrow.parquet as pq
+
+    from ..index import build_index
+
+    p = parent_table.to_pylist()
+    c = child_table.to_pylist()
+    rows = []
+    for r in c:
+        rows.append((r[child_key], 0, child_text(r), r))
+    for r in p:
+        rows.append((r[parent_key], 1, parent_text(r), r))
+    rows.sort(key=lambda x: (x[0], x[1]))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "text": pa.array([x[2] for x in rows], pa.string()),
+        "is_parent": pa.array([x[1] for x in rows], pa.int64()),
+        "block_key": pa.array([int(x[0]) for x in rows], pa.int64()),
+        **{col: pa.array([x[3].get(col) if x[1] else None for x in rows])
+           for col in stored_parent},
+    })
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    src = os.path.join(out_dir, "block_docs.parquet")
+    pq.write_table(t, src)
+    return build_index(
+        src, os.path.join(out_dir, "idx"), batch_size=batch_size,
+        stored_cols=("block_key", *stored_parent),
+        doc_value_cols=("is_parent",))

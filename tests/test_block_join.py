@@ -1,0 +1,75 @@
+"""Parent/child block join (join/ToParentBlockJoinQuery.java,
+TestBlockJoin.java semantics): children-first parent-last blocks,
+nearest-parent-above join, ScoreMode combination."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.search import IndexReader, Searcher, TermQuery
+from lucene_ray.search.join import (
+    block_join_parents,
+    block_join_topk,
+    build_block_index,
+)
+
+
+@pytest.fixture(scope="module")
+def block_index(ray_session, tmp_path_factory):
+    parents = pa.table({
+        "pkey": pa.array([10, 20, 30, 40], pa.int64()),
+        "name": pa.array(["orderten", "ordertwenty", "orderthirty",
+                          "orderforty"], pa.string()),
+    })
+    children = pa.table({
+        "ckey": pa.array([10, 10, 20, 30, 30, 30], pa.int64()),
+        "flag": pa.array(["red hot", "blue cold", "red cold",
+                          "red hot", "red hot", "green cold"], pa.string()),
+    })
+    d = str(tmp_path_factory.mktemp("bj"))
+    # tiny batch size forces blocks to straddle segment boundaries
+    build_block_index(parents, children, d, parent_key="pkey",
+                      child_key="ckey", parent_text=lambda r: r["name"],
+                      child_text=lambda r: r["flag"],
+                      stored_parent=("pkey",), batch_size=3)
+    return d
+
+
+def test_join_matching_parents(block_index):
+    s = Searcher(IndexReader(f"{block_index}/idx"))
+    docs, scores = block_join_parents(s, TermQuery("red"))
+    # parents of red children: blocks 10, 20, 30 (not 40: no children)
+    sr_keys = set()
+    for info in s.reader.segment_infos:
+        sr = s.reader.segment(info.seg_id)
+        inb = [d for d in docs if info.min_doc <= d <= info.max_doc]
+        if inb:
+            sr_keys.update(sr.stored(np.asarray(inb, np.int64), "block_key"))
+    assert sr_keys == {10, 20, 30}
+    # child query matching the PARENT text must not leak: parents are
+    # excluded from the child space
+    docs2, _ = block_join_parents(s, TermQuery("orderten"))
+    assert len(docs2) == 0
+
+
+def test_score_modes(block_index):
+    s = Searcher(IndexReader(f"{block_index}/idx"))
+    d_tot, s_tot = block_join_parents(s, TermQuery("red"), "total")
+    d_max, s_max = block_join_parents(s, TermQuery("red"), "max")
+    d_avg, s_avg = block_join_parents(s, TermQuery("red"), "avg")
+    d_none, s_none = block_join_parents(s, TermQuery("red"), "none")
+    assert d_tot.tolist() == d_max.tolist() == d_avg.tolist()
+    # block 30 has TWO red children -> total > max there, equal elsewhere
+    assert (s_tot >= s_max - 1e-6).all()
+    assert (s_tot > s_max).any()
+    assert (s_none == 0).all()
+    # avg <= max everywhere
+    assert (s_avg <= s_max + 1e-6).all()
+    td = block_join_topk(s, TermQuery("red"), k=2, score_mode="total")
+    assert len(td.doc_ids) == 2
+
+
+def test_blocks_straddle_segments(block_index):
+    # batch_size=3 over 10 docs -> several segments; joins still exact
+    reader = IndexReader(f"{block_index}/idx")
+    assert len(reader.segment_infos) > 1
