@@ -2,16 +2,20 @@
 
 Mirrors the reference query path (SURVEY.md §3.3):
 - global stats computed once per query (TermStates / CollectionStatistics)
-- per-segment scorers: conjunction leads with the rarest term and
-  block-skips the others (ConjunctionDISI leapfrog); disjunction uses
-  MaxScore-style static pruning from block-max impact bounds (the
-  WANDScorer/ImpactsDISI role): terms whose summed score upper bound
-  cannot reach the current threshold are looked up only on candidate
-  docs, never fully decoded
+- per-segment scorers: conjunction leads with the rarest term,
+  block-skips the others (ConjunctionDISI leapfrog) and prunes lead
+  blocks against the live threshold (BlockMaxConjunctionScorer);
+  disjunctions run doc-at-a-time block-max WAND over merged block
+  windows (WANDScorer/ImpactsDISI role) with an adaptive dense
+  fallback when bounds cannot prune
+- tombstoned docs are masked at every candidate-formation point, so
+  pruning thresholds never rise from deleted docs
 - top-k ties break toward the lower global docID (HitQueue.java:78-81);
-  cross-segment merge = sort by (-score, doc_id) (TopDocs.merge)
+  cross-segment merge = sort by (-score, doc_id) (TopDocs.merge);
+  a shared min-competitive exchange threads cross-worker floors in
 - scores: float32 per term, summed in double, cast to float
-  (DisjunctionSumScorer semantics)
+  (DisjunctionSumScorer semantics); every pruned path is bit-identical
+  to the exhaustive evaluation
 """
 
 from __future__ import annotations
@@ -254,6 +258,21 @@ class Searcher:
                         if publish_cb is not None:
                             publish_cb(kth)
         return merge_top_docs(parts, k)
+
+    def collect(self, q: Query, collector):
+        """Custom collector protocol (Collector/CollectorManager role,
+        ``search/CollectorManager.java``): COMPLETE per-segment
+        (sr, docs, scores) feed ``collector.collect_segment``; returns
+        ``collector.result()``. Built-ins (top-k, count, facets) are
+        specializations of this surface."""
+        q = self.rewrite(q)
+        prep = self._prepare(q)
+        self._prefetch(sorted(set(query_terms(q))))
+        for sr in self.reader.segments():
+            docs, scores = self._eval(sr, prep, 10, -np.inf)
+            if docs is not None and len(docs):
+                collector.collect_segment(sr, docs, scores)
+        return collector.result()
 
     def eval_complete(self, q: Query):
         """COMPLETE (docs, scores float64) across all segments, unpruned

@@ -85,3 +85,25 @@ def test_highlight_topk(facet_index):
         assert "<b>data</b>" in r["snippet"]
         assert r["snippet"].replace("<b>", "").replace("</b>", "") \
             .strip(".") in texts[r["doc_id"]] + ""
+
+
+def test_custom_collector(facet_index):
+    """Collector protocol: a histogram-of-scores collector."""
+    out, texts, langs, sources = facet_index
+    s = Searcher(IndexReader(out))
+
+    class HistCollector:
+        def __init__(self):
+            self.n = 0
+            self.score_sum = 0.0
+
+        def collect_segment(self, sr, docs, scores):
+            self.n += len(docs)
+            self.score_sum += float(scores.sum())
+
+        def result(self):
+            return {"n": self.n, "mean": self.score_sum / max(self.n, 1)}
+
+    got = s.collect(TermQuery("data"), HistCollector())
+    assert got["n"] == s.count(TermQuery("data"))
+    assert got["mean"] > 0
