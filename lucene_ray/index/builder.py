@@ -391,10 +391,8 @@ def _stats_leaf(paths: list[str], n_parts: int) -> list[pa.Table]:
     g = g.rename_columns(["term", "df", "ttf"])
     if n_parts == 1:
         return g  # num_returns=1: return the table itself, not a list
-    import zlib
-    h = np.fromiter((zlib.crc32(x.encode()) % n_parts
-                     for x in g.column("term").to_pylist()),
-                    dtype=np.int64, count=len(g))
+    from ..util import crc32_batch
+    h = crc32_batch(g.column("term")).astype(np.int64) % n_parts
     return [g.filter(pa.array(h == r)) for r in range(n_parts)]
 
 

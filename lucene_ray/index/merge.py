@@ -28,7 +28,6 @@ Ray-native design:
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -345,17 +344,24 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
                 ok = t.column("okey").to_numpy()
                 gid = np.searchsorted(group_max_docs, ok)
                 t = t.append_column("group_id", pa.array(gid, pa.int64()))
-            terms = t.column("term").to_pylist()
+            from ..util import crc32_batch
+            th = crc32_batch(t.column("term")).astype(np.uint64)
             if salted:
+                # vectorized salt: per-group searchsorted of okey against
+                # segment boundaries, then mix into the term hash (the
+                # level-1 bucket is internal to the two-level shuffle, so
+                # any deterministic term+salt hash works; only the final
+                # unsalted pass must match the reader's crc32 routing)
                 ok = t.column("okey").to_numpy()
                 gids = t.column("group_id").to_numpy()
-                keys = []
-                for x, o, g in zip(terms, ok, gids):
-                    seg_idx = int(np.searchsorted(seg_bounds[int(g)], o))
-                    keys.append(f"{x}\x00{seg_idx // seg_per_salt[int(g)]}")
-            else:
-                keys = terms
-            b = pa.array([zlib.crc32(k.encode()) % n_buckets for k in keys],
+                salt = np.empty(len(ok), dtype=np.uint64)
+                for g in np.unique(gids):
+                    m = gids == g
+                    si = np.searchsorted(seg_bounds[int(g)], ok[m])
+                    salt[m] = (si // seg_per_salt[int(g)]).astype(np.uint64)
+                th = (th * np.uint64(0x9E3779B97F4A7C15)) ^ \
+                    (salt * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(1))
+            b = pa.array((th % np.uint64(n_buckets)).astype(np.int64),
                          pa.int64())
             if "bucket" in t.column_names:
                 t = t.drop_columns(["bucket"])

@@ -17,7 +17,6 @@ unchanged while pair volume drops from O(B^2) to O(B).
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -70,13 +69,34 @@ def first_per_group(path: str, keys=("lang", "source")) -> ray.data.Dataset:
 
 # --- MinHash + LSH ---------------------------------------------------------
 
+# position-weight coefficients for rolling shingle hashes (odd -> each
+# term hash contributes an invertible mixing mod 2^64)
+_SHINGLE_COEF = np.random.default_rng(0x5EED).integers(
+    1, 2**63, size=64, dtype=np.uint64) | np.uint64(1)
+
+
+def _window_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """k-window rolling hash over a doc's token-hash array: shingle i is
+    sum_j th[i+j] * COEF[j] (mod 2^64). Vectorized — one strided
+    multiply-add per window position instead of a Python join+crc per
+    shingle. Docs shorter than k fold all their tokens into one value
+    (the old whole-doc-join fallback)."""
+    n = len(th)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    if n < k:
+        return np.array([(th * _SHINGLE_COEF[:n]).sum(dtype=np.uint64)],
+                        np.uint64)
+    w = np.zeros(n - k + 1, np.uint64)
+    for j in range(k):
+        w += th[j:n - k + 1 + j] * _SHINGLE_COEF[j]
+    return w
+
+
 def _shingles(terms: list[str], k: int) -> np.ndarray:
-    if len(terms) < k:
-        joined = [" ".join(terms)] if terms else []
-    else:
-        joined = [" ".join(terms[i:i + k]) for i in range(len(terms) - k + 1)]
-    return np.unique(np.array(
-        [zlib.crc32(s.encode()) for s in joined], dtype=np.uint64))
+    from ..util import crc32_batch
+    th = crc32_batch(terms).astype(np.uint64)
+    return np.unique(_window_hashes(th, k))
 
 
 class MinHashSigs:
@@ -111,41 +131,60 @@ class MinHashSigs:
         return vals.min(axis=1)
 
     def _batch_shingles(self, batch: pa.Table):
-        """(flat shingle values, doc_starts, doc_ids_with_shingles)."""
+        """(flat shingle values, doc_starts, doc_ids_with_shingles).
+
+        Fully vectorized: token hashes via the batch crc32 kernel, then
+        one strided rolling-window combine over the FLAT token-hash
+        array (windows crossing doc boundaries masked out), then a
+        segmented unique (lexsort + consecutive-dup drop). No per-doc or
+        per-shingle Python loop — the r2 hot-loop finding."""
         from ..index.builder import _tokenize_batch_arrow
+        from ..util import crc32_batch
         flat, didx = _tokenize_batch_arrow(batch["text"], self.analyzer)
-        toks = flat.to_pylist()
+        th = crc32_batch(flat).astype(np.uint64)
         n = len(batch)
+        didx = np.asarray(didx, np.int64)
         if len(didx) and not np.all(didx[:-1] <= didx[1:]):
             # kernel appends refined dirty/non-ASCII tokens out of doc
             # order; stable sort restores per-doc grouping (identical
             # texts still yield identical shingle sets)
             order = np.argsort(didx, kind="stable")
             didx = didx[order]
-            toks = [toks[i] for i in order]
-        bounds = np.searchsorted(didx, np.arange(n + 1))
+            th = th[order]
         k = self.k
-        vals_parts, starts, kept = [], [], []
-        pos = 0
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        for d in range(n):
-            ts = toks[bounds[d]:bounds[d + 1]]
-            if not ts:
-                continue
-            if len(ts) < k:
-                joined = [" ".join(ts)]
-            else:
-                joined = [" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)]
-            u = np.unique(np.fromiter((zlib.crc32(s.encode()) for s in joined),
-                                      dtype=np.uint64, count=len(joined)))
-            vals_parts.append(u)
-            starts.append(pos)
-            pos += len(u)
-            kept.append(doc_ids[d])
-        if not vals_parts:
+        N = len(th)
+        if N >= k:
+            w = np.zeros(N - k + 1, np.uint64)
+            for j in range(k):
+                w += th[j:N - k + 1 + j] * _SHINGLE_COEF[j]
+            valid = didx[:N - k + 1] == didx[k - 1:]
+            wdoc = didx[:N - k + 1][valid]
+            w = w[valid]
+        else:
+            w = np.empty(0, np.uint64)
+            wdoc = np.empty(0, np.int64)
+        counts = np.bincount(didx, minlength=n) if N else \
+            np.zeros(n, np.int64)
+        short = np.nonzero((counts > 0) & (counts < k))[0]
+        if len(short):
+            bounds = np.searchsorted(didx, np.arange(n + 1))
+            extra = np.array(
+                [(th[bounds[d]:bounds[d + 1]] *
+                  _SHINGLE_COEF[:counts[d]]).sum(dtype=np.uint64)
+                 for d in short], np.uint64)
+            w = np.concatenate([w, extra])
+            wdoc = np.concatenate([wdoc, short.astype(np.int64)])
+        if len(w) == 0:
             return None, None, None
-        return (np.concatenate(vals_parts), np.asarray(starts, np.int64),
-                np.asarray(kept, np.int64))
+        order = np.lexsort((w, wdoc))
+        wd, wv = wdoc[order], w[order]
+        keep = np.ones(len(wv), bool)
+        keep[1:] = (wd[1:] != wd[:-1]) | (wv[1:] != wv[:-1])
+        wd, wv = wd[keep], wv[keep]
+        docs_kept, starts = np.unique(wd, return_index=True)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return wv, starts.astype(np.int64), \
+            doc_ids[docs_kept].astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sh, starts, doc_ids = self._batch_shingles(batch)
