@@ -139,23 +139,9 @@ def ivf_search(out_dir: str, qids: np.ndarray, qmat: np.ndarray,
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    byq: dict[int, list] = {}
-    for r in parts:
-        byq.setdefault(r["qid"], []).append((r["vec_id"], r["sim"]))
-    out_q, out_v, out_r = [], [], []
-    for qid in sorted(byq):
-        cand = byq[qid]
-        if exclude_self:
-            cand = [(v, s) for v, s in cand if v != qid]
-        cand.sort(key=lambda x: (-x[1], x[0]))
-        for rank, (v, s) in enumerate(cand[:k], 1):
-            out_q.append(qid)
-            out_v.append(v)
-            out_r.append(rank)
-    return pa.table({"qid": pa.array(out_q, pa.int64()),
-                     "vec_id": pa.array(out_v, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64())})
+    from .similarity import _merge_topk_partials
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return _merge_topk_partials(parts, k, exclude_self)
 
 
 def knn_ivf(path: str, query_ids, k: int = 10, nprobe: int = 8,

@@ -18,6 +18,40 @@ import ray
 import ray.data
 
 
+_TOPK_SCHEMA = pa.schema([("qid", pa.int64()), ("vec_id", pa.int64()),
+                          ("rank", pa.int64())])
+
+
+def _merge_topk_partials(parts: "ray.data.Dataset", k: int,
+                         exclude_self: bool) -> pa.Table:
+    """Distributed top-k reduce: ``groupby(qid).map_groups`` collapses
+    every query's per-block partials to its final k rows, so the driver
+    only ever materializes O(nq*k) rows — independent of input block
+    count (r2 finding: ``take_all()`` of partials grew with the corpus).
+    Tie order matches the old driver merge: cosine desc, vec_id asc."""
+
+    def reduce_q(group: pa.Table) -> pa.Table:
+        qid = group["qid"][0].as_py()
+        v = group["vec_id"].to_numpy()
+        s = group["sim"].to_numpy()
+        if exclude_self:
+            m = v != qid
+            v, s = v[m], s[m]
+        order = np.lexsort((v, -s))[:k]
+        n = len(order)
+        return pa.table({
+            "qid": pa.array(np.full(n, qid, np.int64), pa.int64()),
+            "vec_id": pa.array(v[order].astype(np.int64), pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1), pa.int64())})
+
+    rows = parts.groupby("qid").map_groups(
+        reduce_q, batch_format="pyarrow").take_all()
+    if not rows:
+        return _TOPK_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=_TOPK_SCHEMA).sort_by(
+        [("qid", "ascending"), ("rank", "ascending")])
+
+
 def _load_queries(path: str, query_ids: list[int]):
     import pyarrow.parquet as pq
     import pyarrow.dataset as pads
@@ -48,38 +82,18 @@ def knn_brute(path: str, query_ids, k: int = 10,
         mat = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = q_mat @ mat.T  # (nq, nb)
-        out_q, out_v, out_s = [], [], []
+        nq = sims.shape[0]
         kk = min(k + 1, sims.shape[1])
-        for qi in range(len(q_ids)):
-            row = sims[qi]
-            idx = np.argpartition(-row, kk - 1)[:kk]
-            out_q.extend([q_ids[qi]] * len(idx))
-            out_v.extend(vids[idx])
-            out_s.extend(row[idx])
-        return pa.table({"qid": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_v, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # vectorized
+        return pa.table({
+            "qid": pa.array(np.repeat(q_ids, kk), pa.int64()),
+            "vec_id": pa.array(vids[idx].reshape(-1), pa.int64()),
+            "sim": pa.array(np.take_along_axis(sims, idx, axis=1)
+                            .reshape(-1), pa.float64())})
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-    parts = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
-
-    # driver merge (tiny)
-    byq: dict[int, list] = {}
-    for r in parts:
-        byq.setdefault(r["qid"], []).append((r["vec_id"], r["sim"]))
-    out_q, out_v, out_r = [], [], []
-    for qid in sorted(byq):
-        cand = byq[qid]
-        if exclude_self:
-            cand = [(v, s) for v, s in cand if v != qid]
-        cand.sort(key=lambda x: (-x[1], x[0]))
-        for rank, (v, s) in enumerate(cand[:k], 1):
-            out_q.append(qid)
-            out_v.append(v)
-            out_r.append(rank)
-    return pa.table({"qid": pa.array(out_q, pa.int64()),
-                     "vec_id": pa.array(out_v, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64())})
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return _merge_topk_partials(parts, k, exclude_self)
 
 
 class _HyperplaneLSH:
@@ -130,23 +144,8 @@ def knn_lsh(path: str, query_ids, k: int = 10, n_bits: int = 8,
                          "sim": pa.array(out_s, pa.float64())})
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-    parts = ds.map_batches(bucketed_topk, batch_format="pyarrow").take_all()
-    byq: dict[int, list] = {}
-    for r in parts:
-        byq.setdefault(r["qid"], []).append((r["vec_id"], r["sim"]))
-    out_q, out_v, out_r = [], [], []
-    for qid in sorted(byq):
-        cand = byq[qid]
-        if exclude_self:
-            cand = [(v, s) for v, s in cand if v != qid]
-        cand.sort(key=lambda x: (-x[1], x[0]))
-        for rank, (v, s) in enumerate(cand[:k], 1):
-            out_q.append(qid)
-            out_v.append(v)
-            out_r.append(rank)
-    return pa.table({"qid": pa.array(out_q, pa.int64()),
-                     "vec_id": pa.array(out_v, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64())})
+    parts = ds.map_batches(bucketed_topk, batch_format="pyarrow")
+    return _merge_topk_partials(parts, k, exclude_self)
 
 
 def lsh_recall_vs_brute(path: str, query_ids, k: int = 10) -> float:

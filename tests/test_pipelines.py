@@ -181,3 +181,32 @@ def test_distributed_searcher_matches_local(ray_session, small_pages,
         assert a.doc_ids.tolist() == b.doc_ids.tolist()
         assert a.scores.tolist() == b.scores.tolist()
     assert local.count(TermQuery(terms[0])) == dist.count(TermQuery(terms[0]))
+
+
+def test_knn_merge_is_block_count_independent(ray_session, tmp_path_factory):
+    """The top-k reduce is a groupby(qid): the driver-materialized result
+    is exactly nq*k rows whether the corpus is 1 block or 40, and the
+    ranked ids are identical (r2 finding: partial take_all grew with
+    block count)."""
+    import pyarrow.parquet as pq
+    from lucene_ray.pipelines.similarity import knn_brute
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((400, 16)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in base],
+                              pa.list_(pa.float32())),
+    })
+    d = tmp_path_factory.mktemp("emb_blocks")
+    one = str(d / "one.parquet")
+    many = str(d / "many")
+    pq.write_table(t, one)
+    import os
+    os.makedirs(many)
+    for i in range(40):  # 40 row-groups/files -> 40+ blocks
+        pq.write_table(t.slice(i * 10, 10), f"{many}/part-{i:03d}.parquet")
+    qids = [3, 77, 200]
+    a = knn_brute(one, qids, k=7)
+    b = knn_brute(many, qids, k=7)
+    assert len(a) == len(qids) * 7 == len(b)
+    assert a.to_pylist() == b.to_pylist()
