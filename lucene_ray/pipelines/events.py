@@ -23,37 +23,77 @@ def read_events(path: str, columns=("event_id", "ts", "user_id",
     return ray.data.read_parquet(path, columns=list(columns))
 
 
-def sessionize(path: str, gap_minutes: float = 30.0) -> ray.data.Dataset:
+def _session_sweep(g: pa.Table, gap_us: int) -> pa.Table:
+    """One vectorized sessionization sweep over a (user_id, ts,
+    event_id)-sorted run that may span MANY users: a session break is a
+    user change OR a gap over the threshold. All-numpy; no per-user
+    Python work."""
+    order = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                          ("ts", "ascending"),
+                                          ("event_id", "ascending")])
+    g = g.take(order)
+    ts = g.column("ts").cast(pa.int64()).to_numpy()  # microseconds
+    uid = g.column("user_id").to_numpy()
+    vals = g.column("value").to_numpy()
+    n = len(ts)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+    sid = np.cumsum(new) - 1
+    n_sessions = int(sid[-1]) + 1 if n else 0
+    brk = np.nonzero(new)[0]
+    starts = ts[new]
+    ends = np.maximum.reduceat(ts, brk) if n else np.empty(0, np.int64)
+    counts = np.bincount(sid, minlength=n_sessions)
+    totals = np.bincount(sid, weights=vals, minlength=n_sessions)
+    return pa.table({
+        "user_id": pa.array(uid[new], pa.int64()),
+        "session_start": pa.array(starts, pa.int64()),
+        "n_events": pa.array(counts.astype(np.int64)),
+        "total_value": pa.array(np.round(totals, 6), pa.float64()),
+        "duration_sec": pa.array((ends - starts) / 1e6, pa.float64()),
+    })
+
+
+def sessionize(path: str, gap_minutes: float = 30.0,
+               num_partitions: int = 64) -> ray.data.Dataset:
     """Per-user sessions: a new session starts when the gap since the
     previous event exceeds ``gap_minutes``. Returns one row per session:
     (user_id, session_start ts, n_events, total_value, duration_sec).
 
-    One groupby(user_id) shuffle; the per-user sweep is a vectorized
-    diff over the sorted timestamps."""
+    Scale form (r2 finding: ``groupby(user_id).map_groups`` paid one
+    Python call *per user*): ONE hash shuffle on ``user_id % P`` routes
+    every user's events to one of ``num_partitions`` partitions, then a
+    single partition-local sort + vectorized sweep handles ALL of that
+    partition's users at once — P Python calls total, independent of
+    entity count (the 10^8-user case)."""
+    gap_us = int(gap_minutes * 60 * 1e6)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        # splitmix-style mix so sequential user_ids spread evenly
+        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> \
+            np.uint64(33)
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(num_partitions))
+                             .astype(np.int64), pa.int64()))
+
+    def sweep(g: pa.Table) -> pa.Table:
+        return _session_sweep(g.drop_columns(["part"]), gap_us)
+
+    return (read_events(path)
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(sweep, batch_format="pyarrow"))
+
+
+def sessionize_per_user(path: str, gap_minutes: float = 30.0) -> ray.data.Dataset:
+    """Per-entity form kept for A/B benchmarking: one map_groups call
+    per user (correct, but pays per-entity Python overhead)."""
     gap_us = int(gap_minutes * 60 * 1e6)
 
     def per_user(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
-                                              ("event_id", "ascending")])
-        g = g.take(order)
-        ts = g.column("ts").cast(pa.int64()).to_numpy()  # microseconds
-        vals = g.column("value").to_numpy()
-        new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
-        starts = ts[new]
-        ends = np.maximum.reduceat(ts, np.nonzero(new)[0])
-        counts = np.bincount(sid, minlength=n_sessions)
-        totals = np.bincount(sid, weights=vals, minlength=n_sessions)
-        uid = g.column("user_id")[0].as_py()
-        return pa.table({
-            "user_id": pa.array([uid] * n_sessions, pa.int64()),
-            "session_start": pa.array(starts, pa.int64()),
-            "n_events": pa.array(counts.astype(np.int64)),
-            "total_value": pa.array(np.round(totals, 6), pa.float64()),
-            "duration_sec": pa.array((ends - starts) / 1e6, pa.float64()),
-        })
+        return _session_sweep(g, gap_us)
 
     return read_events(path).groupby("user_id").map_groups(
         per_user, batch_format="pyarrow")

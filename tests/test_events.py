@@ -65,3 +65,34 @@ def test_user_stats(events_path):
     rows = {r["user_id"]: r for r in user_stats(path).take_all()}
     assert rows[1]["n_events"] == 4 and rows[2]["n_events"] == 1
     assert rows[1]["total_value"] == 10.0
+
+
+def test_sessionize_scale_form_matches_per_user(ray_session, tmp_path_factory):
+    """The partition-sweep sessionize (one call per hash partition) and
+    the per-user map_groups form produce identical session rows on a
+    many-user corpus with boundary-adjacent gaps."""
+    from lucene_ray.pipelines.events import sessionize_per_user
+    rng = np.random.default_rng(33)
+    n = 20_000
+    base = 1_700_000_000_000_000
+    uid = rng.integers(0, 500, n)
+    ts = base + rng.integers(0, 3 * 86_400, n) * 1_000_000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(["view"] * n, pa.string()),
+        "value": pa.array(rng.random(n), pa.float64()),
+    })
+    d = tmp_path_factory.mktemp("events_big")
+    path = str(d / "events.parquet")
+    pq.write_table(t, path, row_group_size=2048)
+
+    def key(rows):
+        return sorted((r["user_id"], r["session_start"], r["n_events"],
+                       round(r["total_value"], 6), round(r["duration_sec"], 6))
+                      for r in rows)
+
+    a = key(sessionize(path, num_partitions=16).take_all())
+    b = key(sessionize_per_user(path).take_all())
+    assert a == b and len(a) > 500
