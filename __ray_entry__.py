@@ -234,6 +234,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": lambda sf: __import__(
             "lucene_ray.pipelines.ivf", fromlist=["knn_ivf"]).knn_ivf(
             _embp(sf), range(10), 10, nprobe=22),  # partitioned ANN index
+        # graph ANN (per-segment HNSW, HnswGraphBuilder.java:617);
+        # exhaustive beam -> exact, so the brute-force SQL is the oracle;
+        # default-ef recall is pytest-gated (tests/test_hnsw.py)
+        "knn_hnsw_top10": lambda sf: __import__(
+            "lucene_ray.pipelines.hnsw", fromlist=["knn_hnsw"]).knn_hnsw(
+            _embp(sf), range(10), 10, ef=10**6),
     }
 
 
@@ -461,6 +467,15 @@ SELECT qid, vec_id,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
 FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
         "knn_top10": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < 10),
+sims AS (SELECT q.qid, e.vec_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "knn_hnsw_top10": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
            WHERE vec_id < 10),
 sims AS (SELECT q.qid, e.vec_id,

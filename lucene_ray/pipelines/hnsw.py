@@ -1,0 +1,390 @@
+"""HNSW graph ANN index: per-segment navigable small-world graphs,
+Parquet-persisted, beam-searched per segment + TopDocs-style merge.
+
+Reference semantics: Lucene's per-segment HNSW
+(``lucene/core/src/java/org/apache/lucene/util/hnsw/HnswGraphBuilder.java:617``,
+``HnswGraphSearcher.java``; queried via
+``search/TestKnnFloatVectorQuery.java``). Algorithm from the published
+Malkov & Yashunin paper (arXiv:1603.09320): geometric level assignment,
+greedy descent through upper layers, ef-bounded beam at the target
+layer, diversity-pruned neighbor selection.
+
+Ray-native design — exactly Lucene's shape:
+- BUILD is a streaming ``map_batches(HnswSegmentBuilder, batch_size=S)``:
+  each batch becomes an INDEPENDENT segment graph (Lucene builds one
+  HNSW per segment too), built in-actor and written straight to its own
+  ``seg-*/`` directory (vectors + adjacency Parquet + meta). No global
+  mutable state, no driver materialization; segments are resumable
+  units (a re-run skips directories that already exist).
+- SEARCH fans segments out as a Dataset (one task per segment), each
+  task beam-searches its local graph for ALL queries (query matrix is
+  ray.put once), emits (qid, vec_id, sim) partials; the final top-k is
+  the same distributed ``groupby(qid)`` reduce the other knn paths use
+  (TopDocs.merge analog) — driver sees O(nq*k) rows.
+- ``ef >= segment size`` degenerates to an exact within-segment scan,
+  so exhaustive-beam search is bit-identical to brute force (the
+  oracle gate for ``knn_hnsw_top10``).
+
+Determinism: node levels come from a splitmix hash of vec_id (not a
+shared RNG), so the graph is identical however batches are scheduled.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+DEFAULT_M = 16
+DEFAULT_EF_CONSTRUCTION = 100
+DEFAULT_EF_SEARCH = 100
+
+
+def _normalize64(mat: np.ndarray) -> np.ndarray:
+    mat = mat.astype(np.float64)
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _levels_for(vec_ids: np.ndarray, m: int) -> np.ndarray:
+    """Deterministic geometric levels: floor(-ln(u) / ln(M)) with u a
+    splitmix64-derived uniform of the vec_id (HnswGraphBuilder's
+    ml = 1/ln(M) assignment, but content-addressed so build order and
+    batch boundaries don't change the graph)."""
+    x = vec_ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    u = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u = np.clip(u, 1e-18, 1.0 - 1e-18)
+    ml = 1.0 / np.log(m)
+    return np.floor(-np.log(u) * ml).astype(np.int32)
+
+
+class _HnswGraph:
+    """In-memory HNSW over a normalized float64 matrix. Local node ids
+    0..n-1; cosine similarity (vectors pre-normalized, so dot)."""
+
+    def __init__(self, mat: np.ndarray, levels: np.ndarray,
+                 m: int = DEFAULT_M,
+                 ef_construction: int = DEFAULT_EF_CONSTRUCTION):
+        self.mat = mat
+        self.levels = levels
+        self.m = m
+        self.m0 = 2 * m
+        self.efc = ef_construction
+        n = len(mat)
+        self.max_level = int(levels.max()) if n else 0
+        # adjacency: per level, (n, cap) int32 padded with -1
+        self.nbrs = [np.full((n, self.m0 if lv == 0 else m), -1,
+                             dtype=np.int32)
+                     for lv in range(self.max_level + 1)]
+        self.ncnt = [np.zeros(n, dtype=np.int32)
+                     for _ in range(self.max_level + 1)]
+        self.entry = -1
+        self.entry_level = -1
+
+    # --- primitives -----------------------------------------------------
+    def _sims(self, q: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+        return self.mat[nodes] @ q
+
+    def _search_layer(self, q: np.ndarray, eps: list[int], ef: int,
+                      level: int) -> list[tuple[float, int]]:
+        """ef-bounded beam at one layer -> [(sim, node)] best-first
+        (HnswGraphSearcher.searchLevel)."""
+        visited = np.zeros(len(self.mat), dtype=bool)
+        eps = list(dict.fromkeys(eps))
+        sims = self._sims(q, np.array(eps, dtype=np.int64))
+        cand: list[tuple[float, int]] = []   # max-heap via -sim
+        best: list[tuple[float, int]] = []   # min-heap of sims (size<=ef)
+        for s, e in zip(sims, eps):
+            visited[e] = True
+            heapq.heappush(cand, (-s, e))
+            heapq.heappush(best, (s, e))
+        while len(best) > ef:
+            heapq.heappop(best)
+        nbr = self.nbrs[level]
+        cnt = self.ncnt[level]
+        while cand:
+            cs, c = heapq.heappop(cand)
+            cs = -cs
+            if best and cs < best[0][0] and len(best) >= ef:
+                break
+            ns = nbr[c, :cnt[c]]
+            ns = ns[~visited[ns]]
+            if len(ns) == 0:
+                continue
+            visited[ns] = True
+            nsims = self._sims(q, ns)
+            lb = best[0][0] if len(best) >= ef else -np.inf
+            for s, e in zip(nsims, ns):
+                if s > lb or len(best) < ef:
+                    heapq.heappush(cand, (-s, int(e)))
+                    heapq.heappush(best, (s, int(e)))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+                    lb = best[0][0] if len(best) >= ef else -np.inf
+        return sorted(best, key=lambda t: (-t[0], t[1]))
+
+    def _select_diverse(self, cands: list[tuple[float, int]],
+                        max_conn: int) -> list[int]:
+        """Lucene's diversity heuristic (HnswGraphBuilder.findDiverse):
+        keep candidate c unless it is closer to an already-selected
+        neighbor than to the query."""
+        sel: list[int] = []
+        for s, c in cands:
+            if len(sel) >= max_conn:
+                break
+            if sel:
+                d = self.mat[np.array(sel)] @ self.mat[c]
+                if (d > s).any():
+                    continue
+            sel.append(c)
+        return sel
+
+    def _link(self, a: int, b: int, level: int) -> None:
+        """Add b to a's neighbor list; prune diversely when over cap."""
+        cap = self.m0 if level == 0 else self.m
+        cnt = self.ncnt[level][a]
+        if cnt < cap:
+            self.nbrs[level][a, cnt] = b
+            self.ncnt[level][a] = cnt + 1
+            return
+        cur = self.nbrs[level][a, :cnt]
+        allc = np.concatenate([cur, [b]])
+        sims = self.mat[allc] @ self.mat[a]
+        order = np.lexsort((allc, -sims))
+        ranked = [(float(sims[i]), int(allc[i])) for i in order]
+        sel = self._select_diverse(ranked, cap)
+        self.nbrs[level][a, :len(sel)] = sel
+        self.nbrs[level][a, len(sel):cap] = -1
+        self.ncnt[level][a] = len(sel)
+
+    # --- build ----------------------------------------------------------
+    def build(self) -> None:
+        order = np.arange(len(self.mat))
+        for i in order:
+            self._insert(int(i))
+
+    def _insert(self, i: int) -> None:
+        lvl = int(self.levels[i])
+        if self.entry < 0:
+            self.entry, self.entry_level = i, lvl
+            return
+        q = self.mat[i]
+        ep = [self.entry]
+        for lc in range(self.entry_level, lvl, -1):
+            ep = [self._search_layer(q, ep, 1, lc)[0][1]]
+        for lc in range(min(lvl, self.entry_level), -1, -1):
+            cands = self._search_layer(q, ep, self.efc, lc)
+            cap = self.m0 if lc == 0 else self.m
+            sel = self._select_diverse(cands, cap)
+            k = len(sel)
+            self.nbrs[lc][i, :k] = sel
+            self.ncnt[lc][i] = k
+            for j in sel:
+                self._link(j, i, lc)
+            ep = [c for _, c in cands]
+        if lvl > self.entry_level:
+            self.entry, self.entry_level = i, lvl
+
+    # --- search ---------------------------------------------------------
+    def search(self, q: np.ndarray, k: int, ef: int) -> list[tuple[float, int]]:
+        n = len(self.mat)
+        if n == 0:
+            return []
+        if ef >= n:
+            # exhaustive beam degenerates to an exact scan — guarantees
+            # recall 1.0 (the oracle gate), graph connectivity aside
+            sims = self.mat @ q
+            order = np.lexsort((np.arange(n), -sims))[:max(k, 1)]
+            return [(float(sims[i]), int(i)) for i in order]
+        ep = [self.entry]
+        for lc in range(self.entry_level, 0, -1):
+            ep = [self._search_layer(q, ep, 1, lc)[0][1]]
+        best = self._search_layer(q, ep, max(ef, k), 0)
+        return best[:k]
+
+
+# --- persistence ---------------------------------------------------------
+
+def _write_segment(seg_dir: str, vec_ids: np.ndarray, mat32: np.ndarray,
+                   g: _HnswGraph) -> None:
+    import pyarrow.parquet as pq
+    os.makedirs(seg_dir, exist_ok=True)
+    dim = mat32.shape[1]
+    vec = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat32.astype(np.float32).reshape(-1)), dim)
+    pq.write_table(pa.table({"vec_id": pa.array(vec_ids, pa.int64()),
+                             "vec": vec}),
+                   os.path.join(seg_dir, "vectors.parquet"))
+    lv_col, node_col, nb_col = [], [], []
+    for lv in range(g.max_level + 1):
+        nodes = np.nonzero(g.ncnt[lv] > 0)[0]
+        for nd in nodes:
+            lv_col.append(lv)
+            node_col.append(int(nd))
+            nb_col.append(g.nbrs[lv][nd, :g.ncnt[lv][nd]].tolist())
+    pq.write_table(pa.table({
+        "level": pa.array(lv_col, pa.int32()),
+        "node": pa.array(node_col, pa.int32()),
+        "neighbors": pa.array(nb_col, pa.list_(pa.int32()))}),
+        os.path.join(seg_dir, "graph.parquet"))
+    with open(os.path.join(seg_dir, "meta.json"), "w") as f:
+        json.dump({"entry": int(g.entry), "entry_level": int(g.entry_level),
+                   "m": g.m, "n": len(vec_ids), "dim": int(dim)}, f)
+
+
+def _load_segment(seg_dir: str):
+    import pyarrow.parquet as pq
+    with open(os.path.join(seg_dir, "meta.json")) as f:
+        meta = json.load(f)
+    vt = pq.read_table(os.path.join(seg_dir, "vectors.parquet"))
+    vec_ids = vt.column("vec_id").to_numpy()
+    flat = vt.column("vec").combine_chunks().flatten().to_numpy()
+    # vectors persist raw float32; normalize in float64 at load so sims
+    # match knn_brute's arithmetic exactly (float64 normalize-then-dot)
+    mat = _normalize64(flat.reshape(len(vec_ids), meta["dim"]))
+    gt = pq.read_table(os.path.join(seg_dir, "graph.parquet"))
+    g = _HnswGraph(mat, np.zeros(len(vec_ids), np.int32), m=meta["m"])
+    levels = gt.column("level").to_numpy()
+    # a lone node at a top layer has no edges and thus no graph rows;
+    # size adjacency to the entry's level so greedy descent can start
+    g.max_level = max(int(levels.max()) if len(levels) else 0,
+                      int(meta["entry_level"]))
+    g.nbrs = [np.full((len(vec_ids), g.m0 if lv == 0 else g.m), -1,
+                      np.int32) for lv in range(g.max_level + 1)]
+    g.ncnt = [np.zeros(len(vec_ids), np.int32)
+              for _ in range(g.max_level + 1)]
+    nodes = gt.column("node").to_numpy()
+    nb = gt.column("neighbors").to_pylist()
+    for lv, nd, ns in zip(levels, nodes, nb):
+        g.nbrs[lv][nd, :len(ns)] = ns
+        g.ncnt[lv][nd] = len(ns)
+    g.entry, g.entry_level = meta["entry"], meta["entry_level"]
+    return vec_ids, g
+
+
+class HnswSegmentBuilder:
+    """Actor-pool stage: one input batch -> one independent segment
+    graph written to ``out_dir/seg-<min_vecid>-<n>/``. Emits a one-row
+    meta table per segment (the manifest leg)."""
+
+    def __init__(self, out_dir: str, m: int = DEFAULT_M,
+                 ef_construction: int = DEFAULT_EF_CONSTRUCTION):
+        self.out_dir = out_dir
+        self.m = m
+        self.efc = ef_construction
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+        mat32 = np.stack(batch["embedding"].to_pylist()).astype(np.float32)
+        mat = _normalize64(mat32)
+        seg = f"seg-{int(vec_ids.min()):012d}-{len(vec_ids)}"
+        seg_dir = os.path.join(self.out_dir, seg)
+        if not os.path.exists(os.path.join(seg_dir, "meta.json")):
+            g = _HnswGraph(mat, _levels_for(vec_ids, self.m), m=self.m,
+                           ef_construction=self.efc)
+            g.build()
+            _write_segment(seg_dir, vec_ids, mat32, g)
+        return pa.table({"segment": pa.array([seg], pa.string()),
+                         "n": pa.array([len(vec_ids)], pa.int64())})
+
+
+def build_hnsw_index(path: str, out_dir: str, *, m: int = DEFAULT_M,
+                     ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+                     segment_size: int = 8192) -> dict:
+    """Streaming build: read (vec_id, embedding), one segment graph per
+    ``segment_size`` batch, manifest JSON at the end."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    metas = ds.map_batches(
+        HnswSegmentBuilder, batch_format="pyarrow",
+        batch_size=segment_size, concurrency=(1, 8),
+        fn_constructor_kwargs={"out_dir": out_dir, "m": m,
+                               "ef_construction": ef_construction}
+    ).take_all()
+    manifest = {"segments": sorted({r["segment"] for r in metas}),
+                "m": m, "ef_construction": ef_construction,
+                "n_vectors": int(sum(r["n"] for r in metas))}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def hnsw_search(out_dir: str, qids: np.ndarray, qmat: np.ndarray,
+                k: int = 10, ef: int = DEFAULT_EF_SEARCH,
+                exclude_self: bool = True) -> pa.Table:
+    """Beam-search every segment for every query (one Ray task per
+    segment; query matrix broadcast once), then the shared groupby(qid)
+    top-k reduce. ``ef >= max segment size`` -> exact."""
+    from .similarity import _merge_topk_partials
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    qmat = _normalize64(qmat)
+    qref = ray.put((qids.astype(np.int64), qmat))
+
+    def per_segment(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(qref)
+        outs = []
+        for seg in batch["segment"].to_pylist():
+            vec_ids, g = _load_segment(os.path.join(out_dir, seg))
+            for qi in range(len(q_ids)):
+                hits = g.search(q_mat[qi], k + 1, ef)
+                if not hits:
+                    continue
+                outs.append(pa.table({
+                    "qid": pa.array([int(q_ids[qi])] * len(hits), pa.int64()),
+                    "vec_id": pa.array([int(vec_ids[n]) for _, n in hits],
+                                       pa.int64()),
+                    "sim": pa.array([s for s, _ in hits], pa.float64())}))
+        if not outs:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    segs = ray.data.from_items(
+        [{"segment": s} for s in manifest["segments"]])
+    parts = segs.map_batches(per_segment, batch_format="pyarrow",
+                             batch_size=1)
+    return _merge_topk_partials(parts, k, exclude_self)
+
+
+def knn_hnsw(path: str, query_ids, k: int = 10,
+             ef: int = DEFAULT_EF_SEARCH, index_dir: str | None = None,
+             segment_size: int = 8192) -> pa.Table:
+    """Build-or-reuse the HNSW index for ``path``, answer cosine top-k.
+    Same output schema as knn_brute: (qid, vec_id, rank)."""
+    import hashlib
+
+    from .similarity import _load_queries
+
+    if index_dir is None:
+        key = hashlib.md5(f"{path}|{segment_size}".encode()).hexdigest()[:12]
+        index_dir = os.path.join("/tmp/lucene_ray_cache", f"hnsw-{key}")
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        build_hnsw_index(path, index_dir, segment_size=segment_size)
+    qids, qmat = _load_queries(path, list(query_ids))
+    return hnsw_search(index_dir, qids, qmat, k=k, ef=ef)
+
+
+def hnsw_recall_vs_brute(path: str, query_ids, k: int = 10,
+                         ef: int = DEFAULT_EF_SEARCH,
+                         segment_size: int = 8192) -> float:
+    from .similarity import knn_brute
+    brute = knn_brute(path, query_ids, k)
+    approx = knn_hnsw(path, query_ids, k, ef=ef, segment_size=segment_size)
+    b: dict[int, set] = {}
+    for r in brute.to_pylist():
+        b.setdefault(r["qid"], set()).add(r["vec_id"])
+    a: dict[int, set] = {}
+    for r in approx.to_pylist():
+        a.setdefault(r["qid"], set()).add(r["vec_id"])
+    recs = [len(b[q] & a.get(q, set())) / max(len(b[q]), 1) for q in b]
+    return float(np.mean(recs)) if recs else 0.0
