@@ -324,22 +324,34 @@ def blockjoin_order_keys(sf_dir: str, flag_term: str = "r") -> pa.Table:
     Children-first parent-last blocks; join = nearest parent above."""
     import pyarrow.parquet as pq
 
-    from ..search.join import block_join_parents, build_block_index
+    from ..search.join import block_join_parents
 
-    key = hashlib.md5(("bj:" + sf_dir).encode()).hexdigest()[:12]
+    key = hashlib.md5(("bj2:" + sf_dir).encode()).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, f"bjidx-{key}")
     if not os.path.exists(os.path.join(out, "idx", "manifest_0.json")):
-        parents = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                                columns=["o_orderkey", "o_orderpriority"])
-        children = pq.read_table(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_returnflag", "l_linestatus"])
-        build_block_index(
-            parents, children, out, parent_key="o_orderkey",
-            child_key="l_orderkey",
-            parent_text=lambda r: "parentdoc",
-            child_text=lambda r: f"{r['l_returnflag']} {r['l_linestatus']}"
-            .lower(),
+        import pyarrow.compute as pc
+
+        import ray.data
+
+        from ..search.join import build_block_index_stream
+
+        def child_text(batch: pa.Table) -> pa.Array:
+            return pc.utf8_lower(pc.binary_join_element_wise(
+                batch["l_returnflag"].combine_chunks().cast(pa.string()),
+                batch["l_linestatus"].combine_chunks().cast(pa.string()),
+                " "))
+
+        def parent_text(batch: pa.Table) -> pa.Array:
+            return pa.array(["parentdoc"] * len(batch), pa.string())
+
+        build_block_index_stream(
+            ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                  columns=["o_orderkey"]),
+            ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                                  columns=["l_orderkey", "l_returnflag",
+                                           "l_linestatus"]),
+            out, parent_key="o_orderkey", child_key="l_orderkey",
+            parent_text_fn=parent_text, child_text_fn=child_text,
             stored_parent=("o_orderkey",), batch_size=8192)
     s = Searcher(IndexReader(os.path.join(out, "idx")),
                  similarity="bm25_exact64")

@@ -47,7 +47,9 @@ def block_join_parents(searcher: Searcher, child_query: Query,
                            else np.zeros(len(cdocs)))
     if not p_parts or not c_parts:
         return np.empty(0, np.int64), np.empty(0, np.float32)
-    parents = np.concatenate(p_parts)  # segments are doc-ordered
+    # segments from streaming builds may interleave doc ranges; the
+    # searchsorted below needs a globally sorted parent set
+    parents = np.sort(np.concatenate(p_parts))
     cdocs = np.concatenate(c_parts)
     cs = np.concatenate(s_parts)
     # a child's parent is the nearest parent docID ABOVE it
@@ -80,6 +82,105 @@ def block_join_topk(searcher: Searcher, child_query: Query, k: int = 10,
                     score_mode: str = "total") -> TopDocs:
     docs, scores = block_join_parents(searcher, child_query, score_mode)
     return _top_k(docs, scores, k)
+
+
+def build_block_index_stream(parents, children, out_dir, *,
+                             parent_key: str, child_key: str,
+                             parent_text_fn, child_text_fn,
+                             stored_parent: tuple = (),
+                             num_partitions: int = 32,
+                             batch_size: int = 4096):
+    """Distributed block assembly + index build — no driver
+    materialization (r2 finding: the pa.Table API did ``to_pylist`` of
+    both sides).
+
+    ``parents`` / ``children``: parquet path(s) or ``ray.data.Dataset``.
+    ``parent_text_fn`` / ``child_text_fn``: VECTORIZED
+    ``pa.Table -> pa.Array`` of document text.
+
+    docID scheme: one hash shuffle on ``block_key % P``; each partition
+    sorts (block_key, is_parent) vectorized and assigns
+    ``doc_id = part * (2**31 // P) + seq`` with children first and the
+    parent LAST (the addDocuments contract,
+    join/ToParentBlockJoinQuery.java). Every block's rows are contiguous
+    in docID space (the whole block hashes to one partition and sorts
+    adjacent), which is all nearest-parent-above needs — block keys need
+    NOT be globally ordered, so no global row-number/prefix-sum pass.
+    docIDs stay inside Lucene's int32 doc space; capacity is
+    ``2**31`` docs per index (the reference's own per-index limit),
+    ~``2**31 / P`` per hash partition.
+    """
+    import os
+
+    import ray
+    import ray.data
+
+    from ..index import build_index
+
+    def _ds(x, cols):
+        return x if isinstance(x, ray.data.Dataset) else \
+            ray.data.read_parquet(x, columns=cols)
+
+    pds_raw = _ds(parents, None)
+    stored_types = {c: pds_raw.schema().base_schema.field(c).type
+                    for c in stored_parent}
+
+    def _part_col(key: np.ndarray) -> pa.Array:
+        h = (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> \
+            np.uint64(33)
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int64),
+                        pa.int64())
+
+    def prep_parent(batch: pa.Table) -> pa.Table:
+        key = batch[parent_key].cast(pa.int64())
+        kn = key.to_numpy()
+        return pa.table({
+            "part": _part_col(kn),
+            "block_key": key,
+            "is_parent": pa.array(np.ones(len(batch), np.int64)),
+            "text": parent_text_fn(batch),
+            **{c: batch[c].cast(stored_types[c]) for c in stored_parent},
+        })
+
+    def prep_child(batch: pa.Table) -> pa.Table:
+        key = batch[child_key].cast(pa.int64())
+        kn = key.to_numpy()
+        return pa.table({
+            "part": _part_col(kn),
+            "block_key": key,
+            "is_parent": pa.array(np.zeros(len(batch), np.int64)),
+            "text": child_text_fn(batch),
+            **{c: pa.nulls(len(batch), stored_types[c])
+               for c in stored_parent},
+        })
+
+    part_span = (1 << 31) // num_partitions
+
+    def assign(g: pa.Table) -> pa.Table:
+        part = int(g.column("part")[0].as_py())
+        key = g.column("block_key").to_numpy()
+        isp = g.column("is_parent").to_numpy()
+        order = np.lexsort((isp, key))
+        g = g.take(pa.array(order))
+        n = len(key)
+        if n > part_span:
+            raise ValueError(
+                f"partition {part} holds {n} docs > {part_span}; raise "
+                "num_partitions (int32 docID space is 2**31 per index)")
+        doc_id = np.int64(part) * part_span + np.arange(n, dtype=np.int64)
+        return g.drop_columns(["part"]).append_column(
+            "doc_id", pa.array(doc_id, pa.int64()))
+
+    both = (pds_raw.map_batches(prep_parent, batch_format="pyarrow")
+            .union(_ds(children, None)
+                   .map_batches(prep_child, batch_format="pyarrow")))
+    assembled = both.groupby("part").map_groups(
+        assign, batch_format="pyarrow")
+    os.makedirs(out_dir, exist_ok=True)
+    return build_index(
+        assembled, os.path.join(out_dir, "idx"), batch_size=batch_size,
+        stored_cols=("block_key", *stored_parent),
+        doc_value_cols=("is_parent",))
 
 
 def build_block_index(parent_table: pa.Table, child_table: pa.Table,

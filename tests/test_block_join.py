@@ -73,3 +73,46 @@ def test_blocks_straddle_segments(block_index):
     # batch_size=3 over 10 docs -> several segments; joins still exact
     reader = IndexReader(f"{block_index}/idx")
     assert len(reader.segment_infos) > 1
+
+
+def test_stream_builder_million_children(ray_session, tmp_path_factory):
+    """build_block_index_stream assembles blocks from a >1M-child corpus
+    through Dataset ops only (hash shuffle + partition-local sweep) — no
+    driver materialization of the input tables — and the join answers
+    match the key-level oracle."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from lucene_ray.search.join import build_block_index_stream
+
+    n_parents = 150_000
+    per = 7  # 1.05M children
+    d = tmp_path_factory.mktemp("bj_big")
+    pkeys = np.arange(n_parents, dtype=np.int64)
+    pq.write_table(pa.table({"pkey": pa.array(pkeys)}),
+                   str(d / "parents.parquet"), row_group_size=65536)
+    ckeys = np.repeat(pkeys, per)
+    flags = np.where(ckeys % 11 == 0, "redflag", "blueflag")
+    pq.write_table(pa.table({"ckey": pa.array(ckeys),
+                             "flag": pa.array(flags, pa.string())}),
+                   str(d / "children.parquet"), row_group_size=65536)
+
+    out = str(d / "bj")
+    build_block_index_stream(
+        str(d / "parents.parquet"), str(d / "children.parquet"), out,
+        parent_key="pkey", child_key="ckey",
+        parent_text_fn=lambda b: pa.array(["parentdoc"] * len(b)),
+        child_text_fn=lambda b: b["flag"].combine_chunks(),
+        stored_parent=("pkey",), num_partitions=16, batch_size=32768)
+
+    s = Searcher(IndexReader(f"{out}/idx"))
+    docs, _ = block_join_parents(s, TermQuery("redflag"), "none")
+    assert len(docs) == (pkeys % 11 == 0).sum()
+    keys = []
+    for info in s.reader.segment_infos:
+        sr = s.reader.segment(info.seg_id)
+        inb = docs[(docs >= info.min_doc) & (docs <= info.max_doc)]
+        if len(inb):
+            keys.extend(sr.stored(inb, "pkey"))
+    assert sorted(keys) == pkeys[pkeys % 11 == 0].tolist()
