@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         highlight_top, incremental_build_stats, suggest_completions,
         suggest_corrections, topk_by_numeric_field,
         multi_field_match, numeric_range_match, parsed_query_docs,
-        phrase_topk,
+        phrase_topk, synonym_query_docs,
     )
     from lucene_ray.search import (
         FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery,
@@ -182,6 +182,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B), slop=2)),
         "parsed_query": lambda sf: parsed_query_docs(
             _docp(sf), 'data AND (merge OR "window data") -spark'),
+        # query-time SynonymGraph (QueryBuilder.analyzeGraphBoolean):
+        # single-token synonym -> term OR; multi-word -> phrase path
+        "synonym_match": lambda sf: synonym_query_docs(
+            _docp(sf), "data",
+            {"data": ["window", "merge data"]}),
         "multi_field_match": lambda sf: multi_field_match(
             _docp(sf), 'lang:en AND data -source:src7'),
         "numeric_range_match": lambda sf: numeric_range_match(
@@ -371,6 +376,11 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
         "phrase_match": (
             "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE "
             f"'% {_TERM_A} {_TERM_B} %' ORDER BY doc_id"),
+        "synonym_match": (
+            "SELECT doc_id FROM documents WHERE "
+            "' ' || text || ' ' LIKE '% data %' OR "
+            "' ' || text || ' ' LIKE '% window %' OR "
+            "' ' || text || ' ' LIKE '% merge data %' ORDER BY doc_id"),
         "phrase_slop_match": f"""
 WITH lists AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x <> '') AS l

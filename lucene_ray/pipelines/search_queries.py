@@ -208,6 +208,23 @@ def dedup_update_live_docs(doc_path: str, key_col: str = "lang",
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
 
 
+def synonym_query_docs(doc_path: str, expr: str,
+                       synonyms: dict) -> pa.Table:
+    """Query-time SynonymGraph round trip (util/QueryBuilder.java
+    analyzeGraphBoolean): parse ``expr`` with a graph-synonym analyzer
+    and return matching doc ids. Single-token synonyms become term
+    disjunctions, multi-word synonyms become phrase paths."""
+    from ..analysis.syngraph import SynonymGraphAnalyzer
+    from ..search.queryparser import parse_query
+
+    idx = cached_index(doc_path)
+    s = Searcher(IndexReader(idx), similarity="bm25_exact64")
+    q = parse_query(expr, default_field="text",
+                    analyzer=SynonymGraphAnalyzer(synonyms))
+    docs = s.match_docs(q)
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def parsed_query_docs(doc_path: str, expr: str) -> pa.Table:
     """Classic-parser round trip: parse ``expr`` (queryparser/classic
     syntax) against the cached documents index and return the matching

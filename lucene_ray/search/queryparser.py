@@ -262,6 +262,10 @@ class QueryParser:
             raw = m.group("phrase")
             body = raw[1:raw.rindex('"')]
             slop = int(float(m.group("slop"))) if m.group("slop") else 0
+            if hasattr(self.analyzer, "analyze_spans"):
+                return self._graph_phrase(
+                    self.analyzer.analyze_spans(_unescape(body)), slop,
+                    self._norm_field(fld))
             terms = self.analyzer(_unescape(body))
             if not terms:
                 return None
@@ -330,12 +334,62 @@ class QueryParser:
             # escapes stay IN the pattern (\* = literal star), matching
             # WildcardQuery.toString semantics
             return WildcardQuery(pat, field=self._norm_field(field))
+        if hasattr(self.analyzer, "analyze_spans"):
+            return self._graph_boolean(
+                self.analyzer.analyze_spans(_unescape(text)),
+                self._norm_field(field))
         terms = self.analyzer(_unescape(text))
         if not terms:
             return None
         if len(terms) == 1:
             return TermQuery(terms[0], field=self._norm_field(field))
         return PhraseQuery(tuple(terms), field=self._norm_field(field))
+
+    # --- QueryBuilder.analyzeGraphBoolean / analyzeGraphPhrase ----------
+    # (util/QueryBuilder.java; reference tests TestSynonymGraphFilter /
+    # TestQueryParser synonym cases). Spans are the graph's articulation
+    # decomposition — see analysis/syngraph.py.
+
+    _MAX_GRAPH_PATHS = 128  # IndexSearcher.maxClauseCount role
+
+    def _graph_boolean(self, spans, field) -> Query | None:
+        """One query atom whose analysis is a graph: per span, a
+        disjunction over paths (term / phrase); spans joined by the
+        parser's default operator (analyzeGraphBoolean)."""
+        if not spans:
+            return None
+
+        def path_q(p):
+            return TermQuery(p[0], field=field) if len(p) == 1 else \
+                PhraseQuery(tuple(p), field=field)
+
+        qs = []
+        for alts in spans:
+            subs = [path_q(p) for p in alts]
+            qs.append(subs[0] if len(subs) == 1
+                      else BooleanQuery(should=tuple(subs)))
+        if len(qs) == 1:
+            return qs[0]
+        return (BooleanQuery(should=tuple(qs)) if self.default_or
+                else BooleanQuery(must=tuple(qs)))
+
+    def _graph_phrase(self, spans, slop, field) -> Query | None:
+        """Quoted phrase whose analysis is a graph: disjunction of the
+        full phrase paths (analyzeGraphPhrase; the reference builds
+        SpanNear trees — a phrase-per-path disjunction has the same
+        match set for acyclic synonym graphs)."""
+        if not spans:
+            return None
+        paths = [()]
+        for alts in spans:
+            paths = [p + a for p in paths for a in alts]
+            if len(paths) > self._MAX_GRAPH_PATHS:
+                raise ParseException(
+                    f"synonym graph expands to > {self._MAX_GRAPH_PATHS} "
+                    "phrase paths")
+        qs = [TermQuery(p[0], field=field) if len(p) == 1 else
+              PhraseQuery(tuple(p), slop=slop, field=field) for p in paths]
+        return qs[0] if len(qs) == 1 else BooleanQuery(should=tuple(qs))
 
 
 def parse_query(s: str, default_field: str = "text",
