@@ -560,6 +560,7 @@ class Searcher:
             slot_pos.append(ap)
             # od is sorted (docs sorted, repeat preserves order)
             slot_bounds.append(np.searchsorted(od, cand))
+        rpt_grp = self._repeat_groups(terms)
         out_docs, out_freqs = [], []
         for j in range(len(cand)):
             slots = []
@@ -568,33 +569,8 @@ class Searcher:
                 hi = slot_bounds[i][j + 1] if j + 1 < len(cand) \
                     else len(slot_pos[i])
                 slots.append(slot_pos[i][lo:hi])
-            freq = 0.0
-            ptrs = [0] * n
-            vals = [int(s[0]) for s in slots]
-            while True:
-                mx, mn = max(vals), min(vals)
-                if mx - mn <= slop:
-                    ok = True
-                    if has_repeats:
-                        bysrc = {}
-                        for i in range(n):
-                            bysrc.setdefault(terms[i], set()).add(vals[i] + i)
-                        ok = all(len(v) == sum(1 for t in terms if t == k)
-                                 for k, v in bysrc.items())
-                    if ok:
-                        freq += 1.0 / (1 + mx - mn)
-                i_min = vals.index(mn)
-                ptrs[i_min] += 1
-                if ptrs[i_min] >= len(slots[i_min]):
-                    break
-                vals[i_min] = int(slots[i_min][ptrs[i_min]])
-            if freq == 0 and has_repeats:
-                # the pq walk can step past a distinct-source assignment
-                # when slots share a term; a pruned DFS decides matching
-                # exactly (the reference's repeats machinery)
-                best = self._best_distinct_span(slots, terms, slop)
-                if best is not None:
-                    freq = 1.0 / (1 + best)
+            freq = self._sloppy_freq_doc(slots, rpt_grp, slop,
+                                         has_repeats)
             if freq > 0:
                 out_docs.append(cand[j])
                 out_freqs.append(freq)
@@ -602,6 +578,122 @@ class Searcher:
             return None, None
         return (np.asarray(out_docs, dtype=np.int64),
                 np.asarray(out_freqs, dtype=np.float64))
+
+    @staticmethod
+    def _repeat_groups(terms: tuple) -> list[int]:
+        """Slot -> repeat-group id (-1 for non-repeating terms) —
+        SloppyPhraseMatcher's rptGroups."""
+        first: dict = {}
+        grp = [-1] * len(terms)
+        gid = 0
+        for i, t in enumerate(terms):
+            if terms.count(t) > 1:
+                if t not in first:
+                    first[t] = gid
+                    gid += 1
+                grp[i] = first[t]
+        return grp
+
+    @staticmethod
+    def _sloppy_freq_doc(slots, rpt_grp, slop: int,
+                         has_repeats: bool) -> float:
+        """Lucene-exact sloppy phrase freq for one candidate doc — a
+        transcription of SloppyPhraseMatcher's pq walk INCLUDING the
+        repeats machinery (SloppyPhraseMatcher.java:180-260,
+        TestSloppyPhraseQuery2.java): each phrase slot is a
+        PhrasePositions over ADJUSTED positions (pos - offset); repeating
+        slots may never share a source token (tpPos = ap + offset), and
+        collisions advance the lesser slot (advanceRpts). Every minimal
+        window the walk yields with span <= slop adds
+        sloppyWeight = 1/(1+span); the walk's final state counts once
+        when an iterator exhausts."""
+        import heapq
+        n = len(slots)
+        if n == 1:
+            return float(len(slots[0]))
+        ap = [int(s[0]) for s in slots]      # current adjusted position
+        ptr = [0] * n
+        end = max(ap)
+
+        def advance(i: int) -> bool:
+            """advancePP: step slot i; tracks the running end."""
+            nonlocal end
+            ptr[i] += 1
+            if ptr[i] >= len(slots[i]):
+                return False
+            ap[i] = int(slots[i][ptr[i]])
+            if ap[i] > end:
+                end = ap[i]
+            return True
+
+        def collide(i: int) -> int:
+            """Another slot of i's group on the same source position
+            (tpPos = adjusted + offset)."""
+            tpi = ap[i] + i
+            for k in range(n):
+                if k != i and rpt_grp[k] == rpt_grp[i] and ap[k] + k == tpi:
+                    return k
+            return -1
+
+        def lesser(a: int, b: int) -> int:
+            if ap[a] < ap[b] or (ap[a] == ap[b] and a < b):
+                return a
+            return b
+
+        def advance_rpts(i: int) -> bool:
+            """Resolve same-source collisions; the collision loop follows
+            the advanced (lesser) slot, exactly the reference's
+            ``pp = lesser(pp, rg[k])`` walk. May advance queued slots —
+            the caller re-heapifies (the reference's bits/rptStack
+            re-add); the captured ``next`` stays stale by design."""
+            if rpt_grp[i] < 0:
+                return True
+            cur = i
+            while True:
+                k = collide(cur)
+                if k < 0:
+                    return True
+                cur = lesser(cur, k)
+                if not advance(cur):
+                    return False
+
+        # --- init: place all slots, resolve initial collisions --------
+        if has_repeats:
+            for i in range(n):
+                if rpt_grp[i] >= 0 and not advance_rpts(i):
+                    return 0.0
+            end = max(ap)
+        heap = [(ap[i], i) for i in range(n)]
+        heapq.heapify(heap)
+
+        freq = 0.0
+        pos_i, i = heapq.heappop(heap)
+        match_length = end - ap[i]
+        nxt = heap[0][0]
+        while True:
+            if not advance(i):
+                break
+            if has_repeats:
+                if not advance_rpts(i):
+                    break
+                # queued slots may have moved: restore heap order (but
+                # NOT the captured nxt — phraseFreq keeps it stale)
+                heap = [(ap[k], k) for _, k in heap]
+                heapq.heapify(heap)
+            if ap[i] > nxt:      # done minimizing current match length
+                if match_length <= slop:
+                    freq += 1.0 / (1 + match_length)  # sloppyWeight
+                heapq.heappush(heap, (ap[i], i))
+                pos_i, i = heapq.heappop(heap)
+                nxt = heap[0][0]
+                match_length = end - ap[i]
+            else:
+                ml2 = end - ap[i]
+                if ml2 < match_length:
+                    match_length = ml2
+        if match_length <= slop:
+            freq += 1.0 / (1 + match_length)
+        return freq
 
     @staticmethod
     def _best_distinct_span(slots, terms, slop):

@@ -116,3 +116,61 @@ def test_sloppy_scored_topk_order(ray_session, tmp_path_factory):
     # tighter phrase -> higher sloppy freq -> higher score
     assert td.doc_ids.tolist() == [0, 1, 2]
     assert td.scores[0] > td.scores[1] > td.scores[2]
+
+
+# --- exact repeat-term freq (SloppyPhraseMatcher.java:180-260 pq walk
+# with advanceRpts; TestSloppyPhraseQuery2.java repeat cases) ----------
+
+def _freq(terms, text, slop):
+    import numpy as np
+    from lucene_ray.search.searcher import Searcher
+    toks = text.split()
+    slots = []
+    for i, t in enumerate(terms):
+        pos = [p for p, w in enumerate(toks) if w == t]
+        if not pos:
+            return 0.0
+        slots.append(np.array([p - i for p in pos]))
+    grp = Searcher._repeat_groups(tuple(terms))
+    return Searcher._sloppy_freq_doc(slots, grp, slop,
+                                     len(set(terms)) < len(terms))
+
+
+def test_repeat_freq_exact_values():
+    # each value derived by hand from the reference pq walk: collisions
+    # advance the lesser slot; every emitted minimal window adds
+    # 1/(1+span)
+    assert _freq(("a", "a"), "a b a", 2) == 0.5
+    assert _freq(("a", "a"), "a a a", 2) == 2.0
+    assert _freq(("a", "a"), "a b a", 0) == 0.0
+    assert _freq(("a", "b", "a"), "a b a", 0) == 1.0
+    assert _freq(("a", "b", "a"), "a b a x a b a", 0) == 2.0
+    assert _freq(("a", "b"), "a b a b", 0) == 2.0
+    assert abs(_freq(("b", "a"), "a b", 2) - 1.0 / 3) < 1e-12
+
+
+def test_repeat_match_decision_matches_distinct_tuple_oracle():
+    import numpy as np
+    from lucene_ray.search.searcher import Searcher
+    rng = np.random.default_rng(11)
+    vocab = list("abc")
+    checked = 0
+    for _ in range(2000):
+        text = " ".join(rng.choice(vocab, rng.integers(2, 10)))
+        terms = tuple(rng.choice(vocab, rng.integers(2, 5)))
+        slop = int(rng.integers(0, 4))
+        toks = text.split()
+        slots, ok = [], True
+        for i, t in enumerate(terms):
+            pos = [p - i for p, w in enumerate(toks) if w == t]
+            if not pos:
+                ok = False
+                break
+            slots.append(np.array(pos))
+        if not ok:
+            continue
+        checked += 1
+        f = _freq(terms, text, slop)
+        best = Searcher._best_distinct_span(slots, terms, slop)
+        assert (best is not None) == (f > 0), (terms, text, slop, f, best)
+    assert checked > 500
