@@ -77,7 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         phrase_topk, synonym_query_docs,
     )
     from lucene_ray.search import (
-        FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery,
+        FuzzyQuery, PhraseQuery, PrefixQuery, SpanNearQuery, TermRangeQuery,
+        WildcardQuery,
     )
 
     _MATCH_QUERIES = {
@@ -180,6 +181,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B))),
         "phrase_slop_match": lambda sf: match_query_docs(
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B), slop=2)),
+        # spans / intervals (SpanNearQuery.java, Intervals.maxgaps)
+        "span_near_ordered": lambda sf: match_query_docs(
+            _docp(sf), SpanNearQuery((_TERM_A, _TERM_B), slop=3,
+                                     in_order=True)),
+        "span_near_unordered": lambda sf: match_query_docs(
+            _docp(sf), SpanNearQuery((_TERM_A, _TERM_B), slop=3)),
         "parsed_query": lambda sf: parsed_query_docs(
             _docp(sf), 'data AND (merge OR "window data") -spark'),
         # query-time SynonymGraph (QueryBuilder.analyzeGraphBoolean):
@@ -391,6 +398,30 @@ a AS (SELECT doc_id, pos AS ap FROM pos WHERE term = '{_TERM_A}'),
 b AS (SELECT doc_id, pos - 1 AS ap FROM pos WHERE term = '{_TERM_B}')
 SELECT DISTINCT a.doc_id AS doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.ap - b.ap) <= 2
+ORDER BY a.doc_id""",
+        "span_near_ordered": f"""
+WITH lists AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS l
+               FROM documents),
+pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+        FROM lists),
+a AS (SELECT doc_id, pos FROM pos WHERE term = '{_TERM_A}'),
+b AS (SELECT doc_id, pos FROM pos WHERE term = '{_TERM_B}')
+SELECT DISTINCT a.doc_id AS doc_id
+FROM a JOIN b ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+ORDER BY a.doc_id""",
+        "span_near_unordered": f"""
+WITH lists AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS l
+               FROM documents),
+pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+        FROM lists),
+a AS (SELECT doc_id, pos FROM pos WHERE term = '{_TERM_A}'),
+b AS (SELECT doc_id, pos FROM pos WHERE term = '{_TERM_B}')
+SELECT DISTINCT a.doc_id AS doc_id
+FROM a JOIN b ON a.doc_id = b.doc_id
+             AND a.pos <> b.pos AND abs(a.pos - b.pos) - 1 <= 3
 ORDER BY a.doc_id""",
         "event_sessions": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),

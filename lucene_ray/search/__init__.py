@@ -9,6 +9,7 @@ from .query import (
     FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
+    SpanNearQuery,
     PrefixQuery,
     Query,
     RegexpQuery,
@@ -26,7 +27,7 @@ from .searcher import Searcher, TopDocs, merge_top_docs
 __all__ = [
     "idf", "avg_field_length", "norm_inverse_cache", "score_freqs", "score64",
     "Query", "TermQuery", "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
-    "DisjunctionMaxQuery", "MatchAllDocsQuery", "PhraseQuery", "PrefixQuery", "WildcardQuery",
+    "DisjunctionMaxQuery", "MatchAllDocsQuery", "PhraseQuery", "SpanNearQuery", "PrefixQuery", "WildcardQuery",
     "RegexpQuery", "TermRangeQuery", "FuzzyQuery",
     "and_query", "or_query", "parse_simple", "query_terms",
     "IndexReader", "SegmentReader", "Searcher", "TopDocs", "merge_top_docs",

@@ -66,6 +66,31 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Proximity query over term clauses on positional postings — the
+    spans / intervals role (``core/.../search/spans/SpanNearQuery.java``,
+    ``queries/.../intervals/Intervals.java`` ordered/unordered; tests
+    ``TestIntervals.java``, ``TestSpans.java``).
+
+    A doc matches when the terms occur within a window whose unmatched
+    gap count ``(width - n_terms)`` is <= ``slop``; ``in_order`` adds
+    the strictly-increasing (ordered, non-overlapping) constraint.
+    Repeated clauses in the unordered mode must bind distinct source
+    positions (the sloppy-phrase repeats machinery). Scored like a
+    phrase: summed-idf BM25 over accumulated sloppyWeight(gaps) of the
+    minimal windows (SpanScorer analog)."""
+    terms: tuple = ()
+    slop: int = 0
+    in_order: bool = False
+    boost: float = 1.0
+    field: str | None = None
+
+    def __post_init__(self):
+        if not isinstance(self.terms, tuple):
+            object.__setattr__(self, "terms", tuple(self.terms))
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     boost: float = 1.0
 
@@ -355,6 +380,6 @@ def query_terms(q: Query) -> list[str]:
         for sub in q.disjuncts:
             out.extend(query_terms(sub))
         return out
-    if isinstance(q, PhraseQuery):
+    if isinstance(q, (PhraseQuery, SpanNearQuery)):
         return list(q.terms)
     return []  # MatchAll / unexpanded multi-term

@@ -38,6 +38,7 @@ from .query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    SpanNearQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -187,6 +188,11 @@ class Searcher:
             if len(q.terms) == 1:
                 return TermQuery(q.terms[0], q.boost * boost)
             return PhraseQuery(q.terms, q.boost * boost, q.slop)
+        if isinstance(q, SpanNearQuery):
+            if len(q.terms) == 1:
+                return TermQuery(q.terms[0], q.boost * boost)
+            return SpanNearQuery(q.terms, q.slop, q.in_order,
+                                 q.boost * boost)
         if isinstance(q, FuzzyQuery):
             terms = self._expand(q)
             return BooleanQuery(should=tuple(
@@ -340,7 +346,7 @@ class Searcher:
         if isinstance(q, DisjunctionMaxQuery):
             return ("dismax", [self._prepare(s) for s in q.disjuncts],
                     float(q.tie_breaker))
-        if isinstance(q, PhraseQuery):
+        if isinstance(q, (PhraseQuery, SpanNearQuery)):
             stats = self.reader.term_stats(list(q.terms))
             n = self.reader.doc_count
             # idf summed in double then cast (BM25Similarity.idfExplain)
@@ -352,6 +358,8 @@ class Searcher:
                 if df > 0:
                     idf_sum += float(bm25.idf(df, n))
             weight = np.float32(np.float32(q.boost) * np.float32(idf_sum))
+            if isinstance(q, SpanNearQuery):
+                return ("span", q.terms, weight, dfs, q.slop, q.in_order)
             return ("phrase", q.terms, weight, dfs, q.slop)
         raise TypeError(f"unpreparable query {type(q)}")
 
@@ -375,8 +383,12 @@ class Searcher:
             docs = sr.live_doc_ids()
             dt = np.float64 if self.exact64 else np.float32
             return docs, np.full(len(docs), prep[1], dtype=dt)
-        if kind == "phrase":
-            docs, freqs = self._phrase_freqs(sr, prep[1], prep[4])
+        if kind in ("phrase", "span"):
+            if kind == "span":
+                docs, freqs = self._span_freqs(sr, prep[1], prep[4],
+                                               prep[5])
+            else:
+                docs, freqs = self._phrase_freqs(sr, prep[1], prep[4])
             if docs is None or len(docs) == 0:
                 return None, None
             weight = prep[2]
@@ -595,8 +607,8 @@ class Searcher:
         return grp
 
     @staticmethod
-    def _sloppy_freq_doc(slots, rpt_grp, slop: int,
-                         has_repeats: bool) -> float:
+    def _sloppy_freq_doc(slots, rpt_grp, slop: int, has_repeats: bool,
+                         offsets=None, span_offset: int = 0) -> float:
         """Lucene-exact sloppy phrase freq for one candidate doc — a
         transcription of SloppyPhraseMatcher's pq walk INCLUDING the
         repeats machinery (SloppyPhraseMatcher.java:180-260,
@@ -611,6 +623,7 @@ class Searcher:
         n = len(slots)
         if n == 1:
             return float(len(slots[0]))
+        off = list(offsets) if offsets is not None else list(range(n))
         ap = [int(s[0]) for s in slots]      # current adjusted position
         ptr = [0] * n
         end = max(ap)
@@ -629,9 +642,10 @@ class Searcher:
         def collide(i: int) -> int:
             """Another slot of i's group on the same source position
             (tpPos = adjusted + offset)."""
-            tpi = ap[i] + i
+            tpi = ap[i] + off[i]
             for k in range(n):
-                if k != i and rpt_grp[k] == rpt_grp[i] and ap[k] + k == tpi:
+                if k != i and rpt_grp[k] == rpt_grp[i] and \
+                        ap[k] + off[k] == tpi:
                     return k
             return -1
 
@@ -681,8 +695,8 @@ class Searcher:
                 heap = [(ap[k], k) for _, k in heap]
                 heapq.heapify(heap)
             if ap[i] > nxt:      # done minimizing current match length
-                if match_length <= slop:
-                    freq += 1.0 / (1 + match_length)  # sloppyWeight
+                if match_length - span_offset <= slop:
+                    freq += 1.0 / (1 + match_length - span_offset)
                 heapq.heappush(heap, (ap[i], i))
                 pos_i, i = heapq.heappop(heap)
                 nxt = heap[0][0]
@@ -691,8 +705,92 @@ class Searcher:
                 ml2 = end - ap[i]
                 if ml2 < match_length:
                     match_length = ml2
-        if match_length <= slop:
-            freq += 1.0 / (1 + match_length)
+        if match_length - span_offset <= slop:
+            freq += 1.0 / (1 + match_length - span_offset)
+        return freq
+
+    def _span_freqs(self, sr: SegmentReader, terms: tuple, slop: int,
+                    in_order: bool):
+        """(docs, freqs) for a SpanNearQuery in one segment — spans /
+        intervals matching on the positional postings
+        (search/spans/NearSpansOrdered.java, NearSpansUnordered.java;
+        Intervals.maxgaps semantics for single-term clauses).
+
+        unordered: the sloppy pq walk over RAW positions (offsets all 0,
+        so repeated clauses collide on equal source positions) with the
+        window criterion ``(max-min) - (n-1) <= slop``.
+        ordered: per-start greedy minimal chain (each later clause takes
+        its first position strictly after the previous clause's).
+        freq accumulates sloppyWeight(gaps) per minimal window
+        (SpanScorer analog)."""
+        per_term = []
+        for t in terms:
+            got = sr.get_positions(t)
+            if got is None:
+                return None, None
+            per_term.append(got)
+        cand, = self._live(sr, per_term[0][0])
+        for docs, _f, _p in per_term[1:]:
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+            if len(cand) == 0:
+                return None, None
+        n = len(terms)
+        has_repeats = len(set(terms)) < n
+        rpt_grp = self._repeat_groups(terms)
+        slot_pos: list[np.ndarray] = []
+        slot_bounds: list[np.ndarray] = []
+        for i, (docs, freqs, pos) in enumerate(per_term):
+            occ_doc = np.repeat(docs, freqs)
+            sel = np.isin(occ_doc, cand)
+            slot_pos.append(pos[sel])  # RAW positions (no offset shift)
+            slot_bounds.append(np.searchsorted(occ_doc[sel], cand))
+        out_docs, out_freqs = [], []
+        for j in range(len(cand)):
+            slots = []
+            for i in range(n):
+                lo = slot_bounds[i][j]
+                hi = slot_bounds[i][j + 1] if j + 1 < len(cand) \
+                    else len(slot_pos[i])
+                slots.append(slot_pos[i][lo:hi])
+            if in_order:
+                freq = self._ordered_span_freq(slots, slop)
+            else:
+                freq = self._sloppy_freq_doc(
+                    slots, rpt_grp, slop, has_repeats,
+                    offsets=[0] * n, span_offset=n - 1)
+            if freq > 0:
+                out_docs.append(cand[j])
+                out_freqs.append(freq)
+        if not out_docs:
+            return None, None
+        return (np.asarray(out_docs, dtype=np.int64),
+                np.asarray(out_freqs, dtype=np.float64))
+
+    @staticmethod
+    def _ordered_span_freq(slots, slop: int) -> float:
+        """Ordered near: for each start occurrence of clause 0, the
+        greedy chain (first position of clause i strictly after clause
+        i-1's) is the minimal ordered window from that start; gaps =
+        (last - first) - (n-1)."""
+        n = len(slots)
+        if n == 1:
+            return float(len(slots[0]))
+        freq = 0.0
+        for p0 in slots[0]:
+            prev = int(p0)
+            ok = True
+            for i in range(1, n):
+                arr = slots[i]
+                k = int(np.searchsorted(arr, prev + 1))
+                if k >= len(arr):
+                    ok = False
+                    break
+                prev = int(arr[k])
+            if not ok:
+                break  # later starts fail identically (chains monotone)
+            gaps = (prev - int(p0)) - (n - 1)
+            if gaps <= slop:
+                freq += 1.0 / (1 + gaps)
         return freq
 
     @staticmethod
@@ -755,6 +853,9 @@ class Searcher:
                     if parts else np.empty(0, np.int64))
         if isinstance(q, PhraseQuery):
             docs, _ = self._phrase_freqs(sr, q.terms, q.slop)
+            return docs if docs is not None else np.empty(0, np.int64)
+        if isinstance(q, SpanNearQuery):
+            docs, _ = self._span_freqs(sr, q.terms, q.slop, q.in_order)
             return docs if docs is not None else np.empty(0, np.int64)
         raise TypeError(f"unmatchable query {type(q)}")
 
