@@ -217,22 +217,27 @@ class SynonymFilter:
 
 
 class AnalyzerChain:
-    """Composable analysis chain: StandardAnalyzer + token filters, in
-    order (Analyzer.createComponents role). Pluggable into build_index
-    via the ``analyzer`` hook."""
+    """Composable analysis chain: char filters -> StandardAnalyzer ->
+    token filters, in order (Analyzer.createComponents role: the
+    CharFilter slot runs on raw text BEFORE tokenization —
+    ``analysis/CharFilter.java``). Pluggable into build_index via the
+    ``analyzer`` hook."""
 
-    def __init__(self, *filters, stop_words=frozenset()):
+    def __init__(self, *filters, stop_words=frozenset(), char_filters=()):
         from .analyzer import StandardAnalyzer
         self._std = StandardAnalyzer(stop_words=stop_words)
         self.filters = filters
+        self.char_filters = tuple(char_filters)
         self.stop_words = stop_words
         self.max_token_length = self._std.max_token_length
 
-    def __call__(self, text: str):
+    def __call__(self, text):
+        for cf in self.char_filters:
+            text = cf(text)
         terms = self._std(text)
         for f in self.filters:
             terms = f(terms)
         return terms
 
     def analyze_batch(self, texts):
-        return [self(t or "") for t in texts]
+        return [self(t if t is not None else "") for t in texts]
