@@ -142,6 +142,120 @@ def run_stage_benchmarks(sf_dir: str) -> dict[str, float]:
     return out
 
 
+HOT_TERMS = ["hotaa", "hotbb", "hotcc", "hotdd", "hotee"]
+
+
+def hot_or_corpus(n_docs: int = 1_000_000) -> str:
+    """1M-doc adversary: 5 terms at ~99% df each (equal-hot OR is the
+    worst case for window/block-max pruning — bounds can never separate
+    the terms). Deterministic, cached."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = f"/tmp/lucene_ray_bench/hotor-{n_docs}-{BENCH_SEED}"
+    marker = os.path.join(d, "part-00.parquet")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(BENCH_SEED)
+    vocab = np.array([f"w{i:04d}" for i in range(2000)])
+    n_parts = 20
+    per = n_docs // n_parts
+    for p in range(n_parts):
+        fill = vocab[rng.integers(0, len(vocab), (per, 6))]
+        keep = rng.random((per, len(HOT_TERMS))) < 0.99
+        texts = []
+        for r in range(per):
+            toks = [t for t, k in zip(HOT_TERMS, keep[r]) if k]
+            toks.extend(fill[r])
+            texts.append(" ".join(toks))
+        t = pa.table({
+            "doc_id": pa.array(np.arange(p * per, (p + 1) * per,
+                                         dtype=np.int64)),
+            "text": pa.array(texts, pa.string())})
+        pq.write_table(t, os.path.join(d, f"part-{p:02d}.parquet"))
+    return d
+
+
+def run_hot_or_bench() -> dict[str, float]:
+    """The r2 hot-OR ceiling (201 ms single-thread dense path): fan the
+    same query out through RaySearcher's doc-range slices + shared
+    min-competitive floor; results must be bit-identical to local."""
+    import statistics as st
+
+    import numpy as np
+    from lucene_ray.index import build_index
+    from lucene_ray.search import IndexReader, Searcher, or_query
+    from lucene_ray.search.distributed import RaySearcher
+
+    corpus = hot_or_corpus()
+    idx = f"/tmp/lucene_ray_bench/hotor-idx-{BENCH_SEED}"
+    if not os.path.exists(os.path.join(idx, "manifest_0.json")):
+        build_index(corpus, idx, batch_size=8192)
+    q = or_query(HOT_TERMS)
+    s = Searcher(IndexReader(idx))
+    s.search(q, k=10)  # warm
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        td_local = s.search(q, k=10)
+        ts.append(time.perf_counter() - t0)
+    local_ms = st.median(ts) * 1000
+
+    rs = RaySearcher(idx, num_workers=8)
+    rs.search(q, k=10)  # warm
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        td_dist = rs.search(q, k=10)
+        ts.append(time.perf_counter() - t0)
+    dist_ms = st.median(ts) * 1000
+    assert np.array_equal(td_local.doc_ids, td_dist.doc_ids), \
+        "distributed hot-OR is not bit-identical to local"
+    assert np.array_equal(td_local.scores, td_dist.scores)
+    return {"hot_or_local_ms": round(local_ms, 1),
+            "hot_or_dist8_ms": round(dist_ms, 1)}
+
+
+def run_sessionize_bench(n_events: int = 10_000_000,
+                         n_users: int = 1_000_000) -> dict[str, float]:
+    """Scale-form sessionize (hash-partition sweep) vs the per-user
+    map_groups form on the same 10M-event corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.events import sessionize, sessionize_per_user
+
+    d = f"/tmp/lucene_ray_bench/events-{n_events}-{n_users}-{BENCH_SEED}"
+    path = os.path.join(d, "events.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(BENCH_SEED)
+        base = 1_700_000_000_000_000
+        t = pa.table({
+            "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+            "ts": pa.array(base + rng.integers(
+                0, 30 * 86_400, n_events) * 1_000_000,
+                pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n_events),
+                                pa.int64()),
+            "event_type": pa.array(
+                np.array(["view", "click"])[rng.integers(0, 2, n_events)]),
+            "value": pa.array(rng.random(n_events), pa.float64()),
+        })
+        pq.write_table(t, path, row_group_size=262_144)
+    t0 = time.perf_counter()
+    n1 = sessionize(path).count()
+    scale_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n2 = sessionize_per_user(path).count()
+    peruser_sec = time.perf_counter() - t0
+    assert n1 == n2, (n1, n2)
+    return {"sessionize_sec": round(scale_sec, 3),
+            "sessionize_per_user_sec": round(peruser_sec, 3)}
+
+
 def run_merge_bench(index_dir: str) -> float:
     from lucene_ray.index.merge import merge_segments
     t0 = time.perf_counter()
@@ -171,6 +285,8 @@ def main_single(num_cpus: int, *, build_only: bool = False) -> dict:
     queries["merge_sec"] = round(run_merge_bench(idx_dir), 3)
     queries.update({k: round(v, 3) for k, v in run_queries(idx_dir).items()})
     queries.update({k: round(v, 3) for k, v in run_stage_benchmarks(SF_DIR).items()})
+    queries.update(run_hot_or_bench())
+    queries.update(run_sessionize_bench())
     result["queries"] = queries
     result["query_p50_ms"] = queries["query_p50_ms"]
     import shutil

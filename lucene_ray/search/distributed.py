@@ -67,8 +67,26 @@ class QueryWorker:
     def search(self, q: Query, k: int, acc=None, qid: int = -1):
         cbs = {}
         if acc is not None:
+            # NON-BLOCKING floor fetch: the callback fires once per
+            # segment, and a blocking actor RPC per segment dominated
+            # dense queries (the hot-OR adversary: +60ms on a 40ms
+            # search). Keep one in-flight get and consume it when ready
+            # — a one-segment-stale floor is always safe (thresholds
+            # are monotone; a lower floor only prunes less).
+            state = {"fut": None, "v": None}
+
+            def _thr():
+                if state["fut"] is None:
+                    state["fut"] = acc.get.remote(qid)
+                    return state["v"]
+                done, _ = ray.wait([state["fut"]], timeout=0)
+                if done:
+                    state["v"] = ray.get(done[0])
+                    state["fut"] = acc.get.remote(qid)
+                return state["v"]
+
             cbs = {
-                "threshold_cb": lambda: ray.get(acc.get.remote(qid)),
+                "threshold_cb": _thr,
                 "publish_cb": lambda v: acc.update.remote(qid, v),
             }
         td = self.searcher.search(q, k, **cbs)
