@@ -1,0 +1,524 @@
+"""Snowball language stemmers, implemented from the published algorithm
+descriptions at snowballstem.org (the same algorithms the reference
+compiles to Java via the Snowball compiler —
+``lucene/analysis/common/src/java/org/apache/lucene/analysis/snowball/
+SnowballFilter.java``, generated stemmers under ``tartarus/snowball/
+ext/``; conformance data ``analysis/snowball/{german,french,...}.zip``,
+test ``TestSnowballVocab.java``). Implemented from the specs, not the
+generated code.
+
+Each ``<lang>_stem(word)`` expects a lowercase word and returns its
+stem. ``SnowballStemFilter`` plugs any of them into an AnalyzerChain.
+"""
+
+from __future__ import annotations
+
+# --- shared helpers -------------------------------------------------------
+
+
+def _r_regions(word: str, vowels: str) -> tuple[int, int]:
+    """Standard R1/R2: R1 starts after the first non-vowel following a
+    vowel; R2 likewise within R1. Returns (r1, r2) start indices
+    (== len(word) when the region is empty)."""
+    n = len(word)
+
+    def after_vc(start: int) -> int:
+        i = start
+        while i < n and word[i] not in vowels:
+            i += 1
+        while i < n and word[i] in vowels:
+            i += 1
+        # i is at first non-vowel after a vowel (or end)
+        return min(i + 1, n) if i < n else n
+
+    # find first vowel, then first non-vowel after it
+    i = 0
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    r1 = i + 1 if i < n else n
+    j = r1
+    while j < n and word[j] not in vowels:
+        j += 1
+    while j < n and word[j] in vowels:
+        j += 1
+    r2 = j + 1 if j < n else n
+    return r1, r2
+
+
+# --- German (snowballstem.org/algorithms/german/stemmer.html) -------------
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_END = set("bdfghklmnrt")
+_DE_ST_END = _DE_S_END - {"r"}
+
+
+def german_stem(word: str) -> str:
+    if len(word) < 2:
+        return word
+    w = word.replace("ß", "ss")
+    # mark u/y between vowels as consonants (upper case)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    # marked U/Y are consonants: compute regions on the MARKED word
+    r1, r2 = _r_regions(w, _DE_VOWELS)
+    r1 = max(r1, 3)  # region before R1 must hold >= 3 letters
+
+    def in_r1(idx: int) -> bool:
+        return idx >= r1
+
+    def in_r2(idx: int) -> bool:
+        return idx >= r2
+
+    # step 1 (longest suffix wins; no fallback to shorter on failure)
+    lw = w.lower()
+    for suf, grp in (("ern", "a"), ("em", "a"), ("er", "a"),
+                     ("en", "b"), ("es", "b"), ("e", "b"), ("s", "c")):
+        if lw.endswith(suf):
+            cut = len(w) - len(suf)
+            if grp == "c" and (cut == 0 or lw[cut - 1] not in _DE_S_END):
+                break
+            if in_r1(cut):
+                w = w[:cut]
+                lw = lw[:cut]
+                if grp == "b" and lw.endswith("niss"):
+                    w = w[:-1]
+                    lw = lw[:-1]
+            break
+
+    # step 2
+    for suf, grp in (("est", "a"), ("en", "a"), ("er", "a"), ("st", "b")):
+        if lw.endswith(suf):
+            cut = len(w) - len(suf)
+            if grp == "b" and cut < 4:  # valid st-ending needs >=3 before
+                break
+            if grp == "b" and lw[cut - 1] not in _DE_ST_END:
+                break
+            if in_r1(cut):
+                w = w[:cut]
+                lw = lw[:cut]
+            break
+
+    # step 3 (d-suffixes)
+    for suf in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if not lw.endswith(suf):
+            continue
+        cut = len(w) - len(suf)
+        if suf in ("end", "ung"):
+            if in_r2(cut):
+                w = w[:cut]
+                lw = lw[:cut]
+                if lw.endswith("ig") and not lw.endswith("eig") \
+                        and in_r2(len(lw) - 2):
+                    w = w[:-2]
+                    lw = lw[:-2]
+        elif suf in ("ig", "ik", "isch"):
+            if in_r2(cut) and (cut == 0 or lw[cut - 1] != "e"):
+                w = w[:cut]
+                lw = lw[:cut]
+        elif suf in ("lich", "heit"):
+            if in_r2(cut):
+                w = w[:cut]
+                lw = lw[:cut]
+                for pre in ("er", "en"):
+                    if lw.endswith(pre) and in_r1(len(lw) - 2):
+                        w = w[:-2]
+                        lw = lw[:-2]
+                        break
+        else:  # keit
+            if in_r2(cut):
+                w = w[:cut]
+                lw = lw[:cut]
+                for pre in ("lich", "ig"):
+                    if lw.endswith(pre) and in_r2(len(lw) - len(pre)):
+                        w = w[:len(lw) - len(pre)]
+                        lw = w.lower()
+                        break
+        break
+
+    # finalize: unmark U/Y, strip umlauts
+    out = []
+    for c in w:
+        if c == "U":
+            out.append("u")
+        elif c == "Y":
+            out.append("y")
+        elif c == "ä":
+            out.append("a")
+        elif c == "ö":
+            out.append("o")
+        elif c == "ü":
+            out.append("u")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+class SnowballStemFilter:
+    """Token filter applying a snowball stemmer (SnowballFilter role)."""
+
+    def __init__(self, stem):
+        self.stem = stem
+
+    def __call__(self, terms):
+        return [self.stem(t) for t in terms]
+
+
+# --- region-limited longest match (Snowball `setlimit tomark p1
+# for ([substring]) among(...)`: the suffix must lie entirely inside the
+# region; no fallback to shorter suffixes when the branch action fails)
+
+def _longest_in(w: str, suffixes, region_start: int) -> str | None:
+    best = None
+    for suf in suffixes:
+        if len(w) - len(suf) >= region_start and w.endswith(suf):
+            if best is None or len(suf) > len(best):
+                best = suf
+    return best
+
+
+# --- Swedish (snowballstem.org/algorithms/swedish/stemmer.html) -----------
+
+_SV_VOWELS = "aeiouy\u00e4\u00e5\u00f6"
+_SV_S_END = set("bcdfghjklmnoprtvy")
+_SV_STEP1 = """a arna erna heterna orna ad e ade ande arne are aste en
+anden aren heten ern ar er heter or as arnas ernas ornas es ades andes
+ens arens hetens erns at andet het ast s""".split()
+_SV_STEP2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_STEP3 = ("lig", "ig", "els", "l\u00f6st", "fullt")
+
+
+def swedish_stem(word: str) -> str:
+    w = word
+    r1, _ = _r_regions(w, _SV_VOWELS)
+    r1 = max(r1, 3)
+    suf = _longest_in(w, _SV_STEP1, r1)
+    if suf == "s":
+        if len(w) >= 2 and w[-2] in _SV_S_END:
+            w = w[:-1]
+    elif suf is not None:
+        w = w[:len(w) - len(suf)]
+    if _longest_in(w, _SV_STEP2, r1):
+        w = w[:-1]
+    suf = _longest_in(w, _SV_STEP3, r1)
+    if suf == "l\u00f6st":
+        w = w[:-1]
+    elif suf == "fullt":
+        w = w[:-1]
+    elif suf is not None:
+        w = w[:len(w) - len(suf)]
+    return w
+
+
+# --- Norwegian (snowballstem.org/algorithms/norwegian/stemmer.html) -------
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_S_END = set("bcdfghjlmnoprtvyz")
+_NO_STEP1 = """a e ede ande ende ane ene hetene en heten ar er heter as
+es edes endes enes hetenes ens hetens ers ets et het ast s erte
+ert""".split()
+_NO_STEP3 = """leg eleg ig eig lig elig els lov elov slov
+hetslov""".split()
+
+
+def norwegian_stem(word: str) -> str:
+    w = word
+    r1, _ = _r_regions(w, _NO_VOWELS)
+    r1 = max(r1, 3)
+    suf = _longest_in(w, _NO_STEP1, r1)
+    if suf == "s":
+        prev = w[-2] if len(w) >= 2 else ""
+        ok = prev in _NO_S_END or (
+            prev == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS))
+        if ok:
+            w = w[:-1]
+    elif suf in ("erte", "ert"):
+        w = w[:len(w) - len(suf)] + "er"
+    elif suf is not None:
+        w = w[:len(w) - len(suf)]
+    if _longest_in(w, ("dt", "vt"), r1):
+        w = w[:-1]
+    suf = _longest_in(w, _NO_STEP3, r1)
+    if suf is not None:
+        w = w[:len(w) - len(suf)]
+    return w
+
+
+# --- Danish (snowballstem.org/algorithms/danish/stemmer.html) -------------
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_S_END = set("abcdfghjklmnoprtvyzå")
+_DA_STEP1 = """hed ethed ered e erede ende erende ene erne ere en heden
+eren er heder erer heds es endes erendes enes ernes eres ens hedens
+erens ers ets erets et eret s""".split()
+
+
+def danish_stem(word: str) -> str:
+    w = word
+    r1, _ = _r_regions(w, _DA_VOWELS)
+    r1 = max(r1, 3)
+    suf = _longest_in(w, _DA_STEP1, r1)
+    if suf == "s":
+        if len(w) >= 2 and w[-2] in _DA_S_END:
+            w = w[:-1]
+    elif suf is not None:
+        w = w[:len(w) - len(suf)]
+
+    def step2(w: str) -> str:
+        if _longest_in(w, ("gd", "dt", "gt", "kt"), r1):
+            return w[:-1]
+        return w
+
+    w = step2(w)
+    if w.endswith("igst"):
+        w = w[:-2]
+    suf = _longest_in(w, ("ig", "lig", "elig", "els"), r1)
+    if suf is not None:
+        w = w[:len(w) - len(suf)]
+        w = step2(w)
+    elif _longest_in(w, ("løst",), r1):
+        w = w[:-1]
+    # step 4: undouble a final double consonant in R1
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and len(w) - 1 >= r1:
+        w = w[:-1]
+    return w
+
+
+# --- Spanish (snowballstem.org/algorithms/spanish/stemmer.html) -----------
+
+_ES_VOWELS = "aeiouáéíóúü"
+_ES_PRON = """me se sela selo selas selos la le lo las les los
+nos""".split()
+_ES_PRE_ACC = {"iéndo": "iendo", "ándo": "ando", "ár": "ar", "ér": "er",
+               "ír": "ir"}
+_ES_PRE_PLAIN = ("ando", "iendo", "ar", "er", "ir")
+_ES_STEP1 = {  # suffix -> case number (spec rule group)
+    **{s: 1 for s in """anza anzas ico ica icos icas ismo ismos able
+       ables ible ibles ista istas oso osa osos osas amiento amientos
+       imiento imientos""".split()},
+    **{s: 2 for s in """adora ador ación adoras adores aciones ante
+       antes ancia ancias""".split()},
+    "logía": 3, "logías": 3, "ución": 4, "uciones": 4,
+    "encia": 5, "encias": 5, "amente": 6, "mente": 7,
+    "idad": 8, "idades": 8,
+    **{s: 9 for s in ("iva", "ivo", "ivas", "ivos")},
+}
+_ES_2A = """ya ye yan yen yeron yendo yo yó yas yes yais
+yamos""".split()
+_ES_2B_GU = ("en", "es", "éis", "emos")
+_ES_2B = """arían arías arán arás aríais aría aréis aríamos aremos ará
+aré erían erías erán erás eríais ería eréis eríamos eremos erá eré
+irían irías irán irás iríais iría iréis iríamos iremos irá iré aba ada
+ida ía ara iera ad ed id ase iese aste iste an aban ían aran ieran asen
+iesen aron ieron ado ido ando iendo ió ar er ir as abas adas idas ías
+aras ieras ases ieses ís áis abais arais ierais íais aseis ieseis
+asteis isteis ados idos amos ábamos áramos iéramos íamos ásemos
+iésemos imos""".split()
+_ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        # consonant in 2nd position: after the next vowel
+        i = 2
+        while i < n and w[i] not in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
+        # two vowels: after the next consonant
+        i = 2
+        while i < n and w[i] in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    return 3  # consonant-vowel start
+
+
+def spanish_stem(word: str) -> str:
+    w = word
+    r1, r2 = _r_regions(w, _ES_VOWELS)
+    rv = _es_rv(w)
+
+    # step 0: attached pronoun (matching limited to RV)
+    pron = _longest_in(w, _ES_PRON, rv)
+    if pron is not None:
+        base = w[:len(w) - len(pron)]
+        done = False
+        for acc, rep in _ES_PRE_ACC.items():
+            if base.endswith(acc) and len(base) - len(acc) >= rv:
+                w = base[:len(base) - len(acc)] + rep
+                done = True
+                break
+        if not done:
+            for pre in _ES_PRE_PLAIN:
+                if base.endswith(pre) and len(base) - len(pre) >= rv:
+                    w = base
+                    done = True
+                    break
+        if not done and base.endswith("yendo") and \
+                len(base) - 5 >= rv and base[-6:-5] == "u":
+            w = base
+
+    # step 1: standard suffixes (unlimited match; R1/R2 in conditions)
+    n0 = len(w)
+    suf = _longest_in(w, list(_ES_STEP1), 0)
+    if suf is not None:
+        case = _ES_STEP1[suf]
+        cut = len(w) - len(suf)
+
+        def inr2(i):
+            return i >= r2
+
+        if case == 1 and inr2(cut):
+            w = w[:cut]
+        elif case == 2 and inr2(cut):
+            w = w[:cut]
+            if w.endswith("ic") and inr2(len(w) - 2):
+                w = w[:-2]
+        elif case == 3 and inr2(cut):
+            w = w[:cut] + "log"
+        elif case == 4 and inr2(cut):
+            w = w[:cut] + "u"
+        elif case == 5 and inr2(cut):
+            w = w[:cut] + "ente"
+        elif case == 6 and cut >= r1:
+            w = w[:cut]
+            if w.endswith("iv") and inr2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("at") and inr2(len(w) - 2):
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic", "ad"):
+                    if w.endswith(pre) and inr2(len(w) - 2):
+                        w = w[:-2]
+                        break
+        elif case == 7 and inr2(cut):
+            w = w[:cut]
+            for pre in ("ante", "able", "ible"):
+                if w.endswith(pre) and inr2(len(w) - 4):
+                    w = w[:-4]
+                    break
+        elif case == 8 and inr2(cut):
+            w = w[:cut]
+            for pre in ("abil", "ic", "iv"):
+                if w.endswith(pre) and inr2(len(w) - len(pre)):
+                    w = w[:len(w) - len(pre)]
+                    break
+        elif case == 9 and inr2(cut):
+            w = w[:cut]
+            if w.endswith("at") and inr2(len(w) - 2):
+                w = w[:-2]
+    removed1 = len(w) != n0
+
+    if not removed1:
+        # step 2a: y-verb suffixes in RV, preceded by u
+        n1 = len(w)
+        suf = _longest_in(w, _ES_2A, rv)
+        if suf is not None:
+            cut = len(w) - len(suf)
+            if cut >= 1 and w[cut - 1] == "u":
+                w = w[:cut]
+        if len(w) == n1:
+            # step 2b: other verb suffixes in RV
+            suf = _longest_in(w, _ES_2B + list(_ES_2B_GU), rv)
+            if suf is not None:
+                w = w[:len(w) - len(suf)]
+                if suf in _ES_2B_GU and w.endswith("gu"):
+                    w = w[:-1]
+
+    # step 3: residual suffix in RV
+    suf = _longest_in(w, ["a", "e", "o", "os", "á", "é", "í", "ó"], rv)
+    if suf is not None:
+        w = w[:len(w) - len(suf)]
+        if suf in ("e", "é") and w.endswith("gu") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w.translate(_ES_UNACCENT)
+
+
+# --- Russian (snowballstem.org/algorithms/russian/stemmer.html) -----------
+
+_RU_VOWELS = "аеиоуыэюя"
+_RU_PGERUND_1 = ("в", "вши", "вшись")            # need preceding а/я
+_RU_PGERUND_2 = ("ив", "ивши", "ившись", "ыв", "ывши", "ывшись")
+_RU_ADJ = """ее ие ое ые ими ыми ей ий ой ый ем им ом ым его ого ему
+ому их ых ею ою ую юю ая яя""".split()
+_RU_PART_1 = ("ем", "нн", "вш", "ющ", "щ")       # need preceding а/я
+_RU_PART_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = """ла на ете йте ли й л ем н ло но ет ют ны ть ешь
+нно""".split()                                   # need preceding а/я
+_RU_VERB_2 = """ила ыла ена ейте уйте ите или ыли ей уй ил ыл им ым ен
+ило ыло ено ят ует уют ит ыт ены ить ыть ишь ую ю""".split()
+_RU_NOUN = """а ев ов е ие ье и еи ии ами ями иями й ей ией ий ой ам
+ем ием ом ям иям о у ах ях иях ы ь ю ию ью я ия ья""".split()
+
+
+def russian_stem(word: str) -> str:
+    w = word.replace("ё", "е")
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _RU_VOWELS:
+        i += 1
+    rv = i + 1 if i < n else n
+    _, r2 = _r_regions(w, _RU_VOWELS)
+
+    def try_del(sufs_plain, sufs_ay) -> bool:
+        """Delete the longest matching suffix (groups merged for the
+        longest-match rule); group-1 suffixes need а/я before them (the
+        а/я stays). Returns True if something was removed."""
+        nonlocal w
+        best, ay = None, False
+        for s in sufs_plain:
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                if best is None or len(s) > len(best):
+                    best, ay = s, False
+        for s in sufs_ay:
+            cut = len(w) - len(s)
+            if w.endswith(s) and cut - 1 >= 0 and w[cut - 1] in "ая" \
+                    and cut - 1 >= rv:
+                if best is None or len(s) > len(best):
+                    best, ay = s, True
+        if best is None:
+            return False
+        w = w[:len(w) - len(best)]
+        return True
+
+    # step 1: perfective gerund, else (reflexive then adj/verb/noun)
+    if not try_del(_RU_PGERUND_2, _RU_PGERUND_1):
+        for refl in ("сь", "ся"):
+            if w.endswith(refl) and len(w) - 2 >= rv:
+                w = w[:-2]
+                break
+        if try_del(_RU_ADJ, ()):
+            try_del(_RU_PART_2, _RU_PART_1)
+        elif try_del(_RU_VERB_2, _RU_VERB_1):
+            pass
+        else:
+            try_del(_RU_NOUN, ())
+
+    # step 2: final и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+    # step 3: derivational ост/ость in R2
+    for suf in ("ость", "ост"):
+        if w.endswith(suf) and len(w) - len(suf) >= r2:
+            w = w[:len(w) - len(suf)]
+            break
+    # step 4: superlative / undouble / soft sign
+    suf = _longest_in(w, ("ейше", "ейш", "нн", "ь"), rv)
+    if suf in ("ейше", "ейш"):
+        w = w[:len(w) - len(suf)]
+        if w.endswith("нн") and len(w) - 1 >= rv:
+            w = w[:-1]
+    elif suf == "нн":
+        w = w[:-1]
+    elif suf == "ь":
+        w = w[:-1]
+    return w
