@@ -51,8 +51,14 @@ class PackedPostings(NamedTuple):
 
 # --- bit packing -----------------------------------------------------------
 
-def _pack_block(vals: np.ndarray) -> bytes:
-    """Bit-pack one block of uint32 values at its max bit width."""
+def _pack_block(vals: np.ndarray, fmt: str = "for128") -> bytes:
+    """Encode one block. Default ``for128``: [width u8][bit-packed].
+    Registered formats: [tag u8][len u16][payload] (self-describing —
+    see codecs/registry.py, the PerFieldPostingsFormat analog)."""
+    if fmt != "for128":
+        from .registry import get_format, wrap_block
+        tag, encode, _ = get_format(fmt)
+        return wrap_block(tag, encode(vals.astype(np.uint32)))
     n = len(vals)
     width = int(vals.max()).bit_length() if n else 0
     if width == 0:
@@ -65,6 +71,12 @@ def _pack_block(vals: np.ndarray) -> bytes:
 def _unpack_block(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, int]:
     width = buf[pos]
     pos += 1
+    if width > 32:  # registered-format tag: [len u16][payload]
+        from .registry import get_decoder
+        nbytes = buf[pos] | (buf[pos + 1] << 8)
+        pos += 2
+        vals = get_decoder(width)(bytes(buf[pos:pos + nbytes]), n)
+        return vals, pos + nbytes
     if width == 0:
         return np.zeros(n, dtype=np.uint32), pos
     nbytes = (n * width + 7) // 8
@@ -76,11 +88,11 @@ def _unpack_block(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, int]:
     return vals, pos + nbytes
 
 
-def _pack_values(vals: np.ndarray) -> bytes:
+def _pack_values(vals: np.ndarray, fmt: str = "for128") -> bytes:
     """Pack an array in BLOCK_SIZE blocks, each at its own width."""
     out = []
     for i in range(0, len(vals), BLOCK_SIZE):
-        out.append(_pack_block(vals[i:i + BLOCK_SIZE]))
+        out.append(_pack_block(vals[i:i + BLOCK_SIZE], fmt))
     return b"".join(out)
 
 
@@ -105,8 +117,12 @@ def _scan_block_offsets(buf: bytes, sizes) -> tuple[np.ndarray, np.ndarray]:
     for i, m in enumerate(sizes):
         offs[i] = pos
         w = mv[pos]
-        widths[i] = w
-        pos += 1 + (m * w + 7) // 8
+        if w > 32:  # registered-format block: [tag][len u16][payload]
+            widths[i] = -1  # excluded from the width-grouped fast path
+            pos += 3 + (mv[pos + 1] | (mv[pos + 2] << 8))
+        else:
+            widths[i] = w
+            pos += 1 + (m * w + 7) // 8
     offs[n] = pos
     return offs, widths
 
@@ -127,8 +143,10 @@ def _unpack_values(buf: bytes, sizes: list[int],
     out_offs = np.concatenate([[0], np.cumsum(sel_sizes)])
     out = np.empty(int(sel_sizes.sum()), dtype=np.uint32)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    full_mask = sel_sizes == BLOCK_SIZE
     sel_widths = widths[sel]
+    # registered-format blocks (width tag -1) decode via the per-block
+    # path; the vectorized gather below is FOR-width-specific
+    full_mask = (sel_sizes == BLOCK_SIZE) & (sel_widths >= 0)
     for w in np.unique(sel_widths):
         grp = np.nonzero((sel_widths == w) & full_mask)[0]
         if len(grp) == 0:
@@ -217,7 +235,8 @@ def compute_impacts(freqs: np.ndarray, norms: np.ndarray):
 # --- public pack/unpack ----------------------------------------------------
 
 def pack_postings(doc_ids: np.ndarray, freqs: np.ndarray,
-                  norms: np.ndarray) -> PackedPostings:
+                  norms: np.ndarray,
+                  postings_format: str = "for128") -> PackedPostings:
     """Pack one term's postings (one chunk).
 
     ``doc_ids`` must be strictly increasing int32/int64; ``freqs`` >= 1;
@@ -245,8 +264,8 @@ def pack_postings(doc_ids: np.ndarray, freqs: np.ndarray,
     return PackedPostings(
         doc_count=len(doc_ids),
         ttf=int(freqs.sum()),
-        docs=_pack_values(deltas),
-        freqs=_pack_values(freqs.astype(np.uint32)),
+        docs=_pack_values(deltas, postings_format),
+        freqs=_pack_values(freqs.astype(np.uint32), postings_format),
         block_last_docs=block_last,
         imp_freqs=imp_f,
         imp_norms=imp_n,
@@ -347,7 +366,8 @@ def _widths_of(maxv: np.ndarray) -> np.ndarray:
 
 
 def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
-                       norms: np.ndarray, term_bounds: np.ndarray) -> dict:
+                       norms: np.ndarray, term_bounds: np.ndarray,
+                       postings_format: str = "for128") -> dict:
     """Pack MANY terms' postings in one vectorized pass.
 
     ``doc_ids``/``freqs``/``norms`` are the per-term posting arrays
@@ -390,6 +410,10 @@ def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
     bsize = (bend - bstart).astype(np.int64)
 
     def pack_stream(vals: np.ndarray) -> list[bytes]:
+        if postings_format != "for128":
+            # registered formats encode per block (self-describing tags)
+            return [_pack_block(vals[bstart[b]:bend[b]], postings_format)
+                    for b in range(total_blocks)]
         maxv = np.maximum.reduceat(vals, bstart)
         widths = _widths_of(maxv)
         out: list[bytes] = [b""] * total_blocks

@@ -87,7 +87,8 @@ class SegmentIndexer:
     def __init__(self, out_dir: str, text_col: str, id_col: str,
                  stored_cols: tuple, stop_words: frozenset,
                  arrow_fast_path: bool = True, index_positions: bool = False,
-                 analyzer=None, doc_value_cols: tuple = ()):
+                 analyzer=None, doc_value_cols: tuple = (),
+                 postings_format: str = "for128"):
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
@@ -106,6 +107,9 @@ class SegmentIndexer:
         self.index_positions = index_positions
         self.arrow_fast_path = (arrow_fast_path and not index_positions
                                 and not custom)
+        # PostingsFormat SPI slot (codecs/registry.py): blocks are
+        # self-describing, so mixed-format segments read transparently
+        self.postings_format = postings_format
         self._seg_override: str | None = None  # ShardIndexer naming hook
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -191,7 +195,8 @@ class SegmentIndexer:
             lpos = d_idx[gather]
             rows = pack_postings_many(
                 doc_ids[lpos], tf[gather], norms[lpos],
-                np.concatenate([[0], np.cumsum(seg_lens)]))
+                np.concatenate([[0], np.cumsum(seg_lens)]),
+                postings_format=self.postings_format)
             rows["term"] = uniques[term_order].tolist()
             if self.index_positions:
                 from ..codecs.postings import pack_positions_many
@@ -278,6 +283,7 @@ def build_index(
     mode: str = "create_or_append",
     allow_doc_overlap: bool = False,
     doc_value_cols: tuple = (),
+    postings_format: str = "for128",
 ) -> IndexManifest:
     """Build an inverted index over a Parquet corpus / Dataset.
 
@@ -323,7 +329,8 @@ def build_index(
     fn_kwargs = dict(out_dir=out_dir, text_col=text_col, id_col=id_col,
                      stored_cols=stored_cols, stop_words=stop_words,
                      index_positions=index_positions, analyzer=analyzer,
-                     doc_value_cols=doc_value_cols)
+                     doc_value_cols=doc_value_cols,
+                     postings_format=postings_format)
     meta = ds.map_batches(
         SegmentIndexer,
         fn_constructor_kwargs=fn_kwargs,

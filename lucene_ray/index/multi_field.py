@@ -30,14 +30,17 @@ class MultiFieldIndexer:
 
     def __init__(self, out_dir: str, fields: dict, id_col: str,
                  stored_cols: tuple, stop_words: frozenset,
-                 index_positions: bool):
+                 index_positions: bool, fields_formats: dict | None = None):
         from .builder import SegmentIndexer
+        fmts = fields_formats or {}
+        # per-field postings format: PerFieldPostingsFormat.java:65,228
         self.indexers = {
             f: SegmentIndexer(
                 out_dir=os.path.join(out_dir, "fields", f), text_col=f,
                 id_col=id_col, stored_cols=stored_cols,
                 stop_words=stop_words, index_positions=index_positions,
-                analyzer=analyzer)
+                analyzer=analyzer,
+                postings_format=fmts.get(f, "for128"))
             for f, analyzer in fields.items()}
 
     def __call__(self, batch):
@@ -62,6 +65,7 @@ def build_multi_field_index(
     index_positions: bool = False,
     mode: str = "create_or_append",
     one_pass: bool = True,
+    fields_formats: dict | None = None,
 ) -> dict[str, IndexManifest]:
     """Build (or append to) one index per field. ``fields`` order
     matters: the FIRST field is the default search field.
@@ -78,7 +82,8 @@ def build_multi_field_index(
                 source, fdir, text_col=f, id_col=id_col,
                 stored_cols=stored_cols, stop_words=stop_words,
                 batch_size=batch_size, index_positions=index_positions,
-                analyzer=analyzer, mode=mode)
+                analyzer=analyzer, mode=mode,
+                postings_format=(fields_formats or {}).get(f, "for128"))
     else:
         import pyarrow.parquet as pq
 
@@ -115,7 +120,8 @@ def build_multi_field_index(
             fn_constructor_kwargs=dict(
                 out_dir=out_dir, fields=fields, id_col=id_col,
                 stored_cols=stored_cols, stop_words=stop_words,
-                index_positions=index_positions),
+                index_positions=index_positions,
+                fields_formats=fields_formats),
             batch_format="pyarrow", concurrency=default_concurrency(),
             zero_copy_batch=True, **batch_kwargs)
         rows = meta_ds.take_all()
