@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         highlight_top, incremental_build_stats, suggest_completions,
         suggest_corrections, topk_by_numeric_field,
         multi_field_match, numeric_range_match, parsed_query_docs,
-        phrase_topk, synonym_query_docs,
+        phrase_topk, point_box_match, synonym_query_docs,
     )
     from lucene_ray.search import (
         FuzzyQuery, PhraseQuery, PrefixQuery, SpanNearQuery, TermRangeQuery,
@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), 'lang:en AND data -source:src7'),
         "numeric_range_match": lambda sf: numeric_range_match(
             _docp(sf), "data", "n_chars", 200, 900),
+        # BKD multi-dim points (util/bkd/BKDWriter.java,
+        # PointRangeQuery): 2-D box over events (ts, value)
+        "point_box_match": lambda sf: point_box_match(
+            sf, 1704412800_000000, 1705708800_000000, 10.0, 120.0),
         "topk_shortest_docs": lambda sf: topk_by_numeric_field(
             _docp(sf), "n_chars", 20, ascending=True),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
@@ -399,6 +403,11 @@ b AS (SELECT doc_id, pos - 1 AS ap FROM pos WHERE term = '{_TERM_B}')
 SELECT DISTINCT a.doc_id AS doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.ap - b.ap) <= 2
 ORDER BY a.doc_id""",
+        "point_box_match": (
+            "SELECT event_id FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND ts <= TIMESTAMP '2024-01-20 00:00:00' "
+            "AND value BETWEEN 10.0 AND 120.0 ORDER BY event_id"),
         "span_near_ordered": f"""
 WITH lists AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x <> '') AS l

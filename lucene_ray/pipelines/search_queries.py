@@ -225,6 +225,24 @@ def synonym_query_docs(doc_path: str, expr: str,
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
 
 
+def point_box_match(sf_dir: str, ts_lo_us: int, ts_hi_us: int,
+                    val_lo: float, val_hi: float) -> pa.Table:
+    """BKD points analog end-to-end: build-or-reuse a 2-D point index
+    over events (ts, value), answer an axis-aligned box query
+    (PointRangeQuery; util/bkd/BKDWriter.java)."""
+    from ..index.points import build_point_index, point_box_docs
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(("pts:" + src).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"ptsidx-{key}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        build_point_index(src, out, dims=("ts", "value"),
+                          id_col="event_id", batch_size=65536)
+    ids = point_box_docs(out, [(float(ts_lo_us), float(ts_hi_us)),
+                               (val_lo, val_hi)])
+    return pa.table({"event_id": pa.array(ids, pa.int64())})
+
+
 def parsed_query_docs(doc_path: str, expr: str) -> pa.Table:
     """Classic-parser round trip: parse ``expr`` (queryparser/classic
     syntax) against the cached documents index and return the matching
