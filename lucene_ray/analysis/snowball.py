@@ -323,29 +323,31 @@ iésemos imos""".split()
 _ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
 
 
-def _es_rv(w: str) -> int:
+def _rv_standard(w: str, vowels: str) -> int:
+    """Shared RV: after the 3rd letter when the word starts
+    consonant-vowel; after the next vowel when the 2nd letter is a
+    consonant; after the next consonant when the first two are vowels
+    (Spanish/Italian/Portuguese RV definition)."""
     n = len(w)
     if n < 3:
         return n
-    if w[1] not in _ES_VOWELS:
-        # consonant in 2nd position: after the next vowel
+    if w[1] not in vowels:
         i = 2
-        while i < n and w[i] not in _ES_VOWELS:
+        while i < n and w[i] not in vowels:
             i += 1
         return min(i + 1, n)
-    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
-        # two vowels: after the next consonant
+    if w[0] in vowels and w[1] in vowels:
         i = 2
-        while i < n and w[i] in _ES_VOWELS:
+        while i < n and w[i] in vowels:
             i += 1
         return min(i + 1, n)
-    return 3  # consonant-vowel start
+    return 3
 
 
 def spanish_stem(word: str) -> str:
     w = word
     r1, r2 = _r_regions(w, _ES_VOWELS)
-    rv = _es_rv(w)
+    rv = _rv_standard(w, _ES_VOWELS)
 
     # step 0: attached pronoun (matching limited to RV)
     pron = _longest_in(w, _ES_PRON, rv)
@@ -522,3 +524,325 @@ def russian_stem(word: str) -> str:
     elif suf == "ь":
         w = w[:-1]
     return w
+
+
+# --- Italian (snowballstem.org/algorithms/italian/stemmer.html) -----------
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+_IT_PRON = """ci gli la le li lo mi ne si ti vi sene gliela gliele
+glieli glielo gliene mela mele meli melo mene tela tele teli telo tene
+cela cele celi celo cene vela vele veli velo vene""".split()
+_IT_STEP1 = {
+    **{s: 1 for s in """anza anze ico ici ica ice iche ichi ismo ismi
+       abile abili ibile ibili ista iste isti istà istè istì oso osi
+       osa ose mente atrice atrici ante anti""".split()},
+    **{s: 2 for s in ("azione", "azioni", "atore", "atori")},
+    "logia": 3, "logie": 3,
+    **{s: 4 for s in ("uzione", "uzioni", "usione", "usioni")},
+    "enza": 5, "enze": 5,
+    **{s: 6 for s in ("amento", "amenti", "imento", "imenti")},
+    "amente": 7, "ità": 8,
+    **{s: 9 for s in ("ivo", "ivi", "iva", "ive")},
+}
+_IT_STEP2 = """isca enda ata ita uta ava eva iva erebbe irebbe isce
+ende are ere ire asse ate avate evate ivate ete erete irete ite ereste
+ireste ute erai irai isci endi erei irei assi ati iti eresti iresti
+uti avi evi ivi isco ando endo Yamo iamo avamo evamo ivamo eremo iremo
+assimo ammo emmo eremmo iremmo immo ano iscano avano evano ivano
+eranno iranno ono iscono arono erono irono erebbero irebbero assero
+essero issero ato ito uto avo evo ivo ar ir erà irà erò irò""".split()
+
+
+def italian_stem(word: str) -> str:
+    w = word.translate(_IT_ACUTE)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "ui" and chars[i - 1] in _IT_VOWELS \
+                and chars[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+    for i in range(1, len(chars)):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+    w = "".join(chars)
+    r1, r2 = _r_regions(w, _IT_VOWELS)
+    rv = _rv_standard(w, _IT_VOWELS)
+
+    # step 0: attached pronoun (RV-limited)
+    lw = w.lower()
+    pron = _longest_in(lw, _IT_PRON, rv)
+    if pron is not None:
+        base = lw[:len(lw) - len(pron)]
+        for pre, case in (("ando", 1), ("endo", 1), ("ar", 2),
+                          ("er", 2), ("ir", 2)):
+            if base.endswith(pre) and len(base) - len(pre) >= rv:
+                w = w[:len(w) - len(pron)]
+                if case == 2:
+                    w += "e"
+                lw = w.lower()
+                break
+
+    # step 1 (unlimited match; R1/R2/RV in conditions)
+    n0 = len(w)
+    suf = _longest_in(lw, list(_IT_STEP1), 0)
+    if suf is not None:
+        case = _IT_STEP1[suf]
+        cut = len(w) - len(suf)
+
+        def inr2(i):
+            return i >= r2
+
+        if case == 1 and inr2(cut):
+            w = w[:cut]
+        elif case == 2 and inr2(cut):
+            w = w[:cut]
+            if w.lower().endswith("ic") and inr2(len(w) - 2):
+                w = w[:-2]
+        elif case == 3 and inr2(cut):
+            w = w[:cut] + "log"
+        elif case == 4 and inr2(cut):
+            w = w[:cut] + "u"
+        elif case == 5 and inr2(cut):
+            w = w[:cut] + "ente"
+        elif case == 6 and cut >= rv:
+            w = w[:cut]
+        elif case == 7 and cut >= r1:
+            w = w[:cut]
+            if w.lower().endswith("iv") and inr2(len(w) - 2):
+                w = w[:-2]
+                if w.lower().endswith("at") and inr2(len(w) - 2):
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic", "abil"):
+                    if w.lower().endswith(pre) and \
+                            inr2(len(w) - len(pre)):
+                        w = w[:len(w) - len(pre)]
+                        break
+        elif case == 8 and inr2(cut):
+            w = w[:cut]
+            for pre in ("abil", "ic", "iv"):
+                if w.lower().endswith(pre) and inr2(len(w) - len(pre)):
+                    w = w[:len(w) - len(pre)]
+                    break
+        elif case == 9 and inr2(cut):
+            w = w[:cut]
+            if w.lower().endswith("at") and inr2(len(w) - 2):
+                w = w[:-2]
+                if w.lower().endswith("ic") and inr2(len(w) - 2):
+                    w = w[:-2]
+    if len(w) == n0:
+        # step 2: verb suffixes in RV (note Yamo matches marked Y)
+        suf = _longest_in(w, _IT_STEP2, rv)
+        if suf is not None:
+            w = w[:len(w) - len(suf)]
+
+    # step 3a: final vowel (and preceding i) in RV
+    if w and w[-1] in "aeioàèìò" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # step 3b: ch -> c, gh -> g in RV
+    for pre in ("ch", "gh"):
+        if w.endswith(pre) and len(w) - 2 >= rv:
+            w = w[:-1]
+            break
+    return w.replace("I", "i").replace("U", "u")
+
+
+# --- Portuguese (snowballstem.org/algorithms/portuguese/stemmer.html) -----
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+_PT_STEP1 = {
+    **{s: 1 for s in """eza ezas ico ica icos icas ismo ismos ável ível
+       ista istas oso osa osos osas amento amentos imento imentos
+       adora ador aça~o adoras adores aço~es ante antes
+       ância""".split()},
+    "logia": 2, "logias": 2, "uça~o": 3, "uço~es": 3,
+    "ência": 4, "ências": 4, "amente": 5, "mente": 6,
+    "idade": 7, "idades": 7,
+    **{s: 8 for s in ("iva", "ivo", "ivas", "ivos")},
+    "ira": 9, "iras": 9,
+}
+_PT_STEP2 = """ada ida ia aria eria iria ara era ira ava asse esse isse
+aste este iste ei arei erei irei am iam ariam eriam iriam aram eram
+iram avam em arem erem irem assem essem issem ado ido ando endo indo
+ara~o era~o ira~o ar er ir as adas idas ias arias erias irias aras
+eras iras avas es ardes erdes irdes ares eres ires asses esses isses
+astes estes istes is ais eis areis ereis ireis áreis éreis íreis
+ásseis ésseis ísseis áveis íeis aríeis eríeis iríeis ados idos amos
+áramos éramos íramos ávamos íamos aríamos eríamos iríamos emos aremos
+eremos iremos ássemos êssemos íssemos imos armos ermos irmos ámos arás
+erás irás eu iu ou ará erá irá""".split()
+
+
+def portuguese_stem(word: str) -> str:
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    r1, r2 = _r_regions(w, _PT_VOWELS)
+    rv = _rv_standard(w, _PT_VOWELS)
+    altered = False
+
+    n0 = len(w)
+    suf = _longest_in(w, list(_PT_STEP1), 0)
+    if suf is not None:
+        case = _PT_STEP1[suf]
+        cut = len(w) - len(suf)
+
+        def inr2(i):
+            return i >= r2
+
+        if case == 1 and inr2(cut):
+            w = w[:cut]
+        elif case == 2 and inr2(cut):
+            w = w[:cut] + "log"
+        elif case == 3 and inr2(cut):
+            w = w[:cut] + "u"
+        elif case == 4 and inr2(cut):
+            w = w[:cut] + "ente"
+        elif case == 5 and cut >= r1:
+            w = w[:cut]
+            if w.endswith("iv") and inr2(len(w) - 2):
+                w = w[:-2]
+                if w.endswith("at") and inr2(len(w) - 2):
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic", "ad"):
+                    if w.endswith(pre) and inr2(len(w) - 2):
+                        w = w[:-2]
+                        break
+        elif case == 6 and inr2(cut):
+            w = w[:cut]
+            for pre in ("ante", "avel", "ível"):
+                if w.endswith(pre) and inr2(len(w) - len(pre)):
+                    w = w[:len(w) - len(pre)]
+                    break
+        elif case == 7 and inr2(cut):
+            w = w[:cut]
+            for pre in ("abil", "ic", "iv"):
+                if w.endswith(pre) and inr2(len(w) - len(pre)):
+                    w = w[:len(w) - len(pre)]
+                    break
+        elif case == 8 and inr2(cut):
+            w = w[:cut]
+            if w.endswith("at") and inr2(len(w) - 2):
+                w = w[:-2]
+        elif case == 9 and cut >= rv and cut >= 1 and w[cut - 1] == "e":
+            w = w[:cut] + "ir"
+    altered = len(w) != n0
+
+    if not altered:
+        suf = _longest_in(w, _PT_STEP2, rv)
+        if suf is not None:
+            w = w[:len(w) - len(suf)]
+            altered = True
+
+    if altered:
+        # step 3: i preceded by c, in RV
+        if w.endswith("i") and len(w) - 1 >= rv and len(w) >= 2 \
+                and w[-2] == "c":
+            w = w[:-1]
+    else:
+        # step 4 residual: a i o os á í ó in RV
+        suf = _longest_in(w, ["a", "i", "o", "os", "á", "í", "ó"], rv)
+        if suf is not None:
+            w = w[:len(w) - len(suf)]
+
+    # step 5: final e/é/ê in RV (+ gu/ci undouble); ç -> c
+    suf = _longest_in(w, ["e", "é", "ê"], rv)
+    if suf is not None:
+        w = w[:-1]
+        if (w.endswith("gu") or w.endswith("ci")) and len(w) - 1 >= rv:
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# --- Dutch (snowballstem.org/algorithms/dutch/stemmer.html) ---------------
+
+_NL_VOWELS = "aeiouyè"
+_NL_DEACCENT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w[-2:] in ("kk", "dd", "tt") else w
+
+
+def dutch_stem(word: str) -> str:
+    w = word.translate(_NL_DEACCENT)
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _NL_VOWELS:
+            chars[i] = "Y"
+        if chars[i] == "i" and chars[i - 1] in _NL_VOWELS \
+                and i + 1 < len(chars) and chars[i + 1] in _NL_VOWELS:
+            chars[i] = "I"
+    w = "".join(chars)
+    r1, r2 = _r_regions(w, _NL_VOWELS)
+    r1 = max(r1, 3)
+
+    def valid_s_end(i):  # non-vowel other than j
+        return i >= 1 and w[i - 1] not in _NL_VOWELS and w[i - 1] != "j"
+
+    def valid_en_end(i):  # non-vowel, and not gem-
+        return i >= 1 and w[i - 1] not in _NL_VOWELS \
+            and not w[:i].endswith("gem")
+
+    # step 1
+    suf = _longest_in(w, ["heden", "ene", "en", "se", "s"], r1)
+    if suf == "heden":
+        w = w[:-5] + "heid"
+    elif suf in ("ene", "en"):
+        cut = len(w) - len(suf)
+        if valid_en_end(cut):
+            w = _nl_undouble(w[:cut])
+    elif suf in ("se", "s"):
+        cut = len(w) - len(suf)
+        if valid_s_end(cut):
+            w = w[:cut]
+
+    # step 2
+    e_found = False
+    if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 \
+            and w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_found = True
+
+    # step 3a: heid
+    if w.endswith("heid") and len(w) - 4 >= r2 and \
+            (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en") and len(w) - 2 >= r1 and \
+                valid_en_end(len(w) - 2):
+            w = _nl_undouble(w[:-2])
+
+    # step 3b: d-suffixes
+    suf = _longest_in(w, ["end", "ing", "lijk", "baar", "bar", "ig"], r2)
+    if suf in ("end", "ing"):
+        w = w[:-3]
+        if w.endswith("ig") and len(w) - 2 >= r2 and \
+                (len(w) < 3 or w[-3] != "e"):
+            w = w[:-2]
+        else:
+            w = _nl_undouble(w)
+    elif suf == "ig":
+        if len(w) < 3 or w[-3] != "e":
+            w = w[:-2]
+    elif suf == "lijk":
+        w = w[:-4]
+        if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 \
+                and w[-2] not in _NL_VOWELS:
+            w = _nl_undouble(w[:-1])
+    elif suf == "baar":
+        w = w[:-4]
+    elif suf == "bar":
+        if e_found:
+            w = w[:-3]
+
+    # step 4: undouble vowel in C V V D
+    if len(w) >= 4 and w[-4] not in _NL_VOWELS \
+            and w[-1] not in _NL_VOWELS and w[-1] != "I" \
+            and w[-2] == w[-3] and w[-2] in "aeou":
+        w = w[:-2] + w[-1]
+    return w.replace("I", "i").replace("Y", "y")

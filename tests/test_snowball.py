@@ -11,8 +11,11 @@ import pytest
 from lucene_ray.analysis.snowball import (
     SnowballStemFilter,
     danish_stem,
+    dutch_stem,
     german_stem,
+    italian_stem,
     norwegian_stem,
+    portuguese_stem,
     russian_stem,
     spanish_stem,
     swedish_stem,
@@ -27,6 +30,9 @@ _STEMMERS = {
     "danish": danish_stem,
     "spanish": spanish_stem,
     "russian": russian_stem,
+    "italian": italian_stem,
+    "portuguese": portuguese_stem,
+    "dutch": dutch_stem,
 }
 
 
