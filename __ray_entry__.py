@@ -208,6 +208,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
         "highlight_top5": lambda sf: highlight_top(
             _docp(sf), "data", 5),  # rows-only (snippet strings)
+        # PII/pattern screening (vectorized Arrow regex kernels)
+        "pattern_counts": lambda sf: text_analysis.pattern_counts(
+            _docp(sf)),
+        # MoreLikeThis (queries/mlt/MoreLikeThis.java): tf*idf term
+        # selection from a source doc -> OR query, exact64 scores
+        "more_like_this": lambda sf: text_analysis.more_like_this(
+            _docp(sf), 42, max_query_terms=8, min_doc_freq=2, k=20),
         "suggest_prefix": lambda sf: suggest_completions(_docp(sf), "me", 10),
         "suggest_spell": lambda sf: suggest_corrections(_docp(sf), "merje", 5),
         "bm25_phrase": lambda sf: phrase_topk(
@@ -338,6 +345,37 @@ SELECT doc_id,
       AS n_bpe_pieces
 FROM documents""",
         "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "pattern_counts": """
+SELECT doc_id,
+  len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+'))::BIGINT
+      AS n_emails,
+  len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_urls,
+  len(regexp_extract_all(text, '[aeiou]{2,}'))::BIGINT AS n_vowel_runs
+FROM documents""",
+        "more_like_this": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+src AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 42
+        GROUP BY term),
+alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          GROUP BY term),
+sel AS (SELECT s.term FROM src s JOIN alldf a ON s.term = a.term
+        CROSS JOIN stats st WHERE a.df >= 2
+        ORDER BY s.tf * ln(1 + (st.n - a.df + 0.5) / (a.df + 0.5)) DESC,
+                 s.term LIMIT 8),
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  WHERE pt.doc_id <> 42 GROUP BY pt.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
         "topk_longest_docs": f"""
 {_TOKS}
 SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id

@@ -204,3 +204,86 @@ class LangId:
 def lang_id(path: str) -> ray.data.Dataset:
     return read_documents(path).map_batches(
         cached_callable(LangId), batch_format="pyarrow")
+
+
+def pattern_counts(path: str) -> ray.data.Dataset:
+    """Per-doc counts of web-text risk/quality patterns — the PII /
+    boilerplate screening stage of a training-data pipeline. Fully
+    vectorized: one ``pyarrow.compute.count_substring_regex`` kernel per
+    pattern over the whole batch (RE2 under Arrow), no Python loop.
+
+    Returns (doc_id, n_emails, n_urls, n_digits_runs) rows; each
+    pattern is chosen to be expressible in the DuckDB oracle
+    (regexp_extract_all length)."""
+    import pyarrow.compute as pc
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_emails": pc.count_substring_regex(
+                text, r"[a-z0-9._]+@[a-z0-9.-]+").cast(pa.int64()),
+            "n_urls": pc.count_substring_regex(
+                text, r"https?://[^ ]+").cast(pa.int64()),
+            "n_vowel_runs": pc.count_substring_regex(
+                text, r"[aeiou]{2,}").cast(pa.int64()),
+        })
+
+    return read_documents(path).map_batches(counts, batch_format="pyarrow")
+
+
+def more_like_this(path: str, doc_id: int, *, max_query_terms: int = 8,
+                   min_doc_freq: int = 2, k: int = 20) -> pa.Table:
+    """MoreLikeThis (``lucene/queries/src/java/org/apache/lucene/queries/
+    mlt/MoreLikeThis.java``; test ``TestMoreLikeThis.java``): pick the
+    source doc's top terms by tf*idf (df >= min_doc_freq, the
+    reference's frequency gates), build an OR query, return the top-k
+    most similar docs (excluding the source).
+
+    Returns (doc_id, rank) under bm25_exact64 so the driver SQL oracle
+    can reproduce scores exactly."""
+    import math
+
+    from ..search import BooleanQuery, IndexReader, Searcher, TermQuery
+    from .search_queries import cached_index
+
+    idx = cached_index(path)
+    reader = IndexReader(idx)
+    s = Searcher(reader, similarity="bm25_exact64")
+    # source doc's term freqs via one predicate-pushdown read
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    t = pads.dataset(path).to_table(
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") == doc_id)
+    if len(t) == 0:
+        raise KeyError(f"doc {doc_id} not found")
+    from ..analysis import StandardAnalyzer
+    terms = StandardAnalyzer()(t.column("text")[0].as_py() or "")
+    tf: dict[str, int] = {}
+    for x in terms:
+        tf[x] = tf.get(x, 0) + 1
+    stats = reader.term_stats(sorted(tf))
+    n = reader.doc_count
+    scored = []
+    for term, f in tf.items():
+        df = stats[term][0]
+        if df < min_doc_freq:
+            continue  # MoreLikeThis minDocFreq gate
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        scored.append((f * idf, term))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    top_terms = tuple(tm for _, tm in scored[:max_query_terms])
+    if not top_terms:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    td = s.search(BooleanQuery(
+        should=tuple(TermQuery(tm) for tm in top_terms)), k=k + 1)
+    keep = [(d, r) for d, r in zip(td.doc_ids.tolist(),
+                                   range(len(td.doc_ids)))
+            if d != doc_id][:k]
+    import numpy as np
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in keep], pa.int64()),
+        "rank": pa.array(np.arange(1, len(keep) + 1), pa.int64()),
+    })

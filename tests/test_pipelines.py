@@ -210,3 +210,22 @@ def test_knn_merge_is_block_count_independent(ray_session, tmp_path_factory):
     b = knn_brute(many, qids, k=7)
     assert len(a) == len(qids) * 7 == len(b)
     assert a.to_pylist() == b.to_pylist()
+
+
+def test_pattern_counts_planted(ray_session, tmp_path_factory):
+    """Planted emails/urls are counted (the PII-screening op; zero on
+    the synthetic corpus, so the non-trivial check lives here)."""
+    import pyarrow.parquet as pq
+    from lucene_ray.pipelines.text_analysis import pattern_counts
+    texts = ["contact me at bob@example.com or alice@test.org now",
+             "see https://a.example/x and http://b.example/y plus text",
+             "no patterns here at all"]
+    t = pa.table({"doc_id": pa.array(np.arange(3, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path_factory.mktemp("pii")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    rows = {r["doc_id"]: r for r in pattern_counts(path).take_all()}
+    assert rows[0]["n_emails"] == 2 and rows[0]["n_urls"] == 0
+    assert rows[1]["n_urls"] == 2 and rows[1]["n_emails"] == 0
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_urls"] == 0
