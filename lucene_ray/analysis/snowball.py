@@ -846,3 +846,124 @@ def dutch_stem(word: str) -> str:
             and w[-2] == w[-3] and w[-2] in "aeou":
         w = w[:-2] + w[-1]
     return w.replace("I", "i").replace("Y", "y")
+
+
+# --- Romanian (snowballstem.org/algorithms/romanian/stemmer.html) ---------
+# cedilla forms (ş U+015F, ţ U+0163) as in the conformance vocabulary
+
+_RO_VOWELS = "aăâeiîou"
+_RO_STEP0 = {
+    "ul": 1, "ului": 1, "aua": 2, "ea": 3, "ele": 3, "elor": 3,
+    "ii": 4, "iua": 4, "iei": 4, "iile": 4, "iilor": 4, "ilor": 4,
+    "ile": 5, "atei": 6, "aţia": 7, "aţie": 7,
+}
+_RO_STEP1 = {
+    **{s: "abil" for s in ("abilitate", "abilitati", "abilităi",
+                           "abilităţi")},
+    "ibilitate": "ibil",
+    **{s: "iv" for s in ("ivitate", "ivitati", "ivităi", "ivităţi")},
+    **{s: "ic" for s in ("icitate", "icitati", "icităi", "icităţi",
+                         "icator", "icatori", "iciv", "iciva", "icive",
+                         "icivi", "icivă", "ical", "icala", "icale",
+                         "icali", "icală")},
+    **{s: "at" for s in ("ativ", "ativa", "ative", "ativi", "ativă",
+                         "aţiune", "atoare", "ator", "atori", "ătoare",
+                         "ător", "ători")},
+    **{s: "it" for s in ("itiv", "itiva", "itive", "itivi", "itivă",
+                         "iţiune", "itoare", "itor", "itori")},
+}
+_RO_STEP2_DEL = """ica abila ibila oasa ata ita anta uta iva ic ice
+abile ibile oase ate itate ite ante ute ive ici abili ibili atori osi
+ati itati iti anti uti ivi ităi oşi ităţi abil ibil ator os at it ant
+ut iv ică abilă ibilă oasă ată ită antă ută ivă""".split()
+_RO_STEP2_IST = """ism isme ist ista iste isti istă işti""".split()
+_RO_VERB_CONS = """ea ia esc ăsc ind ând are ere ire âre ase ise use
+âse eşte ăşte eze ai eai iai eşti ăşti ui ezi âi aşi aseşi iseşi useşi
+âseşi işi uşi âşi eaţi iaţi arăţi aserăţi iserăţi userăţi âserăţi irăţi
+urăţi ârăţi am eam iam asem isem usem âsem arăm aserăm iserăm userăm
+âserăm irăm urăm ârăm au eau iau indu ându ez ească ară aseră iseră
+useră âseră iră ură âră ează""".split()
+_RO_VERB_PLAIN = """se sese sei seşi seseşi aţi eţi iţi âţi serăţi
+seserăţi em sesem im âm ăm serăm seserăm seră seseră""".split()
+
+
+def romanian_stem(word: str) -> str:
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_VOWELS \
+                and chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _r_regions(w, _RO_VOWELS)
+    rv = _rv_standard(w, _RO_VOWELS)
+
+    # steps 0/1/2/4 match the longest suffix UNLIMITED; the region check
+    # gates the action (no fallback to shorter) — the verb step alone
+    # limits matching to RV (generated stemmer: limit_backward = I_pV)
+
+    # step 0: plural/article removal (R1 gate)
+    suf = _longest_in(w, list(_RO_STEP0), 0)
+    if suf is not None and len(w) - len(suf) >= r1:
+        case = _RO_STEP0[suf]
+        cut = len(w) - len(suf)
+        if case == 1:
+            w = w[:cut]
+        elif case == 2:
+            w = w[:cut] + "a"
+        elif case == 3:
+            w = w[:cut] + "e"
+        elif case == 4:
+            w = w[:cut] + "i"
+        elif case == 5:
+            if not w[:cut].endswith("ab"):
+                w = w[:cut] + "i"
+        else:  # 6, 7
+            w = w[:cut] + "aţi"
+
+    # step 1: combining suffixes, repeated until stable (R1 gate)
+    standard_removed = False
+    while True:
+        suf = _longest_in(w, list(_RO_STEP1), 0)
+        if suf is None or len(w) - len(suf) < r1:
+            break
+        w = w[:len(w) - len(suf)] + _RO_STEP1[suf]
+        standard_removed = True
+
+    # step 2: standard suffixes (R2 gate)
+    suf = _longest_in(w, _RO_STEP2_DEL + _RO_STEP2_IST + ["iune", "iuni"],
+                      0)
+    if suf is not None and len(w) - len(suf) >= r2:
+        if suf in ("iune", "iuni"):
+            cut = len(w) - len(suf)
+            if cut >= 1 and w[cut - 1] == "ţ":
+                w = w[:cut - 1] + "t"
+                standard_removed = True
+        elif suf in _RO_STEP2_IST:
+            w = w[:len(w) - len(suf)] + "ist"
+            standard_removed = True
+        else:
+            w = w[:len(w) - len(suf)]
+            standard_removed = True
+
+    # step 3: verb suffixes, matching LIMITED to RV
+    if not standard_removed:
+        best, kind = None, None
+        for st, knd in ((_RO_VERB_CONS, "cons"),
+                        (_RO_VERB_PLAIN, "plain")):
+            for sfx in st:
+                if w.endswith(sfx) and len(w) - len(sfx) >= rv:
+                    if best is None or len(sfx) > len(best):
+                        best, kind = sfx, knd
+        if best is not None:
+            cut = len(w) - len(best)
+            if kind == "plain":
+                w = w[:cut]
+            elif cut - 1 >= rv and (w[cut - 1] not in _RO_VOWELS
+                                    or w[cut - 1] in "uU"):
+                w = w[:cut]
+
+    # step 4: final vowel (RV gate, unlimited match)
+    suf = _longest_in(w, ["a", "e", "ie", "i", "ă"], 0)
+    if suf is not None and len(w) - len(suf) >= rv:
+        w = w[:len(w) - len(suf)]
+    return w.replace("I", "i").replace("U", "u")

@@ -16,6 +16,7 @@ from lucene_ray.analysis.snowball import (
     italian_stem,
     norwegian_stem,
     portuguese_stem,
+    romanian_stem,
     russian_stem,
     spanish_stem,
     swedish_stem,
@@ -33,6 +34,7 @@ _STEMMERS = {
     "italian": italian_stem,
     "portuguese": portuguese_stem,
     "dutch": dutch_stem,
+    "romanian": romanian_stem,
 }
 
 
