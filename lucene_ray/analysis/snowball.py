@@ -967,3 +967,108 @@ def romanian_stem(word: str) -> str:
     if suf is not None and len(w) - len(suf) >= rv:
         w = w[:len(w) - len(suf)]
     return w.replace("I", "i").replace("U", "u")
+
+
+# --- Hungarian (snowballstem.org/algorithms/hungarian/stemmer.html) -------
+
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs", "bb",
+               "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+               "pp", "rr", "ss", "tt", "vv", "zz")
+_HU_CASE = """ba ra be re ig nak nek val vel ul nál nél ból ról tól ül
+ből ről től n an ban en ben képpen on ön képp kor t at et ként anként
+enként onként ot ért öt hez hoz höz vá vé""".split()
+_HU_OWNED = {"éi": 1, "é": 1, "ké": 1, "aké": 1, "eké": 1, "oké": 1,
+             "öké": 1, "ééi": 2, "éké": 2, "éé": 2, "áéi": 3, "áké": 3}
+_HU_SING = {**{s: 1 for s in """a ja d ad ed od öd e je nk unk ünk uk
+             juk ük jük m am em om o""".split()},
+            **{s: 2 for s in ("ád", "ánk", "ájuk", "ám", "á")},
+            **{s: 3 for s in ("éd", "énk", "éjük", "ém", "é")}}
+_HU_PLUR = {**{s: 1 for s in """id aid jaid eid jeid i ai jai ei jei
+             itek eitek jeitek ik aik jaik eik jeik ink aink jaink
+             eink jeink aitok jaitok im aim jaim eim jeim""".split()},
+            **{s: 2 for s in ("áid", "ái", "áik", "áink", "áitok",
+                              "áim")},
+            **{s: 3 for s in ("éid", "éi", "éitek", "éik", "éink",
+                              "éim")}}
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if not n:
+        return n
+    if w[0] in _HU_VOWELS:
+        i = 0
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for dg in _HU_DIGRAPHS:  # consonant digraph counts as one unit
+            if w.startswith(dg, i):
+                return i + len(dg)
+        return i + 1
+    i = 0
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def hungarian_stem(word: str) -> str:
+    w = word
+    r1 = _hu_r1(w)
+
+    def in_r1(cut):
+        return cut >= r1
+
+    def double_before(cut):
+        return any(w[:cut].endswith(d) for d in _HU_DOUBLES)
+
+    def undouble(x):
+        return x[:-2] + x[-1] if len(x) >= 2 else x
+
+    # instrum: al/el after a double consonant -> delete + undouble
+    for suf in ("al", "el"):
+        if w.endswith(suf) and in_r1(len(w) - 2) \
+                and double_before(len(w) - 2):
+            w = undouble(w[:-2])
+            break
+    # case endings, then á->a / é->e
+    suf = _longest_in(w, _HU_CASE, 0)
+    if suf is not None and in_r1(len(w) - len(suf)):
+        w = w[:len(w) - len(suf)]
+        if w.endswith("á") and in_r1(len(w) - 1):
+            w = w[:-1] + "a"
+        elif w.endswith("é") and in_r1(len(w) - 1):
+            w = w[:-1] + "e"
+    # case_special: én -> e; án, ánként -> a
+    suf = _longest_in(w, ["ánként", "án", "én"], 0)
+    if suf is not None and in_r1(len(w) - len(suf)):
+        w = w[:len(w) - len(suf)] + ("e" if suf == "én" else "a")
+    # case_other: stul/stül family
+    suf = _longest_in(w, ["astul", "estül", "ástul", "éstül", "stul",
+                          "stül"], 0)
+    if suf is not None and in_r1(len(w) - len(suf)):
+        rep = {"ástul": "a", "éstül": "e"}.get(suf, "")
+        w = w[:len(w) - len(suf)] + rep
+    # factive: á/é after a double -> delete + undouble
+    for suf in ("á", "é"):
+        if w.endswith(suf) and in_r1(len(w) - 1) \
+                and double_before(len(w) - 1):
+            w = undouble(w[:-1])
+            break
+    # owned / sing_owner / plur_owner / plural
+    for table in (_HU_OWNED, _HU_SING, _HU_PLUR,
+                  {"k": 1, "ak": 1, "ek": 1, "ok": 1, "ök": 1,
+                   "ák": 2, "ék": 3}):
+        suf = _longest_in(w, list(table), 0)
+        if suf is not None and in_r1(len(w) - len(suf)):
+            case = table[suf]
+            w = w[:len(w) - len(suf)]
+            if table is _HU_OWNED:
+                w += {1: "", 2: "e", 3: "a"}[case]
+            elif case == 2:
+                w += "a"
+            elif case == 3:
+                w += "e"
+    return w

@@ -13,6 +13,7 @@ from lucene_ray.analysis.snowball import (
     danish_stem,
     dutch_stem,
     german_stem,
+    hungarian_stem,
     italian_stem,
     norwegian_stem,
     portuguese_stem,
@@ -35,6 +36,7 @@ _STEMMERS = {
     "portuguese": portuguese_stem,
     "dutch": dutch_stem,
     "romanian": romanian_stem,
+    "hungarian": hungarian_stem,
 }
 
 
