@@ -1072,3 +1072,152 @@ def hungarian_stem(word: str) -> str:
             elif case == 3:
                 w += "e"
     return w
+
+
+# --- Finnish (snowballstem.org/algorithms/finnish/stemmer.html) -----------
+
+_FI_V1 = "aeiouyäö"
+_FI_V2 = "aeiouäö"
+_FI_AEI = "aeiä"
+_FI_C = "bcdfghjklmnpqrstvwxz"
+_FI_PARTICLE_END = "aeinotuyäö"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_P1_CASES = """lla na ssa ta lta sta llä nä ssä tä ltä stä lle ine
+ksi""".split()
+
+
+def finnish_stem(word: str) -> str:
+    w = word
+    r1, r2 = _r_regions(w, _FI_V1)
+
+    # particle etc. (R1-limited match)
+    suf = _longest_in(w, ["kaan", "kään", "sti", "han", "hän", "kin",
+                          "pa", "pä", "ko", "kö"], r1)
+    if suf == "sti":
+        if len(w) - 3 >= r2:
+            w = w[:-3]
+    elif suf is not None:
+        cut = len(w) - len(suf)
+        if cut >= 1 and w[cut - 1] in _FI_PARTICLE_END:
+            w = w[:cut]
+
+    # possessive (R1-limited)
+    suf = _longest_in(w, ["nsa", "nsä", "mme", "nne", "ni", "si", "an",
+                          "än", "en"], r1)
+    if suf == "si":
+        if not (len(w) >= 3 and w[-3] == "k"):
+            w = w[:-2]
+    elif suf == "ni":
+        w = w[:-2]
+        if w.endswith("kse"):
+            w = w[:-3] + "ksi"
+    elif suf in ("nsa", "nsä", "mme", "nne"):
+        w = w[:-3]
+    elif suf == "an":
+        if any(w[:-2].endswith(p) for p in
+               ("lla", "na", "ssa", "ta", "lta", "sta")):
+            w = w[:-2]
+    elif suf == "än":
+        if any(w[:-2].endswith(p) for p in
+               ("llä", "nä", "ssä", "tä", "ltä", "stä")):
+            w = w[:-2]
+    elif suf == "en":
+        if any(w[:-2].endswith(p) for p in ("lle", "ine")):
+            w = w[:-2]
+
+    ending_removed = False
+
+    # case endings (R1-limited). The among carries CONDITION functions
+    # on seen/den/tten/siin (LONG / VI tested while still limited);
+    # when one fails the among BACKTRACKS to a shorter suffix — switch-
+    # case failures (h-harmony, tta-e, a/ä-vc) do not backtrack.
+    h_map = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+             "hän": "ä", "hön": "ö"}
+    all_sufs = sorted(_FI_P1_CASES + list(h_map) +
+                      ["seen", "den", "tten", "siin",
+                       "tta", "ttä", "a", "ä", "n"],
+                      key=len, reverse=True)
+    chosen = None
+    for suf in all_sufs:
+        cut = len(w) - len(suf)
+        if cut < r1 or not w.endswith(suf):
+            continue
+        if suf == "seen" and not (cut - 2 >= r1 and
+                                  w[cut - 2:cut] in _FI_LONG):
+            continue
+        if suf in ("den", "tten", "siin") and not (
+                cut - 2 >= r1 and w[cut - 1] == "i"
+                and w[cut - 2] in _FI_V2):
+            continue
+        chosen = suf
+        break
+    if chosen is not None:
+        suf = chosen
+        cut = len(w) - len(suf)
+        if suf in _FI_P1_CASES or suf in ("seen", "den", "tten",
+                                          "siin"):
+            w = w[:cut]
+            ending_removed = True
+        elif suf in h_map:
+            if cut >= 1 and w[cut - 1] == h_map[suf]:
+                w = w[:cut]
+                ending_removed = True
+        elif suf in ("tta", "ttä"):
+            if cut >= 1 and w[cut - 1] == "e":
+                w = w[:cut]
+                ending_removed = True
+        elif suf == "n":
+            if w[:cut].endswith(_FI_LONG) or w[:cut].endswith("ie"):
+                cut -= 1  # the long pair's second vowel goes too
+            w = w[:cut]
+            ending_removed = True
+        else:  # a / ä preceded by (consonant, vowel)
+            if cut >= 2 and w[cut - 1] in _FI_V1 \
+                    and w[cut - 2] in _FI_C:
+                w = w[:cut]
+                ending_removed = True
+
+    # other endings (R2-limited)
+    suf = _longest_in(w, ["imma", "impa", "immi", "impi", "immä",
+                          "impä", "eja", "ejä", "mma", "mpa", "mmi",
+                          "mpi", "mmä", "mpä"], r2)
+    if suf is not None:
+        cut = len(w) - len(suf)
+        if suf in ("mma", "mpa", "mmi", "mpi", "mmä", "mpä"):
+            if not w[:cut].endswith("po"):
+                w = w[:cut]
+        else:
+            w = w[:cut]
+
+    # plurals
+    if ending_removed:
+        if w and w[-1] in "ij" and len(w) - 1 >= r1:
+            w = w[:-1]
+    else:
+        if w.endswith("t") and len(w) - 1 >= r1 and len(w) >= 2 \
+                and w[-2] in _FI_V1:
+            w = w[:-1]
+            suf = _longest_in(w, ["imma", "mma"], r2)
+            if suf == "imma":
+                w = w[:-4]
+            elif suf == "mma" and not w[:-3].endswith("po"):
+                w = w[:-3]
+
+    # tidy (R1-limited INCLUDING the tested preceding chars, except
+    # the final undouble which runs unlimited)
+    if w.endswith(_FI_LONG) and len(w) - 2 >= r1:
+        w = w[:-1]
+    if w and w[-1] in _FI_AEI and len(w) - 2 >= r1 and len(w) >= 2 \
+            and w[-2] in _FI_C:
+        w = w[:-1]
+    if (w.endswith("oj") or w.endswith("uj")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    if w.endswith("jo") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # undouble the consonant pair before the trailing vowel run
+    i = len(w)
+    while i > 0 and w[i - 1] in _FI_V1:
+        i -= 1
+    if i >= 2 and w[i - 1] in _FI_C and w[i - 2] == w[i - 1]:
+        w = w[:i - 1] + w[i:]
+    return w

@@ -12,6 +12,7 @@ from lucene_ray.analysis.snowball import (
     SnowballStemFilter,
     danish_stem,
     dutch_stem,
+    finnish_stem,
     german_stem,
     hungarian_stem,
     italian_stem,
@@ -37,6 +38,7 @@ _STEMMERS = {
     "dutch": dutch_stem,
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
+    "finnish": finnish_stem,
 }
 
 
