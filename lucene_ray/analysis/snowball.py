@@ -3,9 +3,16 @@ descriptions at snowballstem.org (the same algorithms the reference
 compiles to Java via the Snowball compiler —
 ``lucene/analysis/common/src/java/org/apache/lucene/analysis/snowball/
 SnowballFilter.java``, generated stemmers under ``tartarus/snowball/
-ext/``; conformance data ``analysis/snowball/{german,french,...}.zip``,
-test ``TestSnowballVocab.java``). Implemented from the specs, not the
-generated code.
+ext/``; conformance data ``analysis/snowball/{german,spanish,...}.zip``,
+test ``TestSnowballVocab.java``).
+
+Provenance: the LOGIC here is hand-written Python following the
+published algorithm prose (regions, longest-match amongs, condition
+chains) — none of the generated Java's cursor/limit machinery is
+reproduced. The suffix TABLES (linguistic data from the public Snowball
+project) were cross-checked against the reference's generated Among
+arrays to get exact word lists, and every stemmer is gated by the full
+public-domain 2000-word conformance vocabulary per language.
 
 Each ``<lang>_stem(word)`` expects a lowercase word and returns its
 stem. ``SnowballStemFilter`` plugs any of them into an AnalyzerChain.
@@ -1221,3 +1228,155 @@ def finnish_stem(word: str) -> str:
     if i >= 2 and w[i - 1] in _FI_C and w[i - 2] == w[i - 1]:
         w = w[:i - 1] + w[i:]
     return w
+
+
+# --- English / Porter2 (snowballstem.org/algorithms/english/stemmer.html)
+
+_EN_VOWELS = "aeiouy"
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_END = set("cdeghkmnrt")
+_EN_EXC1 = {"skis": "ski", "skies": "sky", "dying": "die",
+            "lying": "lie", "tying": "tie", "idly": "idl",
+            "gently": "gentl", "ugly": "ugli", "early": "earli",
+            "only": "onli", "singly": "singl", "sky": "sky",
+            "news": "news", "howe": "howe", "atlas": "atlas",
+            "cosmos": "cosmos", "bias": "bias", "andes": "andes"}
+_EN_EXC2 = frozenset(("inning", "outing", "canning", "herring",
+                      "earring", "proceed", "exceed", "succeed"))
+_EN_STEP2 = {"tional": "tion", "enci": "ence", "anci": "ance",
+             "abli": "able", "entli": "ent", "izer": "ize",
+             "ization": "ize", "ational": "ate", "ation": "ate",
+             "ator": "ate", "alism": "al", "aliti": "al", "alli": "al",
+             "fulness": "ful", "fulli": "ful", "ousli": "ous",
+             "ousness": "ous", "iveness": "ive", "iviti": "ive",
+             "biliti": "ble", "bli": "ble", "ogi": "og",
+             "lessli": "less", "li": ""}
+_EN_STEP3 = {"tional": "tion", "ational": "ate", "alize": "al",
+             "icate": "ic", "iciti": "ic", "ical": "ic", "ful": "",
+             "ness": "", "ative": ""}
+_EN_STEP4 = """al ance ence er ic able ible ant ement ment ent ism ate
+iti ous ive ize ion""".split()
+
+
+def _en_short_syllable(w: str, i: int) -> bool:
+    """Is a short syllable ending at index i (inclusive)?"""
+    if i == 1 and w[0] in _EN_VOWELS and w[1] not in _EN_VOWELS:
+        return True
+    return (i >= 2 and w[i] not in _EN_VOWELS and w[i] not in "wxY"
+            and w[i - 1] in _EN_VOWELS and w[i - 2] not in _EN_VOWELS)
+
+
+def english_stem(word: str) -> str:
+    w = word
+    if len(w) <= 2:
+        return w
+    if w in _EN_EXC1:
+        return _EN_EXC1[w]
+    if w.startswith("'"):
+        w = w[1:]
+    # mark consonant y
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_VOWELS:
+            chars[i] = "Y"
+    w = "".join(chars)
+    # R1 with gener/commun/arsen exception
+    r1 = None
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            r1 = len(pre)
+            break
+    if r1 is None:
+        r1, _ = _r_regions(w, _EN_VOWELS)
+        r2 = _r_regions(w, _EN_VOWELS)[1]
+    else:
+        # R2 computed inside the forced R1
+        j = r1
+        n = len(w)
+        while j < n and w[j] not in _EN_VOWELS:
+            j += 1
+        while j < n and w[j] in _EN_VOWELS:
+            j += 1
+        r2 = j + 1 if j < n else n
+
+    def has_vowel(s):
+        return any(c in _EN_VOWELS for c in s)
+
+    # step 0: apostrophe forms
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[:len(w) - len(suf)]
+            break
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ied") or w.endswith("ies"):
+        w = w[:-3] + ("i" if len(w) - 3 > 1 else "ie")
+    elif w.endswith("ss") or w.endswith("us"):
+        pass
+    elif w.endswith("s"):
+        if has_vowel(w[:-2]):
+            w = w[:-1]
+    if w in _EN_EXC2:
+        return w
+    # step 1b
+    suf = _longest_in(w, ["eedly", "ingly", "edly", "eed", "ed",
+                          "ing"], 0)
+    if suf in ("eed", "eedly"):
+        if len(w) - len(suf) >= r1:
+            w = w[:len(w) - len(suf)] + "ee"
+    elif suf is not None:
+        base = w[:len(w) - len(suf)]
+        if has_vowel(base):
+            w = base
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif w.endswith(_EN_DOUBLES):
+                w = w[:-1]
+            elif r1 >= len(w) and len(w) >= 2 and \
+                    _en_short_syllable(w, len(w) - 1):
+                w += "e"
+    # step 1c: y -> i after a non-vowel that isn't word-initial
+    if len(w) > 2 and w[-1] in "yY" and w[-2] not in _EN_VOWELS:
+        w = w[:-1] + "i"
+    # step 2 (R1)
+    suf = _longest_in(w, list(_EN_STEP2), 0)
+    if suf is not None and len(w) - len(suf) >= r1:
+        cut = len(w) - len(suf)
+        if suf == "ogi":
+            if cut >= 1 and w[cut - 1] == "l":
+                w = w[:cut] + "og"
+        elif suf == "li":
+            if cut >= 1 and w[cut - 1] in _EN_LI_END:
+                w = w[:cut]
+        else:
+            w = w[:cut] + _EN_STEP2[suf]
+    # step 3 (R1; ative needs R2)
+    suf = _longest_in(w, list(_EN_STEP3), 0)
+    if suf is not None and len(w) - len(suf) >= r1:
+        cut = len(w) - len(suf)
+        if suf == "ative":
+            if cut >= r2:
+                w = w[:cut]
+        else:
+            w = w[:cut] + _EN_STEP3[suf]
+    # step 4 (R2)
+    suf = _longest_in(w, _EN_STEP4, 0)
+    if suf is not None and len(w) - len(suf) >= r2:
+        cut = len(w) - len(suf)
+        if suf == "ion":
+            if cut >= 1 and w[cut - 1] in "st":
+                w = w[:cut]
+        else:
+            w = w[:cut]
+    # step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= r2 or (len(w) - 1 >= r1 and not (
+                len(w) >= 3 and _en_short_syllable(w, len(w) - 2))):
+            w = w[:-1]
+    elif w.endswith("l") and len(w) - 1 >= r2 and len(w) >= 2 \
+            and w[-2] == "l":
+        w = w[:-1]
+    return w.replace("Y", "y")

@@ -12,6 +12,7 @@ from lucene_ray.analysis.snowball import (
     SnowballStemFilter,
     danish_stem,
     dutch_stem,
+    english_stem,
     finnish_stem,
     german_stem,
     hungarian_stem,
@@ -39,6 +40,7 @@ _STEMMERS = {
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
     "finnish": finnish_stem,
+    "english": english_stem,
 }
 
 
