@@ -61,3 +61,39 @@ def test_filter_plugs_into_chain(ray_session):
     chain = AnalyzerChain(SnowballStemFilter(german_stem))
     assert chain("Die Zuhörers betrachten Drohungen") == \
         ["die", "zuhor", "betracht", "drohung"]
+
+
+def test_language_analyzer_presets(ray_session):
+    from lucene_ray.analysis.lang import language_analyzer, stop_words
+    assert "und" in stop_words("de") and "dans" in stop_words("fr")
+    assert language_analyzer("de")(
+        "Die Zuhörers betrachten die Drohungen") == \
+        ["zuhor", "betracht", "drohung"]
+    assert language_analyzer("ru")("новости читают люди") == \
+        ["новост", "чита", "люд"]
+    # no stemmer for fr in this set: stop filtering still applies
+    assert language_analyzer("fr")("les chats et les chiens") == \
+        ["chats", "chiens"]
+
+
+def test_language_analyzer_indexes_end_to_end(ray_session,
+                                              tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.analysis.lang import language_analyzer
+    from lucene_ray.index import build_index
+    from lucene_ray.search import IndexReader, Searcher, TermQuery
+    texts = ["die drohungen wachsen", "eine drohung bleibt",
+             "ganz andere worte"]
+    t = pa.table({"doc_id": pa.array(np.arange(3, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    d = tmp_path_factory.mktemp("lang")
+    pq.write_table(t, str(d / "docs.parquet"))
+    build_index(str(d / "docs.parquet"), str(d / "idx"),
+                analyzer=language_analyzer("de"))
+    s = Searcher(IndexReader(str(d / "idx")))
+    # singular and plural collapse to one stem; stop word gone
+    assert s.match_docs(TermQuery("drohung")).tolist() == [0, 1]
+    assert s.match_docs(TermQuery("die")).tolist() == []
