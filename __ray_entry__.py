@@ -251,6 +251,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.events", fromlist=["user_stats"])
             .user_stats(f"{sf}/events.parquet")
             .select_columns(["user_id", "n_events", "first_ts", "last_ts"]),
+        # overlapping hopping windows (60min size / 30min hop)
+        "event_hopping_counts": lambda sf: __import__(
+            "lucene_ray.pipelines.events",
+            fromlist=["hopping_window_counts"])
+            .hopping_window_counts(f"{sf}/events.parquet"),
+        # grouping module role: top-5 terms per language
+        "grouped_topk_terms": lambda sf: text_analysis.grouped_topk_terms(
+            _docp(sf), 5, "lang"),
+        # IndexSearcher.searchAfter: page 2 of the bm25_or ranking
+        "bm25_or_page2": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["bm25_topk_page"])
+            .bm25_topk_page(_docp(sf), _OR_TERMS, "or", 20, page=2),
         # --- multimodal (real BMP/WAV codecs; deterministic synth input) ---
         "image_grid_features": lambda sf: _mm_images(sf),
         "audio_band_spectra": lambda sf: _mm_audio(sf),
@@ -480,6 +493,27 @@ s AS (SELECT *, sum(new) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS sid FROM o)
 SELECT user_id, min(ts) AS session_start, count(*) AS n_events
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+        "event_hopping_counts": """
+WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+x AS (SELECT ((t // 1800000000) * 1800000000) - j * 1800000000
+          AS window_start, event_type
+      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS j) s)
+SELECT window_start, event_type, count(*)::BIGINT AS n_events
+FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+        "grouped_topk_terms": """
+WITH toks2 AS (SELECT d.lang, unnest(list_filter(
+                   string_split(d.text, ' '), x -> x <> '')) AS term
+               FROM documents d),
+c AS (SELECT lang, term, count(*)::BIGINT AS n FROM toks2 GROUP BY 1, 2),
+r AS (SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, term) AS rank
+      FROM c)
+SELECT lang, term, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank""",
+        "bm25_or_page2": ("SELECT doc_id, rank FROM ("
+                          + _bm25_multi_sql(_OR_TERMS, 40,
+                                            require_all=False)
+                          + ") t WHERE rank > 20 ORDER BY rank"),
         "event_window_counts": """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
        event_type, count(*) AS n_events

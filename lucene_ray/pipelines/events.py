@@ -126,6 +126,48 @@ def tumbling_window_counts(path: str, minutes: int = 60) -> ray.data.Dataset:
         .aggregate(Sum("n", alias_name="n_events"))
 
 
+def hopping_window_counts(path: str, size_minutes: int = 60,
+                          hop_minutes: int = 30) -> ray.data.Dataset:
+    """Events per (window_start, event_type) for OVERLAPPING hopping
+    windows (size must be a multiple of hop): each event lands in
+    size/hop windows. Vectorized fan-out inside the batch (np.repeat of
+    the window-start lattice), then the same combiner-pattern groupby as
+    the tumbling form — the shuffle moves per-batch partial counts, not
+    size/hop copies of the events."""
+    assert size_minutes % hop_minutes == 0
+    width_us = int(size_minutes * 60 * 1e6)
+    hop_us = int(hop_minutes * 60 * 1e6)
+    n_win = width_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        base = (ts // hop_us) * hop_us
+        # windows containing ts: start = base - j*hop, j = 0..n_win-1
+        starts = (base[:, None] -
+                  np.arange(n_win, dtype=np.int64)[None, :] * hop_us)
+        et = batch.column("event_type").to_pylist()
+        uniq = list(dict.fromkeys(et))
+        if not uniq:
+            return pa.table({"window_start": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        code_of = {e: i for i, e in enumerate(uniq)}
+        ec = np.array([code_of[e] for e in et], dtype=np.int64)
+        key = starts.reshape(-1) * len(uniq) + np.repeat(ec, n_win)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "window_start": pa.array(uk // len(uniq), pa.int64()),
+            "event_type": pa.array([uniq[int(k % len(uniq))]
+                                    for k in uk], pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    return read_events(path, columns=("ts", "event_type")) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n_events"))
+
+
 def user_stats(path: str) -> ray.data.Dataset:
     """Per-user activity profile (feature table)."""
     return read_events(path).groupby("user_id").aggregate(

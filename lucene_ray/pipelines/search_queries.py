@@ -81,6 +81,29 @@ def bm25_topk(doc_path: str, terms: list[str], kind: str = "term",
                      "rank": pa.array(ranks, pa.int64())})
 
 
+def bm25_topk_page(doc_path: str, terms: list[str], kind: str = "or",
+                   k: int = 20, page: int = 2) -> pa.Table:
+    """searchAfter paging (IndexSearcher.searchAfter): page N of the
+    BM25 ranking under exact64, each page anchored on the previous
+    page's last (score, docID). Returns (doc_id, rank) with GLOBAL
+    ranks — identical to one big top-(page*k) ranking."""
+    idx = cached_index(doc_path)
+    s = Searcher(IndexReader(idx), similarity="bm25_exact64")
+    q = _query(kind, terms)
+    td = s.search(q, k=k)
+    for _ in range(page - 1):
+        if len(td.doc_ids) == 0:
+            break
+        after = (td.scores[-1], int(td.doc_ids[-1]))
+        td = s.search_after(q, k=k, after=after)
+    base = (page - 1) * k
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(base + np.arange(1, len(td.doc_ids) + 1),
+                         pa.int64()),
+    })
+
+
 def conjunction_docs(doc_path: str, terms: list[str]) -> pa.Table:
     """All doc ids containing every term (match-only, no scoring)."""
     idx = cached_index(doc_path)

@@ -287,3 +287,68 @@ def more_like_this(path: str, doc_id: int, *, max_query_terms: int = 8,
         "doc_id": pa.array([d for d, _ in keep], pa.int64()),
         "rank": pa.array(np.arange(1, len(keep) + 1), pa.int64()),
     })
+
+
+def grouped_topk_terms(path: str, k: int = 5,
+                       group_col: str = "lang") -> ray.data.Dataset:
+    """Top-k terms per group by total occurrences — the grouping
+    module's role (``lucene/grouping/``: TopGroups / group-sorted
+    collection), expressed Ray-native: per-batch (group, term) partial
+    counts (combiner: the shuffle moves counts, not tokens), one
+    groupby-sum, then a per-group vectorized top-k. Returns
+    (group, term, n, rank) with ties by term asc."""
+    import pyarrow.compute as pc
+
+    from ..analysis.arrow_tokenize import _tokenize_batch_arrow
+    from ..util import cached_callable
+
+    class PartialCounts:
+        def __init__(self):
+            from ..analysis import StandardAnalyzer
+            self.analyzer = StandardAnalyzer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, didx = _tokenize_batch_arrow(batch["text"],
+                                               self.analyzer)
+            if len(flat) == 0:
+                return pa.table({group_col: pa.array([], pa.string()),
+                                 "term": pa.array([], pa.large_string()),
+                                 "n": pa.array([], pa.int64())})
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            uniques = enc.dictionary
+            groups = batch[group_col].to_pylist()
+            guniq = list(dict.fromkeys(groups))
+            gcode = np.array([guniq.index(g) for g in groups],
+                             dtype=np.int64)
+            key = gcode[didx] * len(uniques) + codes
+            uk, cnt = np.unique(key, return_counts=True)
+            return pa.table({
+                group_col: pa.array([guniq[int(x)] for x in
+                                     uk // len(uniques)], pa.string()),
+                "term": uniques.take(pa.array(uk % len(uniques)))
+                .cast(pa.large_string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            })
+
+    def topk(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy()
+        terms = g.column("term").to_pylist()
+        order = sorted(range(len(n)), key=lambda i: (-n[i], terms[i]))[:k]
+        gv = g.column(group_col)[0].as_py()
+        return pa.table({
+            group_col: pa.array([gv] * len(order), pa.string()),
+            "term": pa.array([terms[i] for i in order], pa.large_string()),
+            "n": pa.array([int(n[i]) for i in order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    return (ray.data.read_parquet(path, columns=["text", group_col])
+            .map_batches(cached_callable(PartialCounts),
+                         batch_format="pyarrow")
+            .groupby([group_col, "term"])
+            .aggregate(Sum("n", alias_name="n"))
+            .groupby(group_col)
+            .map_groups(topk, batch_format="pyarrow"))

@@ -265,6 +265,22 @@ class Searcher:
                             publish_cb(kth)
         return merge_top_docs(parts, k)
 
+    def search_after(self, q: Query, k: int = 10,
+                     after: tuple | None = None) -> TopDocs:
+        """Paging — ``IndexSearcher.searchAfter(ScoreDoc, Query, n)``:
+        the top k hits strictly after the (score, docID) anchor in the
+        global (score desc, docID asc) order. Baseline implementation
+        over the COMPLETE unpruned evaluation (deep paging rarely
+        benefits from impact pruning; the anchor is an exact
+        (score, doc) pair from the previous page)."""
+        if after is None:
+            return self.search(q, k)
+        a_score, a_doc = after
+        docs, scores = self.eval_complete(q)
+        keep = (scores < a_score) | ((scores == a_score) &
+                                     (docs > a_doc))
+        return _top_k(docs[keep], scores[keep], k)
+
     def collect(self, q: Query, collector):
         """Custom collector protocol (Collector/CollectorManager role,
         ``search/CollectorManager.java``): COMPLETE per-segment

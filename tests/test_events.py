@@ -96,3 +96,19 @@ def test_sessionize_scale_form_matches_per_user(ray_session, tmp_path_factory):
     a = key(sessionize(path, num_partitions=16).take_all())
     b = key(sessionize_per_user(path).take_all())
     assert a == b and len(a) > 500
+
+
+def test_hopping_windows_overlap(events_path):
+    """Each event lands in size/hop windows; counts match a brute
+    recomputation."""
+    from lucene_ray.pipelines.events import hopping_window_counts
+    path, base, m = events_path
+    rows = hopping_window_counts(path, 60, 30).take_all()
+    total = sum(r["n_events"] for r in rows)
+    assert total == 5 * 2  # 5 events x 2 overlapping windows
+    # window starts sit on the hop lattice; the event at base lands in
+    # the aligned window and the one hop earlier
+    hop = 30 * m
+    aligned = (base // hop) * hop
+    starts = {r["window_start"] for r in rows}
+    assert aligned in starts and aligned - hop in starts

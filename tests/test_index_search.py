@@ -206,3 +206,23 @@ def test_count(built_index, oracle):
     got_and = s.count(and_query([hot[0], mid[0]]))
     want = sum(1 for c, _ in oracle.doc_terms if hot[0] in c and mid[0] in c)
     assert got_and == want
+
+
+def test_search_after_pages_equal_global_ranking(ray_session, built_index):
+    """searchAfter paging: concatenated pages == one big top-k, across
+    score ties (IndexSearcher.searchAfter semantics)."""
+    from lucene_ray.search import BooleanQuery, IndexReader, Searcher, \
+        TermQuery
+    idx, _ = built_index
+    s = Searcher(IndexReader(idx), similarity="bm25_exact64")
+    vocab = sorted(s.reader.all_term_stats())[:3]
+    q = BooleanQuery(should=tuple(TermQuery(t) for t in vocab))
+    full = s.search(q, k=30)
+    paged = []
+    td = s.search(q, k=10)
+    paged.extend(zip(td.doc_ids.tolist(), td.scores.tolist()))
+    for _ in range(2):
+        after = (td.scores[-1], int(td.doc_ids[-1]))
+        td = s.search_after(q, k=10, after=after)
+        paged.extend(zip(td.doc_ids.tolist(), td.scores.tolist()))
+    assert [d for d, _ in paged] == full.doc_ids.tolist()
