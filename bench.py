@@ -114,6 +114,13 @@ def run_queries(index_dir: str) -> dict[str, float]:
     dlat.sort()
     out["query_dist_p50_ms"] = statistics.median(dlat)
     out["query_dist_p95_ms"] = dlat[int(len(dlat) * 0.95) - 1]
+    # serving throughput: the whole mixed set pushed through the worker
+    # pool as one batch (queries pipeline across workers)
+    t0 = time.perf_counter()
+    reps = 4
+    rs.search_batch(queries * reps, k=10)
+    out["query_throughput_qps"] = len(queries) * reps / \
+        (time.perf_counter() - t0)
     return out
 
 
