@@ -122,10 +122,18 @@ class _HnswGraph:
             visited[ns] = True
             nsims = self._sims(q, ns)
             lb = best[0][0] if len(best) >= ef else -np.inf
-            for s, e in zip(nsims, ns):
+            if len(best) >= ef:
+                # candidates at or below the current floor can never
+                # enter the beam (the floor only rises) — drop them
+                # before the Python loop
+                keep = nsims > lb
+                if not keep.all():
+                    nsims = nsims[keep]
+                    ns = ns[keep]
+            for s, e in zip(nsims.tolist(), ns.tolist()):
                 if s > lb or len(best) < ef:
-                    heapq.heappush(cand, (-s, int(e)))
-                    heapq.heappush(best, (s, int(e)))
+                    heapq.heappush(cand, (-s, e))
+                    heapq.heappush(best, (s, e))
                     if len(best) > ef:
                         heapq.heappop(best)
                     lb = best[0][0] if len(best) >= ef else -np.inf
@@ -136,16 +144,22 @@ class _HnswGraph:
         """Lucene's diversity heuristic (HnswGraphBuilder.findDiverse):
         keep candidate c unless it is closer to an already-selected
         neighbor than to the query."""
-        sel: list[int] = []
-        for s, c in cands:
-            if len(sel) >= max_conn:
+        if not cands:
+            return []
+        ids = np.fromiter((c for _, c in cands), dtype=np.int64,
+                          count=len(cands))
+        sims_q = np.fromiter((s for s, _ in cands), dtype=np.float64,
+                             count=len(cands))
+        # one cross-similarity matmul instead of a gather per candidate
+        cross = self.mat[ids] @ self.mat[ids].T
+        sel_idx: list[int] = []
+        for j in range(len(ids)):
+            if len(sel_idx) >= max_conn:
                 break
-            if sel:
-                d = self.mat[np.array(sel)] @ self.mat[c]
-                if (d > s).any():
-                    continue
-            sel.append(c)
-        return sel
+            if sel_idx and (cross[j, sel_idx] > sims_q[j]).any():
+                continue
+            sel_idx.append(j)
+        return [int(ids[j]) for j in sel_idx]
 
     def _link(self, a: int, b: int, level: int) -> None:
         """Add b to a's neighbor list; prune diversely when over cap."""
