@@ -76,6 +76,8 @@ class PointSegmentWriter:
         seg = f"points-{int(ids.min()):012d}-{len(ids)}"
         path = os.path.join(self.out_dir, f"{seg}.parquet")
         if not os.path.exists(path):
+            # tmp + rename: a crash mid-write must not leave a file the
+            # resume check would skip (atomic on POSIX)
             data = {
                 "ids": pa.array([lv[0].tolist() for lv in leaves],
                                 pa.list_(pa.int64())),
@@ -88,7 +90,9 @@ class PointSegmentWriter:
                 data[f"coord_{j}"] = pa.array(
                     [lv[1][:, j].tolist() for lv in leaves],
                     pa.list_(pa.float64()))
-            pq.write_table(pa.table(data), path, row_group_size=64)
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(pa.table(data), tmp, row_group_size=64)
+            os.replace(tmp, path)
         return pa.table({"segment": pa.array([seg]),
                          "n": pa.array([len(ids)], pa.int64())})
 

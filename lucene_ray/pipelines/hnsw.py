@@ -249,9 +249,14 @@ def _write_segment(seg_dir: str, vec_ids: np.ndarray, mat32: np.ndarray,
         "node": pa.array(node_col, pa.int32()),
         "neighbors": pa.array(nb_col, pa.list_(pa.int32()))}),
         os.path.join(seg_dir, "graph.parquet"))
-    with open(os.path.join(seg_dir, "meta.json"), "w") as f:
+    # meta.json is the resume marker: written LAST and atomically, so a
+    # crash mid-segment leaves no marker and the retry rebuilds cleanly
+    meta_path = os.path.join(seg_dir, "meta.json")
+    tmp = meta_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump({"entry": int(g.entry), "entry_level": int(g.entry_level),
                    "m": g.m, "n": len(vec_ids), "dim": int(dim)}, f)
+    os.replace(tmp, meta_path)
 
 
 def _load_segment(seg_dir: str):
