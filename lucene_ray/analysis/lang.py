@@ -21,6 +21,7 @@ _STEMMERS = {
     "fi": "finnish", "hu": "hungarian", "it": "italian",
     "nl": "dutch", "no": "norwegian", "pt": "portuguese",
     "ro": "romanian", "ru": "russian", "sv": "swedish",
+    "tr": "turkish", "ga": "irish", "ne": "nepali",
 }
 _STOP_FILES = {**{k: v for k, v in _STEMMERS.items()},
                "fr": "french", "id": "indonesian"}

@@ -1380,3 +1380,670 @@ def english_stem(word: str) -> str:
             and w[-2] == "l":
         w = w[:-1]
     return w.replace("Y", "y")
+
+
+# --- Turkish (snowballstem.org/algorithms/turkish/stemmer.html) -----------
+# Çilden's suffix-stripping stemmer: every candidate suffix is gated by a
+# vowel-harmony check against the nearest preceding harmony-group vowel;
+# nominal-verb suffixes strip first, then chained noun suffixes (with the
+# recursive "ki" chain, which can delete a MIDDLE segment while keeping the
+# already-matched tail), then a postlude (reserved words ad/soyad, append
+# ı/i/u/ü after final d/g, undo final-consonant voicing b/c/d/ğ → p/ç/t/k).
+# Conformance: turkish.zip golden (reference TestSnowballVocab.java).
+
+_TR_VOWELS = set("aeıioöuü")
+_TR_U = set("ıiuü")
+_TR_HARMONY = {
+    "a": set("aıou"), "e": set("eiöü"),
+    "ı": set("aı"), "i": set("ei"),
+    "o": set("ou"), "ö": set("öü"),
+    "u": set("ou"), "ü": set("öü"),
+}
+_TR_POSS = ("miz", "niz", "muz", "nuz", "müz", "nüz",
+            "mız", "nız", "m", "n")
+_TR_LARI = ("leri", "ları")
+_TR_NU = ("ni", "nu", "nü", "nı")
+_TR_NUN = ("in", "un", "ün", "ın")
+_TR_YA = ("a", "e")
+_TR_NA = ("na", "ne")
+_TR_DA = ("da", "ta", "de", "te")
+_TR_NDA = ("nda", "nde")
+_TR_DAN = ("dan", "tan", "den", "ten")
+_TR_NDAN = ("ndan", "nden")
+_TR_YLA = ("la", "le")
+_TR_NCA = ("ca", "ce")
+_TR_YUM = ("im", "um", "üm", "ım")
+_TR_SUN = ("sin", "sun", "sün", "sın")
+_TR_YUZ = ("iz", "uz", "üz", "ız")
+_TR_SUNUZ = ("siniz", "sunuz", "sünüz", "sınız")
+_TR_LAR = ("lar", "ler")
+_TR_NUZ = ("niz", "nuz", "nüz", "nız")
+_TR_DUR = ("dir", "tir", "dur", "tur", "dür", "tür",
+           "dır", "tır")
+_TR_CASINA = ("casına", "cesine")
+_TR_YDU = ("dik", "tik", "duk", "tuk", "dük", "tük",
+           "dık", "tık", "dim", "tim", "dum", "tum",
+           "düm", "tüm", "dım", "tım", "din",
+           "tin", "dun", "tun", "dün", "tün", "dın",
+           "tın", "di", "ti", "du", "tu", "dü", "tü",
+           "dı", "tı")
+_TR_YSA = ("sak", "sek", "sam", "sem", "san", "sen", "sa", "se")
+_TR_YMUS = ("miş", "muş", "müş", "mış")
+
+
+def _tr_among(w, c, suffixes):
+    """Longest suffix of w[:c] in `suffixes`; returns its start or None.
+    Lists are pre-ordered longest-first where lengths differ."""
+    for s in suffixes:
+        n = len(s)
+        if c >= n and w[c - n:c] == s:
+            return c - n
+    return None
+
+
+def _tr_harmony(w, c):
+    """Vowel harmony: the last vowel of w[:c] must have a member of its
+    harmony group somewhere to its left."""
+    i = c - 1
+    while i >= 0 and w[i] not in _TR_VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    grp = _TR_HARMONY[w[i]]
+    for j in range(i - 1, -1, -1):
+        if w[j] in grp:
+            return True
+    return False
+
+
+def _tr_opt_cons(w, c, ch):
+    """Optional suffix-initial consonant ch (n/s/y): consume it when
+    preceded by a vowel; reject when present but not vowel-preceded, or
+    absent without a vowel two back (Snowball
+    mark_suffix_with_optional_*_consonant)."""
+    if c >= 1 and w[c - 1] == ch:
+        if c >= 2 and w[c - 2] in _TR_VOWELS:
+            return c - 1
+        return None
+    if c >= 2 and w[c - 2] in _TR_VOWELS:
+        return c
+    return None
+
+
+def _tr_opt_U(w, c):
+    """Optional suffix-initial U vowel (ı/i/u/ü), mirrored logic: consume
+    when preceded by a non-vowel."""
+    if c >= 1 and w[c - 1] in _TR_U:
+        if c >= 2 and w[c - 2] not in _TR_VOWELS:
+            return c - 1
+        return None
+    if c >= 2 and w[c - 2] not in _TR_VOWELS:
+        return c
+    return None
+
+
+def _tr_mark_poss(w, c):
+    c2 = _tr_among(w, c, _TR_POSS)
+    return _tr_opt_U(w, c2) if c2 is not None else None
+
+
+def _tr_mark_sU(w, c):
+    if not _tr_harmony(w, c):
+        return None
+    if c >= 1 and w[c - 1] in _TR_U:
+        return _tr_opt_cons(w, c - 1, "s")
+    return None
+
+
+def _tr_mark_yU(w, c):
+    if not _tr_harmony(w, c):
+        return None
+    if c >= 1 and w[c - 1] in _TR_U:
+        return _tr_opt_cons(w, c - 1, "y")
+    return None
+
+
+def _tr_harmony_among(w, c, suffixes):
+    if not _tr_harmony(w, c):
+        return None
+    return _tr_among(w, c, suffixes)
+
+
+def _tr_mark_lArI(w, c):
+    return _tr_among(w, c, _TR_LARI)
+
+
+def _tr_mark_nUn(w, c):
+    c2 = _tr_harmony_among(w, c, _TR_NUN)
+    return _tr_opt_cons(w, c2, "n") if c2 is not None else None
+
+
+def _tr_mark_yA(w, c):
+    c2 = _tr_harmony_among(w, c, _TR_YA)
+    return _tr_opt_cons(w, c2, "y") if c2 is not None else None
+
+
+def _tr_mark_ylA(w, c):
+    c2 = _tr_harmony_among(w, c, _TR_YLA)
+    return _tr_opt_cons(w, c2, "y") if c2 is not None else None
+
+
+def _tr_mark_ncA(w, c):
+    c2 = _tr_harmony_among(w, c, _TR_NCA)
+    return _tr_opt_cons(w, c2, "n") if c2 is not None else None
+
+
+def _tr_mark_yUm(w, c):
+    c2 = _tr_harmony_among(w, c, _TR_YUM)
+    return _tr_opt_cons(w, c2, "y") if c2 is not None else None
+
+
+def _tr_mark_yUz(w, c):
+    c2 = _tr_harmony_among(w, c, _TR_YUZ)
+    return _tr_opt_cons(w, c2, "y") if c2 is not None else None
+
+
+def _tr_mark_yDU(w, c):
+    c2 = _tr_harmony_among(w, c, _TR_YDU)
+    return _tr_opt_cons(w, c2, "y") if c2 is not None else None
+
+
+def _tr_mark_ysA(w, c):
+    c2 = _tr_among(w, c, _TR_YSA)
+    return _tr_opt_cons(w, c2, "y") if c2 is not None else None
+
+
+def _tr_mark_ymUs(w, c):
+    c2 = _tr_harmony_among(w, c, _TR_YMUS)
+    return _tr_opt_cons(w, c2, "y") if c2 is not None else None
+
+
+def _tr_mark_yken(w, c):
+    if c >= 3 and w[c - 3:c] == "ken":
+        return _tr_opt_cons(w, c - 3, "y")
+    return None
+
+
+def _tr_nominal_verb(w):
+    """Strip one nominal-verb suffix chain from the end. Returns
+    (word, continue_with_noun_suffixes)."""
+    n = len(w)
+    for m in (_tr_mark_ymUs, _tr_mark_yDU, _tr_mark_ysA, _tr_mark_yken):
+        c = m(w, n)
+        if c is not None:
+            return w[:c], True
+    c = _tr_among(w, n, _TR_CASINA)
+    if c is not None:
+        base = c
+        for m in (lambda w, c: _tr_among(w, c, _TR_SUNUZ),
+                  lambda w, c: _tr_harmony_among(w, c, _TR_LAR),
+                  _tr_mark_yUm,
+                  lambda w, c: _tr_harmony_among(w, c, _TR_SUN),
+                  _tr_mark_yUz):
+            c2 = m(w, c)
+            if c2 is not None:
+                base = c2
+                break
+        c3 = _tr_mark_ymUs(w, base)
+        if c3 is not None:
+            return w[:c3], True
+    c = _tr_harmony_among(w, n, _TR_LAR)
+    if c is not None:
+        w = w[:c]
+        for m in (lambda w, c: _tr_harmony_among(w, c, _TR_DUR),
+                  _tr_mark_yDU, _tr_mark_ysA, _tr_mark_ymUs):
+            c2 = m(w, len(w))
+            if c2 is not None:
+                w = w[:c2]
+                break
+        return w, False
+    c = _tr_harmony_among(w, n, _TR_NUZ)
+    if c is not None:
+        c2 = _tr_mark_yDU(w, c)
+        if c2 is None:
+            c2 = _tr_mark_ysA(w, c)
+        if c2 is not None:
+            return w[:c2], True
+    for m in (lambda w, c: _tr_among(w, c, _TR_SUNUZ),
+              _tr_mark_yUz,
+              lambda w, c: _tr_harmony_among(w, c, _TR_SUN),
+              _tr_mark_yUm):
+        c = m(w, n)
+        if c is not None:
+            w = w[:c]
+            c2 = _tr_mark_ymUs(w, len(w))
+            if c2 is not None:
+                w = w[:c2]
+            return w, True
+    c = _tr_harmony_among(w, n, _TR_DUR)
+    if c is None:
+        return w, True
+    w = w[:c]
+    base = len(w)
+    for m in (lambda w, c: _tr_among(w, c, _TR_SUNUZ),
+              lambda w, c: _tr_harmony_among(w, c, _TR_LAR),
+              _tr_mark_yUm,
+              lambda w, c: _tr_harmony_among(w, c, _TR_SUN),
+              _tr_mark_yUz):
+        c2 = m(w, len(w))
+        if c2 is not None:
+            base = c2
+            break
+    c3 = _tr_mark_ymUs(w, base)
+    if c3 is not None:
+        w = w[:c3]
+    return w, True
+
+
+def _tr_del(w, c, x):
+    """Delete w[x:c] (suffix segment ending at cursor c, tail preserved)."""
+    return w[:x] + w[c:], x
+
+
+def _tr_chain_ki(w, c):
+    """The recursive suffix-chain-before-"ki" walk. Matching happens at
+    cursor c (which may be mid-string when recursing through an already
+    matched tail); deletions remove segments ENDING at the cursor.
+    Returns (word, cursor, handled)."""
+    if not (c >= 2 and w[c - 2:c] == "ki"):
+        return w, c, False
+    k = c - 2
+    c2 = _tr_harmony_among(w, k, _TR_DA)
+    if c2 is not None:
+        w, c = _tr_del(w, c, c2)
+        c3 = _tr_harmony_among(w, c, _TR_LAR)
+        if c3 is not None:
+            w, c = _tr_del(w, c, c3)
+            w, c, _ = _tr_chain_ki(w, c)
+        else:
+            c4 = _tr_mark_poss(w, c)
+            if c4 is not None:
+                w, c = _tr_del(w, c, c4)
+                c5 = _tr_harmony_among(w, c, _TR_LAR)
+                if c5 is not None:
+                    w, c = _tr_del(w, c, c5)
+                    w, c, _ = _tr_chain_ki(w, c)
+        return w, c, True
+    c2 = _tr_mark_nUn(w, k)
+    if c2 is not None:
+        w, c = _tr_del(w, c, c2)
+        c3 = _tr_mark_lArI(w, c)
+        if c3 is not None:
+            w, c = _tr_del(w, c, c3)
+            return w, c, True
+        c4 = _tr_mark_poss(w, c)
+        if c4 is None:
+            c4 = _tr_mark_sU(w, c)
+        if c4 is not None:
+            w, c = _tr_del(w, c, c4)
+            c5 = _tr_harmony_among(w, c, _TR_LAR)
+            if c5 is not None:
+                w, c = _tr_del(w, c, c5)
+                w, c, _ = _tr_chain_ki(w, c)
+            return w, c, True
+        w, c, _ = _tr_chain_ki(w, c)
+        return w, c, True
+    c2 = _tr_harmony_among(w, k, _TR_NDA)
+    if c2 is None:
+        return w, c, False
+    c3 = _tr_mark_lArI(w, c2)
+    if c3 is not None:
+        w, c = _tr_del(w, c, c3)
+        return w, c, True
+    c4 = _tr_mark_sU(w, c2)
+    if c4 is not None:
+        w, c = _tr_del(w, c, c4)
+        c5 = _tr_harmony_among(w, c, _TR_LAR)
+        if c5 is not None:
+            w, c = _tr_del(w, c, c5)
+            w, c, _ = _tr_chain_ki(w, c)
+        return w, c, True
+    w2, c2b, ok = _tr_chain_ki(w, c2)
+    if not ok:
+        return w, c, False
+    return w2, c2b, True
+
+
+def _tr_noun_suffixes(w):
+    """Strip the (first matching) noun-suffix chain from the end; the
+    branch order mirrors the algorithm's alternatives exactly."""
+    n = len(w)
+    c = _tr_harmony_among(w, n, _TR_LAR)
+    if c is not None:
+        w = w[:c]
+        w, _, _ = _tr_chain_ki(w, len(w))
+        return w
+    c = _tr_mark_ncA(w, n)
+    if c is not None:
+        w = w[:c]
+        c2 = _tr_mark_lArI(w, len(w))
+        if c2 is not None:
+            return w[:c2]
+        c3 = _tr_mark_poss(w, len(w))
+        if c3 is None:
+            c3 = _tr_mark_sU(w, len(w))
+        if c3 is not None:
+            w = w[:c3]
+            c4 = _tr_harmony_among(w, len(w), _TR_LAR)
+            if c4 is not None:
+                w = w[:c4]
+                w, _, _ = _tr_chain_ki(w, len(w))
+            return w
+        c5 = _tr_harmony_among(w, len(w), _TR_LAR)
+        if c5 is not None:
+            w = w[:c5]
+            w, _, _ = _tr_chain_ki(w, len(w))
+        return w
+    c = _tr_harmony_among(w, n, _TR_NDA)
+    if c is None:
+        c = _tr_harmony_among(w, n, _TR_NA)
+    if c is not None:
+        c2 = _tr_mark_lArI(w, c)
+        if c2 is not None:
+            return w[:c2]
+        c3 = _tr_mark_sU(w, c)
+        if c3 is not None:
+            w = w[:c3]
+            c4 = _tr_harmony_among(w, len(w), _TR_LAR)
+            if c4 is not None:
+                w = w[:c4]
+                w, _, _ = _tr_chain_ki(w, len(w))
+            return w
+        w2, _, ok = _tr_chain_ki(w, c)
+        if ok:
+            return w2
+    c = _tr_harmony_among(w, n, _TR_NDAN)
+    if c is None:
+        c = _tr_harmony_among(w, n, _TR_NU)
+    if c is not None:
+        c2 = _tr_mark_sU(w, c)
+        if c2 is not None:
+            w = w[:c2]
+            c3 = _tr_harmony_among(w, len(w), _TR_LAR)
+            if c3 is not None:
+                w = w[:c3]
+                w, _, _ = _tr_chain_ki(w, len(w))
+            return w
+        c4 = _tr_mark_lArI(w, c)
+        if c4 is not None:
+            return w[:c4]
+    c = _tr_harmony_among(w, n, _TR_DAN)
+    if c is not None:
+        w = w[:c]
+        c2 = _tr_mark_poss(w, len(w))
+        if c2 is not None:
+            w = w[:c2]
+            c3 = _tr_harmony_among(w, len(w), _TR_LAR)
+            if c3 is not None:
+                w = w[:c3]
+                w, _, _ = _tr_chain_ki(w, len(w))
+        else:
+            c4 = _tr_harmony_among(w, len(w), _TR_LAR)
+            if c4 is not None:
+                w = w[:c4]
+                w, _, _ = _tr_chain_ki(w, len(w))
+            else:
+                w, _, _ = _tr_chain_ki(w, len(w))
+        return w
+    c = _tr_mark_nUn(w, n)
+    if c is None:
+        c = _tr_mark_ylA(w, n)
+    if c is not None:
+        w = w[:c]
+        done = False
+        c2 = _tr_harmony_among(w, len(w), _TR_LAR)
+        if c2 is not None:
+            w = w[:c2]
+            w, _, ok = _tr_chain_ki(w, len(w))
+            if ok:
+                done = True
+        if not done:
+            c3 = _tr_mark_poss(w, len(w))
+            if c3 is None:
+                c3 = _tr_mark_sU(w, len(w))
+            if c3 is not None:
+                w = w[:c3]
+                c4 = _tr_harmony_among(w, len(w), _TR_LAR)
+                if c4 is not None:
+                    w = w[:c4]
+                    w, _, _ = _tr_chain_ki(w, len(w))
+            else:
+                w, _, _ = _tr_chain_ki(w, len(w))
+        return w
+    c = _tr_mark_lArI(w, n)
+    if c is not None:
+        return w[:c]
+    w2, _, ok = _tr_chain_ki(w, n)
+    if ok:
+        return w2
+    c = _tr_harmony_among(w, n, _TR_DA)
+    if c is None:
+        c = _tr_mark_yU(w, n)
+    if c is None:
+        c = _tr_mark_yA(w, n)
+    if c is not None:
+        w = w[:c]
+        c2 = _tr_mark_poss(w, len(w))
+        if c2 is not None:
+            w = w[:c2]
+            c3 = _tr_harmony_among(w, len(w), _TR_LAR)
+            if c3 is not None:
+                w = w[:c3]
+            w, _, _ = _tr_chain_ki(w, len(w))
+        else:
+            c4 = _tr_harmony_among(w, len(w), _TR_LAR)
+            if c4 is not None:
+                w = w[:c4]
+                w, _, _ = _tr_chain_ki(w, len(w))
+        return w
+    c = _tr_mark_poss(w, n)
+    if c is None:
+        c = _tr_mark_sU(w, n)
+    if c is not None:
+        w = w[:c]
+        c2 = _tr_harmony_among(w, len(w), _TR_LAR)
+        if c2 is not None:
+            w = w[:c2]
+            w, _, _ = _tr_chain_ki(w, len(w))
+    return w
+
+
+_TR_DEVOICE = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+
+
+def turkish_stem(word: str) -> str:
+    w = word
+    if sum(ch in _TR_VOWELS for ch in w) < 2:
+        return w
+    w, cont = _tr_nominal_verb(w)
+    if not cont:
+        return w
+    w = _tr_noun_suffixes(w)
+    # postlude
+    if w in ("ad", "soyad"):
+        return w
+    if w.endswith(("d", "g")):
+        i = len(w) - 1
+        while i >= 0 and w[i] not in _TR_VOWELS:
+            i -= 1
+        if i >= 0:
+            v = w[i]
+            if v in "aı":
+                w += "ı"
+            elif v in "ei":
+                w += "i"
+            elif v in "ou":
+                w += "u"
+            else:
+                w += "ü"
+    if w and w[-1] in _TR_DEVOICE:
+        w = w[:-1] + _TR_DEVOICE[w[-1]]
+    return w
+
+
+# --- Irish (snowballstem.org/algorithms/irish/stemmer.html) ---------------
+# O'Regan's stemmer: strip initial mutation/eclipsis (bhf- → f-, gc- → c-,
+# t-prefix etc.), then one noun-suffix, one derivational and one verb-suffix
+# pass from the end, gated by the standard RV/R1/R2 regions computed on the
+# de-mutated word. Conformance: irish.zip golden.
+
+_GA_VOWELS = set("aeiouáéíóú")
+_GA_INITIAL = (  # (prefix, replacement); scanned longest-first
+    ("d'fh", "f"), ("bhf", "f"),
+    ("b'", ""), ("bh", "b"), ("bp", "p"), ("ch", "c"), ("d'", ""),
+    ("dh", "d"), ("dt", "t"), ("fh", "f"), ("gc", "c"), ("gh", "g"),
+    ("h-", ""), ("m'", ""), ("mb", "b"), ("mh", "m"), ("n-", ""),
+    ("nd", "d"), ("ng", "g"), ("ph", "p"), ("sh", "s"), ("t-", ""),
+    ("th", "t"), ("ts", "s"),
+)
+_GA_NOUN = (  # (suffix, region): 1 = R1 delete, 2 = R2 delete
+    ("aíochta", 1), ("íochta", 1), ("aíocht", 1), ("íocht", 1),
+    ("aire", 2), ("ire", 2), ("airí", 2), ("irí", 2),
+    ("eabh", 1), ("abh", 1), ("aibh", 1), ("ibh", 1),
+    ("eamh", 1), ("amh", 1), ("aimh", 1), ("imh", 1),
+)
+_GA_DERIV = (  # (suffix, action): 1 = R2 delete, else replacement string
+    ("grafaíochtaí", "graf"), ("grafaíochta", "graf"),
+    ("grafaíocht", "graf"), ("grafaíoch", "graf"),
+    ("arcachtaí", "arc"), ("arcachta", "arc"), ("arcacht", "arc"),
+    ("óideacha", "óid"), ("óideach", "óid"), ("óidigh", "óid"),
+    ("patacha", "paite"), ("pataigh", "paite"), ("patach", "paite"),
+    ("paite", "paite"),
+    ("gineach", "gin"), ("gineas", "gin"), ("ginis", "gin"),
+    ("eachtúil", 1), ("achtúil", 1), ("eachta", 1), ("achta", 1),
+    ("eacht", 1), ("acht", 1), ("each", 1), ("ach", 1),
+)
+_GA_VERB = (  # (suffix, region): 1 = RV delete, 2 = R1 delete
+    ("aimid", 1), ("imid", 1), ("aímid", 1), ("ímid", 1),
+    ("faidh", 1), ("fidh", 1),
+    ("eadh", 2), ("adh", 2), ("áil", 2), ("ain", 2),
+    ("tear", 2), ("tar", 2),
+)
+
+
+def _ga_longest(w, table):
+    best = None
+    for s, v in table:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, v)
+    return best
+
+
+def irish_stem(word: str) -> str:
+    w = word
+    for pre, rep in _GA_INITIAL:
+        if w.startswith(pre):
+            w = rep + w[len(pre):]
+            break
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _GA_VOWELS:
+        i += 1
+    pv = i + 1 if i < n else n
+    p1, p2 = _r_regions(w, "".join(_GA_VOWELS))
+    m = _ga_longest(w, _GA_NOUN)
+    if m is not None:
+        start = len(w) - len(m[0])
+        if start >= (p1 if m[1] == 1 else p2):
+            w = w[:start]
+    m = _ga_longest(w, _GA_DERIV)
+    if m is not None:
+        start = len(w) - len(m[0])
+        if m[1] == 1:
+            if start >= p2:
+                w = w[:start]
+        else:
+            w = w[:start] + m[1]
+    m = _ga_longest(w, _GA_VERB)
+    if m is not None:
+        start = len(w) - len(m[0])
+        if start >= (pv if m[1] == 1 else p1):
+            w = w[:start]
+    return w
+
+
+# --- Nepali (snowballstem.org/algorithms/nepali/stemmer.html) -------------
+# Bal Krishna Bal's stemmer: one postposition pass (category 1; the का
+# series survives after a preceding ए/े), then a loop alternating the
+# conditional nasal/ै marks (category 2) with verb-suffix removal
+# (category 3) until no verb suffix remains. Conformance: nepali.zip.
+
+# Suffix tables (linguistic data from the public Snowball project,
+# cross-checked against the generated Among arrays; see module doc).
+_NE_CAT1 = [  # (suffix, category): 1 = delete, 2 = delete unless after E
+    ("\u0932\u093e\u0907", 1),
+    ("\u0932\u093e\u0908", 1),
+    ("\u0938\u0901\u0917", 1),
+    ("\u0938\u0902\u0917", 1),
+    ("\u092e\u093e\u0930\u094d\u092b\u0924", 1),
+    ("\u0930\u0924", 1),
+    ("\u0915\u093e", 2),
+    ("\u092e\u093e", 1),
+    ("\u0926\u094d\u0935\u093e\u0930\u093e", 1),
+    ("\u0915\u093f", 2),
+    ("\u092a\u091b\u093f", 1),
+    ("\u0915\u0940", 2),
+    ("\u0932\u0947", 1),
+    ("\u0915\u0948", 2),
+    ("\u0938\u0901\u0917\u0948", 1),
+    ("\u092e\u0948", 1),
+    ("\u0915\u094b", 2),
+]
+_NE_CAT2_MARKS = ("\u0901", "\u0902", "\u0948")
+_NE_CAT3 = [
+    "\u0925\u093f\u090f", "\u091b", "\u0907\u091b", "\u090f\u091b",
+    "\u093f\u091b", "\u0947\u091b", "\u0928\u0947\u091b", "\u0939\u0941\u0928\u0947\u091b",
+    "\u0907\u0928\u094d\u091b", "\u093f\u0928\u094d\u091b", "\u0939\u0941\u0928\u094d\u091b", "\u090f\u0915\u093e",
+    "\u0907\u090f\u0915\u093e", "\u093f\u090f\u0915\u093e", "\u0947\u0915\u093e", "\u0928\u0947\u0915\u093e",
+    "\u0926\u093e", "\u0907\u0926\u093e", "\u093f\u0926\u093e", "\u0926\u0947\u0916\u093f",
+    "\u092e\u093e\u0925\u093f", "\u090f\u0915\u0940", "\u0907\u090f\u0915\u0940", "\u093f\u090f\u0915\u0940",
+    "\u0947\u0915\u0940", "\u0926\u0947\u0916\u0940", "\u0925\u0940", "\u0926\u0940",
+    "\u091b\u0941", "\u090f\u091b\u0941", "\u0947\u091b\u0941", "\u0928\u0947\u091b\u0941",
+    "\u0928\u0941", "\u0939\u0930\u0941", "\u0939\u0930\u0942", "\u091b\u0947",
+    "\u0925\u0947", "\u0928\u0947", "\u090f\u0915\u0948", "\u0947\u0915\u0948",
+    "\u0928\u0947\u0915\u0948", "\u0926\u0948", "\u0907\u0926\u0948", "\u093f\u0926\u0948",
+    "\u090f\u0915\u094b", "\u0907\u090f\u0915\u094b", "\u093f\u090f\u0915\u094b", "\u0947\u0915\u094b",
+    "\u0928\u0947\u0915\u094b", "\u0926\u094b", "\u0907\u0926\u094b", "\u093f\u0926\u094b",
+    "\u092f\u094b", "\u0907\u092f\u094b", "\u092d\u092f\u094b", "\u093f\u092f\u094b",
+    "\u0925\u093f\u092f\u094b", "\u0926\u093f\u092f\u094b", "\u0925\u094d\u092f\u094b", "\u091b\u094c",
+    "\u0907\u091b\u094c", "\u090f\u091b\u094c", "\u093f\u091b\u094c", "\u0947\u091b\u094c",
+    "\u0928\u0947\u091b\u094c", "\u092f\u094c", "\u0925\u093f\u092f\u094c", "\u091b\u094d\u092f\u094c",
+    "\u0925\u094d\u092f\u094c", "\u091b\u0928\u094d", "\u0907\u091b\u0928\u094d", "\u090f\u091b\u0928\u094d",
+    "\u093f\u091b\u0928\u094d", "\u0947\u091b\u0928\u094d", "\u0928\u0947\u091b\u0928\u094d", "\u0932\u093e\u0928\u094d",
+    "\u091b\u093f\u0928\u094d", "\u0925\u093f\u0928\u094d", "\u092a\u0930\u094d", "\u0907\u0938\u094d",
+    "\u0925\u093f\u0907\u0938\u094d", "\u091b\u0938\u094d", "\u0907\u091b\u0938\u094d", "\u090f\u091b\u0938\u094d",
+    "\u093f\u091b\u0938\u094d", "\u0947\u091b\u0938\u094d", "\u0928\u0947\u091b\u0938\u094d", "\u093f\u0938\u094d",
+    "\u0925\u093f\u0938\u094d", "\u091b\u0947\u0938\u094d", "\u0939\u094b\u0938\u094d",
+]
+_NE_E_PRECED = ("\u090f", "\u0947")
+_NE_CAT2A_COND = ("\u092f\u094c", "\u091b\u094c", "\u0928\u094c", "\u0925\u0947")
+_NE_CAT2B_COND = ("\u0924\u094d\u0930",)
+
+
+def nepali_stem(word: str) -> str:
+    w = word
+    best = None
+    for s, v in _NE_CAT1:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, v)
+    if best is not None:
+        s, v = best
+        rest = w[:len(w) - len(s)]
+        if v == 1 or not rest.endswith(_NE_E_PRECED):
+            w = rest
+    while True:
+        if w.endswith(_NE_CAT2_MARKS):
+            rest = w[:-1]
+            if w[-1] == _NE_CAT2_MARKS[2]:
+                if rest.endswith(_NE_CAT2B_COND):
+                    w = rest
+            elif rest.endswith(_NE_CAT2A_COND):
+                w = rest
+        best3 = None
+        for s in _NE_CAT3:
+            if w.endswith(s) and (best3 is None or len(s) > len(best3)):
+                best3 = s
+        if best3 is None:
+            break
+        w = w[:len(w) - len(best3)]
+    return w

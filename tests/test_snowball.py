@@ -23,6 +23,9 @@ from lucene_ray.analysis.snowball import (
     russian_stem,
     spanish_stem,
     swedish_stem,
+    turkish_stem,
+    irish_stem,
+    nepali_stem,
 )
 
 _DATA = os.path.join(os.path.dirname(__file__), "data", "snowball")
@@ -41,6 +44,9 @@ _STEMMERS = {
     "hungarian": hungarian_stem,
     "finnish": finnish_stem,
     "english": english_stem,
+    "turkish": turkish_stem,
+    "irish": irish_stem,
+    "nepali": nepali_stem,
 }
 
 
