@@ -156,3 +156,156 @@ def spectrogram(samples: np.ndarray, frame: int = 256,
     win = np.hanning(frame)
     frames = np.stack([samples[s:s + frame] * win for s in starts])
     return np.abs(np.fft.rfft(frames, axis=1))
+
+
+# --- PNG (8-bit gray / RGB / RGBA, non-interlaced) --------------------------
+# Full spec-conformant decode of the common web layout: zlib-inflated
+# IDAT, all five scanline filters (None/Sub/Up/Average/Paeth) unfiltered.
+# Sub rows unfilter as a vectorized mod-256 prefix sum over pixel groups;
+# Up rows as one uint8 add; Average/Paeth fall back to a per-byte sweep
+# (sequential by definition). Encode emits any chosen filter type, which
+# lets tests round-trip every unfilter path.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+import zlib as _zlib
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", _zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0,
+               compress_level: int = 6) -> bytes:
+    """HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 -> PNG bytes."""
+    assert img.dtype == np.uint8
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, planes = img.shape
+    color = {1: 0, 3: 2, 4: 6}[planes]
+    raw = img.reshape(h, w * planes)
+    bpp = planes
+    stride = w * planes
+    filt = np.zeros((h, 1 + stride), dtype=np.uint8)
+    filt[:, 0] = filter_type
+    if filter_type == 0:
+        filt[:, 1:] = raw
+    elif filter_type == 1:  # Sub
+        filt[:, 1:] = raw
+        filt[:, 1 + bpp:] = raw[:, bpp:] - raw[:, :-bpp]
+    elif filter_type == 2:  # Up
+        filt[0, 1:] = raw[0]
+        filt[1:, 1:] = raw[1:] - raw[:-1]
+    elif filter_type in (3, 4):  # Average / Paeth
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            row = raw[y].astype(np.int64)
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            up = prev
+            if filter_type == 3:
+                pred = (left + up) // 2
+            else:
+                ul = np.concatenate([np.zeros(bpp, np.int64),
+                                     prev[:-bpp]])
+                p = left + up - ul
+                pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                                np.where(pb <= pc, up, ul))
+            filt[y, 1:] = ((row - pred) & 0xFF).astype(np.uint8)
+            prev = row
+    else:
+        raise ValueError(f"bad filter type {filter_type}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = _zlib.compress(filt.tobytes(), compress_level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG bytes -> HxW / HxWx3 / HxWx4 uint8 (gray / RGB / RGBA)."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(blob):
+        size, tag = struct.unpack_from(">I4s", blob, pos)
+        payload = blob[pos + 8:pos + 8 + size]
+        pos += 12 + size
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} interlace={interlace}")
+    planes = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if planes is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    bpp = planes
+    stride = w * planes
+    data = np.frombuffer(_zlib.decompress(b"".join(idat)), np.uint8)
+    if data.size != h * (1 + stride):
+        raise ValueError("corrupt PNG scanline data")
+    rows = data.reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    raw = rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = ftypes[y]
+        line = raw[y]
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 1:  # Sub: mod-256 prefix sum over pixel groups
+            rec = np.cumsum(
+                line.reshape(w, bpp).astype(np.int64), axis=0
+            ).reshape(stride).astype(np.uint8)
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft in (3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            li = line.astype(np.int64)
+            pv = prev.astype(np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = pv[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa_ <= pb and pa_ <= pc else (
+                        b if pb <= pc else c)
+                rec[x] = (li[x] + pred) & 0xFF
+            rec = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, planes)
+    if planes == 1:
+        return img[:, :, 0].copy()
+    if planes == 2:  # gray+alpha -> gray
+        return img[:, :, 0].copy()
+    return img.copy()
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Magic-dispatched image decode (BMP or PNG) -> HxWx3 uint8 RGB."""
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[:8] == _PNG_SIG:
+        img = decode_png(blob)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        elif img.shape[2] == 4:
+            img = img[:, :, :3].copy()
+        return img
+    raise ValueError("unrecognized image format (need BMP or PNG)")

@@ -2,11 +2,13 @@
 metadata, processed by actor-pool map_batches stages.
 
 The decode kernels are REAL for the fully-specified public formats this
-container can handle in numpy alone — BMP (24-bit) and WAV (PCM16
+container can handle in numpy + stdlib zlib alone — BMP (24-bit),
+PNG (8-bit gray/RGB/RGBA, all five scanline filters) and WAV (PCM16
 mono), implemented in ``mm_codecs.py``: encoded bytes in, pixels /
-samples out, features computed from actual content. Formats that need
-external libraries (JPEG/PNG via PIL, FLAC/OGG via soundfile) stay
-import-gated and raise NotImplementedError when the library is absent.
+samples out, features computed from actual content; image stages
+magic-dispatch on the container signature. Formats that need external
+libraries (JPEG via PIL, FLAC/OGG via soundfile) stay import-gated and
+raise NotImplementedError when the library is absent.
 ``decoder="fake"`` keeps the digest-seeded path for plumbing tests.
 
 Batch sizing note (100 TB): binary payloads dominate memory, so stages
@@ -25,7 +27,7 @@ import ray.data
 
 from ..util import default_concurrency
 from .mm_codecs import (
-    decode_bmp,
+    decode_image,
     decode_wav,
     frame_energies,
     image_grid_features,
@@ -45,14 +47,16 @@ IMAGE_SCHEMA = pa.schema([
 class ImageFeatureExtractor:
     """Actor-pool stage: encoded image bytes -> fixed-size feature vector.
 
-    ``decoder="bmp"`` (default) decodes real BMP bytes and computes
-    grid-mean-RGB + grayscale-histogram features from the pixels;
-    ``decoder="fake"`` derives digest-seeded pseudo-features (plumbing
-    tests); ``decoder="pil"`` import-gates the general path.
+    ``decoder="auto"`` (default) magic-dispatches real BMP or PNG bytes
+    and computes grid-mean-RGB + grayscale-histogram features from the
+    pixels; ``decoder="fake"`` derives digest-seeded pseudo-features
+    (plumbing tests); ``decoder="pil"`` import-gates the general path.
     """
 
-    def __init__(self, decoder: str = "bmp", feature_dim: int = 64):
+    def __init__(self, decoder: str = "auto", feature_dim: int = 64):
         self.feature_dim = feature_dim
+        if decoder == "bmp":  # legacy alias; decode_image handles BMP
+            decoder = "auto"
         self.decoder = decoder
         if decoder == "pil":
             try:
@@ -61,8 +65,8 @@ class ImageFeatureExtractor:
             except ImportError as e:
                 raise NotImplementedError(
                     "PIL not available in this environment; use "
-                    "decoder='bmp' (real, numpy) or 'fake'") from e
-        elif decoder not in ("bmp", "fake"):
+                    "decoder='auto' (real BMP/PNG, numpy) or 'fake'") from e
+        elif decoder not in ("auto", "fake"):
             raise ValueError(f"unknown decoder {decoder}")
 
     def _fake_features(self, blob: bytes) -> np.ndarray:
@@ -75,7 +79,7 @@ class ImageFeatureExtractor:
     def _features(self, blob: bytes) -> np.ndarray:
         if self.decoder == "fake":
             return self._fake_features(blob)
-        img = decode_bmp(blob)
+        img = decode_image(blob)
         f = image_grid_features(img).astype(np.float32)
         if len(f) < self.feature_dim:
             f = np.pad(f, (0, self.feature_dim - len(f)))
@@ -93,7 +97,7 @@ class ImageFeatureExtractor:
 
 
 class ImageResizer:
-    """Actor-pool stage: BMP bytes -> resized BMP bytes (bilinear)."""
+    """Actor-pool stage: BMP/PNG bytes -> resized BMP bytes (bilinear)."""
 
     def __init__(self, out_w: int = 64, out_h: int = 64):
         self.out_w, self.out_h = out_w, out_h
@@ -102,7 +106,7 @@ class ImageResizer:
         from .mm_codecs import encode_bmp
         out = []
         for b in batch.column("image").to_pylist():
-            img = decode_bmp(b)
+            img = decode_image(b)
             out.append(encode_bmp(resize_bilinear(img, self.out_w,
                                                   self.out_h)))
         return pa.table({
@@ -215,13 +219,14 @@ def audio_spectrograms(ds_or_path, *, batch_size: int = 64) -> ray.data.Dataset:
 
 
 def synth_image_table(n: int, seed: int = 3, real: bool = True) -> pa.Table:
-    """Deterministic image corpus. ``real=True``: actual BMP bytes
-    (gradient + noise patterns); ``real=False``: random blobs for
-    plumbing tests."""
-    from .mm_codecs import encode_bmp
+    """Deterministic image corpus. ``real=True``: actual encoded bytes
+    (gradient + noise patterns), alternating BMP and PNG containers with
+    the PNG filter type cycling 0..4 so every unfilter path runs
+    end-to-end; ``real=False``: random blobs for plumbing tests."""
+    from .mm_codecs import encode_bmp, encode_png
     rng = np.random.default_rng(seed)
-    blobs, ws, hs = [], [], []
-    for _ in range(n):
+    blobs, ws, hs, mimes = [], [], [], []
+    for i in range(n):
         if real:
             w = int(rng.integers(16, 64))
             h = int(rng.integers(16, 64))
@@ -231,19 +236,24 @@ def synth_image_table(n: int, seed: int = 3, real: bool = True) -> pa.Table:
                 (yy * 255 // max(h - 1, 1)),
                 rng.integers(0, 256, (h, w)),
             ], axis=2).astype(np.uint8)
-            blobs.append(encode_bmp(img))
+            if i % 2:
+                blobs.append(encode_png(img, filter_type=(i // 2) % 5))
+                mimes.append("image/png")
+            else:
+                blobs.append(encode_bmp(img))
+                mimes.append("image/bmp")
         else:
             w = int(rng.integers(16, 512))
             h = int(rng.integers(16, 512))
             blobs.append(rng.integers(0, 256, size=int(rng.integers(512, 4096)),
                                       dtype=np.uint8).tobytes())
+            mimes.append("image/fake")
         ws.append(w)
         hs.append(h)
     return pa.table({
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
         "image": pa.array(blobs, pa.binary()),
-        "mime": pa.array(["image/bmp" if real else "image/fake"] * n,
-                         pa.string()),
+        "mime": pa.array(mimes, pa.string()),
         "width": pa.array(np.asarray(ws, dtype=np.int32), pa.int32()),
         "height": pa.array(np.asarray(hs, dtype=np.int32), pa.int32()),
     })

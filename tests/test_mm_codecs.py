@@ -110,3 +110,57 @@ def test_audio_pipeline_real(ray_session, tmp_path_factory):
         assert 0.2 < r["energy"] < 0.8
     specs = audio_spectrograms(path).take_all()
     assert len(specs) == 10 and len(specs[0]["spec"]) == 32
+
+
+def test_png_roundtrip_all_filters_and_colors():
+    from lucene_ray.pipelines.mm_codecs import decode_png, encode_png
+    rng = np.random.default_rng(7)
+    shapes = [(5, 4), (5, 4, 3), (5, 4, 4), (1, 1, 3), (33, 17, 3)]
+    for shape in shapes:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            out = decode_png(encode_png(img, filter_type=ft))
+            np.testing.assert_array_equal(
+                out, img if img.ndim == 3 else img, err_msg=f"{shape} ft={ft}")
+
+
+def test_png_rejects_garbage_and_unsupported():
+    from lucene_ray.pipelines.mm_codecs import decode_png
+    with pytest.raises(ValueError):
+        decode_png(b"NOTAPNG" * 10)
+    # truncated signature-only blob
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_image_magic_dispatch():
+    from lucene_ray.pipelines.mm_codecs import decode_image, encode_png
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(encode_bmp(img)), img)
+    np.testing.assert_array_equal(decode_image(encode_png(img)), img)
+    # gray PNG -> replicated RGB; RGBA PNG -> alpha dropped
+    gray = rng.integers(0, 256, (6, 6), dtype=np.uint8)
+    g3 = decode_image(encode_png(gray))
+    assert g3.shape == (6, 6, 3)
+    np.testing.assert_array_equal(g3[:, :, 0], gray)
+    np.testing.assert_array_equal(g3[:, :, 1], gray)
+    rgba = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(encode_png(rgba)),
+                                  rgba[:, :, :3])
+    with pytest.raises(ValueError):
+        decode_image(b"\x00\x01unknown")
+
+
+def test_synth_table_mixes_formats_and_features_match():
+    # same pixels in either container -> identical features
+    from lucene_ray.pipelines.mm_codecs import decode_image
+    t = synth_image_table(12)
+    mimes = set(t.column("mime").to_pylist())
+    assert mimes == {"image/bmp", "image/png"}
+    fx = ImageFeatureExtractor()
+    for blob in t.column("image").to_pylist():
+        img = decode_image(blob)
+        assert img.dtype == np.uint8 and img.ndim == 3
+        f = fx._features(blob)
+        assert f.shape == (64,) and np.isfinite(f).all()
