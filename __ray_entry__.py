@@ -139,6 +139,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.write_table(synth_audio_table(32), p)
         return audio_spectrograms(p, batch_size=16)
 
+    def _monitor_matches(sf):
+        from lucene_ray.search import BooleanQuery, PhraseQuery, TermQuery
+        from lucene_ray.search.monitor import (Monitor, MonitorQuery,
+                                               match_stream)
+        m = Monitor()
+        m.register(
+            MonitorQuery("q_term", TermQuery("spark")),
+            MonitorQuery("q_and", BooleanQuery(
+                must=(TermQuery("data"), TermQuery("merge")))),
+            MonitorQuery("q_or", BooleanQuery(
+                should=(TermQuery("window"), TermQuery("spark")))),
+            MonitorQuery("q_phrase", PhraseQuery(("data", "merge"))),
+            MonitorQuery("q_not", BooleanQuery(
+                must=(TermQuery("data"),),
+                must_not=(TermQuery("window"),))),
+            MonitorQuery("q_msm2", BooleanQuery(
+                should=(TermQuery("data"), TermQuery("merge"),
+                        TermQuery("spark")), min_should_match=2)),
+        )
+        return match_stream(_docp(sf), m, batch_size=4096).sort(
+            ["query_id", "doc_id"])
+
     def _stable_pairs(ds):
         # an EMPTY Dataset loses its schema through to_pandas; pin the
         # (vec_a, vec_b) schema so 0-row results still hash-compare
@@ -276,6 +298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw_top10": lambda sf: __import__(
             "lucene_ray.pipelines.hnsw", fromlist=["knn_hnsw"]).knn_hnsw(
             _embp(sf), range(10), 10, ef=10**6),
+        # reverse search / percolator (monitor/Monitor.java,
+        # TermFilteredPresearcher.java): registered queries matched
+        # against the streaming documents table
+        "monitor_matches": _monitor_matches,
     }
 
 
@@ -606,4 +632,27 @@ sims AS (SELECT q.qid, e.vec_id,
 SELECT qid, vec_id,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
 FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "monitor_matches": f"""
+{_TOKS},
+m_term AS (SELECT DISTINCT doc_id, 'q_term' AS query_id FROM toks
+           WHERE term = 'spark'),
+m_and AS (SELECT doc_id, 'q_and' AS query_id FROM toks
+          WHERE term IN ('data', 'merge')
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+m_or AS (SELECT DISTINCT doc_id, 'q_or' AS query_id FROM toks
+         WHERE term IN ('window', 'spark')),
+m_phrase AS (SELECT doc_id, 'q_phrase' AS query_id FROM documents
+             WHERE ' ' || text || ' ' LIKE '% data merge %'),
+m_not AS (SELECT doc_id, 'q_not' AS query_id FROM toks
+          GROUP BY doc_id
+          HAVING count(CASE WHEN term = 'data' THEN 1 END) > 0
+             AND count(CASE WHEN term = 'window' THEN 1 END) = 0),
+m_msm2 AS (SELECT doc_id, 'q_msm2' AS query_id FROM toks
+           WHERE term IN ('data', 'merge', 'spark')
+           GROUP BY doc_id HAVING count(DISTINCT term) >= 2)
+SELECT doc_id, query_id FROM (
+  SELECT * FROM m_term UNION ALL SELECT * FROM m_and
+  UNION ALL SELECT * FROM m_or UNION ALL SELECT * FROM m_phrase
+  UNION ALL SELECT * FROM m_not UNION ALL SELECT * FROM m_msm2)
+ORDER BY query_id, doc_id""",
     }
