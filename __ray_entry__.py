@@ -226,6 +226,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, 1704412800_000000, 1705708800_000000, 10.0, 120.0),
         "topk_shortest_docs": lambda sf: topk_by_numeric_field(
             _docp(sf), "n_chars", 20, ascending=True),
+        # FunctionScoreQuery + expressions module (queries/function/
+        # FunctionScoreQuery.java, expressions/js/JavascriptCompiler.java):
+        # BM25 re-scored by a compiled arithmetic expression over a
+        # numeric doc value
+        "function_score": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["function_score_topk"])
+            .function_score_topk(_docp(sf), _OR_TERMS,
+                                 "_score * ln(1 + n_chars)", 20),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
         "highlight_top5": lambda sf: highlight_top(
@@ -632,6 +641,25 @@ sims AS (SELECT q.qid, e.vec_id,
 SELECT qid, vec_id,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
 FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "function_score": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id),
+fs AS (SELECT sc.doc_id, sc.score * ln(1 + doc.n_chars) AS fscore
+       FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY fscore DESC, doc_id) AS rank
+FROM fs ORDER BY fscore DESC, doc_id LIMIT 20""",
         "monitor_matches": f"""
 {_TOKS},
 m_term AS (SELECT DISTINCT doc_id, 'q_term' AS query_id FROM toks

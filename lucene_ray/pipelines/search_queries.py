@@ -376,6 +376,29 @@ def topk_by_numeric_field(doc_path: str, col: str, k: int = 20,
     return topk_by_field(IndexReader(out), col, k, ascending)
 
 
+def function_score_topk(doc_path: str, terms: list[str], expression: str,
+                        k: int = 20) -> pa.Table:
+    """FunctionScoreQuery + expressions-module role: inner OR query
+    scored by a compiled arithmetic expression over ``_score`` and
+    numeric doc-value columns; (doc_id, rank). Shares the dv-sidecar
+    index with ``topk_by_numeric_field``."""
+    from ..search import FunctionScoreQuery, or_query
+    from ..search.expressions import compile_expression
+
+    cols = sorted(compile_expression(expression).variables - {"_score"})
+    key = hashlib.md5(("num2:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"numidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    doc_value_cols=tuple(cols) or ("n_chars",))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    td = s.search(FunctionScoreQuery(or_query(terms), expression), k=k)
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+    })
+
+
 def blockjoin_order_keys(sf_dir: str, flag_term: str = "r") -> pa.Table:
     """ToParentBlockJoinQuery over orders (parents) + lineitems
     (children): orders having >= 1 lineitem whose returnflag matches.

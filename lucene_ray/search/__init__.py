@@ -6,6 +6,7 @@ from .query import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FunctionScoreQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
@@ -28,7 +29,7 @@ __all__ = [
     "idf", "avg_field_length", "norm_inverse_cache", "score_freqs", "score64",
     "Query", "TermQuery", "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
     "DisjunctionMaxQuery", "MatchAllDocsQuery", "PhraseQuery", "SpanNearQuery", "PrefixQuery", "WildcardQuery",
-    "RegexpQuery", "TermRangeQuery", "FuzzyQuery",
+    "RegexpQuery", "TermRangeQuery", "FuzzyQuery", "FunctionScoreQuery",
     "and_query", "or_query", "parse_simple", "query_terms",
     "IndexReader", "SegmentReader", "Searcher", "TopDocs", "merge_top_docs",
 ]

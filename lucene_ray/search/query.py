@@ -110,6 +110,22 @@ class BoostQuery(Query):
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """Matches like ``inner``; scores with an arithmetic expression over
+    numeric doc-value columns and the inner score (reserved variable
+    ``_score``) — the ``queries/function/FunctionScoreQuery.java`` +
+    ``expressions`` module roles (DoubleValuesSource over an
+    expression; ``TestFunctionScoreQuery.java``). The expression is
+    compiled once to a vectorized numpy closure
+    (``search/expressions.py``); scores are opaque to the pruning
+    machinery, so evaluation is complete (unpruned), as in the
+    reference where function scores defeat block-max bounds."""
+    inner: Query = None
+    expression: str = "_score"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """max over disjunct scores + tie_breaker * sum of the others
     (search/DisjunctionMaxQuery.java)."""

@@ -31,6 +31,7 @@ from .query import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FunctionScoreQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     NumericRangeQuery,
@@ -193,6 +194,9 @@ class Searcher:
                 return TermQuery(q.terms[0], q.boost * boost)
             return SpanNearQuery(q.terms, q.slop, q.in_order,
                                  q.boost * boost)
+        if isinstance(q, FunctionScoreQuery):
+            return FunctionScoreQuery(self.rewrite(q.inner), q.expression,
+                                      q.boost * boost)
         if isinstance(q, FuzzyQuery):
             terms = self._expand(q)
             return BooleanQuery(should=tuple(
@@ -240,6 +244,8 @@ class Searcher:
         segment the local k-th score is published, so concurrent workers
         prune with each other's progress."""
         q = self.rewrite(q)
+        if isinstance(q, FunctionScoreQuery):
+            return self._function_score_topk(q, k)
         prep = self._prepare(q)
         self._prefetch(sorted(set(query_terms(q))))
         parts = []
@@ -317,6 +323,43 @@ class Searcher:
             order = np.argsort(docs, kind="stable")
             docs, scores = docs[order], scores[order]
         return docs, scores
+
+    def doc_values(self, docs: np.ndarray, col: str) -> np.ndarray:
+        """float64 values of a stored/doc-value column for global
+        docIDs — segment-local pushdown reads (doc_id + col only), the
+        DoubleValuesSource role."""
+        docs = np.asarray(docs, dtype=np.int64)
+        vals = np.full(len(docs), np.nan, dtype=np.float64)
+        missing = np.ones(len(docs), dtype=bool)
+        for sr in self.reader.segments():
+            if not missing.any():
+                break
+            idx = np.nonzero(missing)[0]
+            got = sr.stored(docs[idx], col)
+            for j, v in zip(idx, got):
+                if v is not None:
+                    vals[j] = float(v)
+                    missing[j] = False
+        return vals
+
+    def _function_score_topk(self, q: FunctionScoreQuery, k: int) -> TopDocs:
+        """FunctionScoreQuery evaluation: complete inner (docs, scores),
+        doc-value fetch for the expression's columns, one vectorized
+        expression eval, top-k (ties -> lower docID). Unpruned by
+        design — expression scores are opaque to block-max bounds."""
+        from .expressions import compile_expression
+
+        expr = compile_expression(q.expression)
+        docs, scores = self.eval_complete(q.inner)
+        if len(docs) == 0:
+            return TopDocs(np.empty(0, np.int64), np.empty(0, np.float64))
+        variables = {"_score": scores}
+        for col in sorted(expr.variables - {"_score"}):
+            variables[col] = self.doc_values(docs, col)
+        new = np.broadcast_to(
+            np.asarray(expr(variables) * q.boost, np.float64),
+            docs.shape).copy()  # constant expressions yield 0-d
+        return _top_k(docs, new, k)
 
     def count(self, q: Query) -> int:
         q = self.rewrite(q)
@@ -846,6 +889,8 @@ class Searcher:
         return best
 
     def _match_docs(self, sr: SegmentReader, q: Query) -> np.ndarray:
+        if isinstance(q, FunctionScoreQuery):
+            return self._match_docs(sr, q.inner)
         if isinstance(q, (TermQuery, BooleanQuery)):
             prep = self._prepare(q)
             if prep[0] == "nbool":
