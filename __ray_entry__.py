@@ -224,6 +224,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PointRangeQuery): 2-D box over events (ts, value)
         "point_box_match": lambda sf: point_box_match(
             sf, 1704412800_000000, 1705708800_000000, 10.0, 120.0),
+        # LatLonPoint analog (document/LatLonPoint.java newBoxQuery /
+        # newDistanceQuery over the BKD points index; coords derived
+        # deterministically from c_custkey, mirrored in the oracle)
+        "geo_box_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["geo_box_match"])
+            .geo_box_match(sf, -10.0, 30.0, 0.0, 60.0),
+        "geo_distance_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["geo_distance_match"])
+            .geo_distance_match(sf, 10.0, 20.0, 2_000_000.0),
         "topk_shortest_docs": lambda sf: topk_by_numeric_field(
             _docp(sf), "n_chars", 20, ascending=True),
         # FunctionScoreQuery + expressions module (queries/function/
@@ -641,6 +652,26 @@ sims AS (SELECT q.qid, e.vec_id,
 SELECT qid, vec_id,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
 FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "geo_box_match": """
+WITH geo AS (SELECT c_custkey,
+                    ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+                    ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+             FROM customer)
+SELECT c_custkey FROM geo
+WHERE lat BETWEEN -10.0 AND 30.0 AND lon BETWEEN 0.0 AND 60.0
+ORDER BY c_custkey""",
+        "geo_distance_match": """
+WITH geo AS (SELECT c_custkey,
+                    ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+                    ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+             FROM customer),
+d AS (SELECT c_custkey,
+             2 * 6371008.7714 * asin(sqrt(
+               pow(sin(radians(lat - 10.0) / 2), 2) +
+               cos(radians(10.0)) * cos(radians(lat)) *
+               pow(sin(radians(lon - 20.0) / 2), 2))) AS dist
+      FROM geo)
+SELECT c_custkey FROM d WHERE dist <= 2000000.0 ORDER BY c_custkey""",
         "function_score": f"""
 {_TOKS},
 {_DL},

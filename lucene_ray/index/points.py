@@ -119,10 +119,14 @@ def build_point_index(source, out_dir: str, *, dims: tuple,
     return meta
 
 
-def point_box_docs(out_dir: str, box: list[tuple]) -> np.ndarray:
+def point_box_docs(out_dir: str, box: list[tuple],
+                   return_coords: bool = False):
     """All ids inside the axis-aligned box (inclusive bounds) —
     PointRangeQuery. ``box``: one (lo, hi) per dim; None = unbounded.
-    The leaf-cell predicate is pushed into the Parquet scan."""
+    The leaf-cell predicate is pushed into the Parquet scan.
+    ``return_coords=True`` additionally returns the (n, ndim) float64
+    coordinates of the surviving points (for exact refinement stages,
+    e.g. the geo distance query)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     with open(os.path.join(out_dir, "meta.json")) as f:
@@ -142,14 +146,21 @@ def point_box_docs(out_dir: str, box: list[tuple]) -> np.ndarray:
     cols = ["ids"] + [f"coord_{j}" for j in range(nd)]
     t = dset.to_table(columns=cols, filter=filt)
     if len(t) == 0:
-        return np.empty(0, np.int64)
+        empty = np.empty(0, np.int64)
+        return (empty, np.empty((0, nd))) if return_coords else empty
     # vectorized across ALL surviving leaves: flatten, mask, gather
     flat_ids = t.column("ids").combine_chunks().flatten().to_numpy()
     mask = np.ones(len(flat_ids), dtype=bool)
+    coords = []
     for j, (lo, hi) in enumerate(box):
         cj = t.column(f"coord_{j}").combine_chunks().flatten().to_numpy()
+        coords.append(cj)
         if lo is not None:
             mask &= cj >= float(lo)
         if hi is not None:
             mask &= cj <= float(hi)
-    return np.sort(flat_ids[mask])
+    order = np.argsort(flat_ids[mask], kind="stable")
+    ids = flat_ids[mask][order]
+    if return_coords:
+        return ids, np.stack([c[mask][order] for c in coords], axis=1)
+    return ids

@@ -266,6 +266,51 @@ def point_box_match(sf_dir: str, ts_lo_us: int, ts_hi_us: int,
     return pa.table({"event_id": pa.array(ids, pa.int64())})
 
 
+def _geo_index(sf_dir: str) -> str:
+    """2-D (lat, lon) BKD point index over customers with DERIVED
+    deterministic coordinates (the sf tables carry no geo column; the
+    integer-arithmetic derivation is mirrored exactly in the SQL
+    oracle): lat = ((key*7919) % 18000)/100 - 90,
+    lon = ((key*104729) % 36000)/100 - 180."""
+    import ray.data
+
+    from ..index.points import build_point_index
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = hashlib.md5(("geo:" + src).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"geoidx-{key}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        def add_latlon(batch: pa.Table) -> pa.Table:
+            k = batch.column("c_custkey").to_numpy()
+            return pa.table({
+                "c_custkey": batch.column("c_custkey"),
+                "lat": pa.array((k * 7919 % 18000) / 100.0 - 90.0),
+                "lon": pa.array((k * 104729 % 36000) / 100.0 - 180.0),
+            })
+        ds = ray.data.read_parquet(src, columns=["c_custkey"]) \
+            .map_batches(add_latlon, batch_format="pyarrow")
+        build_point_index(ds, out, dims=("lat", "lon"),
+                          id_col="c_custkey", batch_size=65536)
+    return out
+
+
+def geo_box_match(sf_dir: str, min_lat: float, max_lat: float,
+                  min_lon: float, max_lon: float) -> pa.Table:
+    """LatLonPoint.newBoxQuery over the derived customer coords."""
+    from ..search.geo import geo_box_docs
+    ids = geo_box_docs(_geo_index(sf_dir), min_lat, max_lat,
+                       min_lon, max_lon)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+
+
+def geo_distance_match(sf_dir: str, lat: float, lon: float,
+                       radius_m: float) -> pa.Table:
+    """LatLonPoint.newDistanceQuery: BKD bbox + exact haversine."""
+    from ..search.geo import geo_distance_docs
+    ids = geo_distance_docs(_geo_index(sf_dir), lat, lon, radius_m)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+
+
 def parsed_query_docs(doc_path: str, expr: str) -> pa.Table:
     """Classic-parser round trip: parse ``expr`` (queryparser/classic
     syntax) against the cached documents index and return the matching
