@@ -166,6 +166,109 @@ def german_stem(word: str) -> str:
     return "".join(out)
 
 
+# --- German variant "german2" (snowballstem.org german2; reference
+# ships it as tartarus/snowball/ext/German2Stemmer.java + golden
+# analysis/snowball/german2.zip). Same suffix steps as German; the
+# prelude additionally folds the digraph umlaut spellings ae/oe/ue to
+# a-umlaut/o-umlaut/u-umlaut ("qu" protects a following ue, and a
+# u marked as consonant-U between vowels is never digraph-folded).
+
+def german2_stem(word: str) -> str:
+    if not word:
+        return word
+    # pass 1: mark u/y between vowels (on the ORIGINAL text)
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    # pass 2: left-to-right longest-match digraph/sharp-s fold
+    s = "".join(chars)
+    out, i, n = [], 0, len(s)
+    while i < n:
+        pair = s[i:i + 2]
+        if s[i] == "ß":
+            out.append("ss")
+            i += 1
+        elif pair == "qu":
+            out.append("qu")
+            i += 2
+        elif pair == "ae":
+            out.append("ä")
+            i += 2
+        elif pair == "oe":
+            out.append("ö")
+            i += 2
+        elif pair == "ue":
+            out.append("ü")
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    w = "".join(out)
+    r1, r2 = _r_regions(w, _DE_VOWELS)
+    r1 = max(r1, 3)
+
+    lw = w.lower()
+    # step 1 (a_2: ern/em/er group a; en/es/e group b + nis-s; s group c)
+    for suf, grp in (("ern", "a"), ("em", "a"), ("er", "a"),
+                     ("en", "b"), ("es", "b"), ("e", "b"), ("s", "c")):
+        if lw.endswith(suf):
+            cut = len(w) - len(suf)
+            if grp == "c" and (cut == 0 or lw[cut - 1] not in _DE_S_END):
+                break
+            if cut >= r1:
+                w, lw = w[:cut], lw[:cut]
+                if grp == "b" and lw.endswith("niss"):
+                    w, lw = w[:-1], lw[:-1]
+            break
+
+    # step 2 (a_3: est/en/er; st with st-ending and >= 3 chars before)
+    for suf, grp in (("est", "a"), ("en", "a"), ("er", "a"), ("st", "b")):
+        if lw.endswith(suf):
+            cut = len(w) - len(suf)
+            if grp == "b" and (cut < 4 or lw[cut - 1] not in _DE_ST_END):
+                break
+            if cut >= r1:
+                w, lw = w[:cut], lw[:cut]
+            break
+
+    # step 3 (a_5 d-suffixes)
+    for suf in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if not lw.endswith(suf):
+            continue
+        cut = len(w) - len(suf)
+        if suf in ("end", "ung"):
+            if cut >= r2:
+                w, lw = w[:cut], lw[:cut]
+                if lw.endswith("ig") and not lw.endswith("eig") \
+                        and len(lw) - 2 >= r2:
+                    w, lw = w[:-2], lw[:-2]
+        elif suf in ("ig", "ik", "isch"):
+            if cut >= r2 and (cut == 0 or lw[cut - 1] != "e"):
+                w, lw = w[:cut], lw[:cut]
+        elif suf in ("lich", "heit"):
+            if cut >= r2:
+                w, lw = w[:cut], lw[:cut]
+                for pre in ("er", "en"):
+                    if lw.endswith(pre) and len(lw) - 2 >= r1:
+                        w, lw = w[:-2], lw[:-2]
+                        break
+        else:  # keit
+            if cut >= r2:
+                w, lw = w[:cut], lw[:cut]
+                for pre in ("lich", "ig"):
+                    if lw.endswith(pre) and len(lw) - len(pre) >= r2:
+                        w = w[:len(w) - len(pre)]
+                        lw = w.lower()
+                        break
+        break
+
+    # postlude: unmark U/Y, strip umlauts
+    return (w.replace("U", "u").replace("Y", "y")
+            .replace("ä", "a").replace("ö", "o").replace("ü", "u"))
+
+
 class SnowballStemFilter:
     """Token filter applying a snowball stemmer (SnowballFilter role)."""
 
@@ -2046,4 +2149,422 @@ def nepali_stem(word: str) -> str:
         if best3 is None:
             break
         w = w[:len(w) - len(best3)]
+    return w
+
+
+# --- Lovins (English, 1968) ------------------------------------------------
+# J.B. Lovins, "Development of a Stemming Algorithm", Mechanical
+# Translation and Computational Linguistics 11 (1968) 22-31; the
+# snowball rendering is shipped by the reference as
+# ``tartarus/snowball/ext/LovinsStemmer.java`` with golden data
+# ``analysis/snowball/lovins.zip``. One pass: remove the longest of the
+# 294 Table-A endings whose context condition (A..CC) holds on the
+# remaining stem, then undouble a final bb/dd/gg/ll/mm/nn/pp/rr/ss/tt,
+# then apply the longest-match respell (Table C) with its letter
+# guards (a failed guard respells nothing, per the snowball rendering).
+
+# (ending, condition) — Lovins 1968 Table A endings + conditions
+_LOVINS_ENDINGS = (
+    ("s'", 'A'),
+    ('a', 'A'),
+    ('ia', 'A'),
+    ('ata', 'A'),
+    ('ic', 'A'),
+    ('aic', 'A'),
+    ('allic', 'BB'),
+    ('aric', 'A'),
+    ('atic', 'B'),
+    ('itic', 'H'),
+    ('antic', 'C'),
+    ('istic', 'A'),
+    ('alistic', 'B'),
+    ('aristic', 'A'),
+    ('ivistic', 'A'),
+    ('ed', 'E'),
+    ('anced', 'B'),
+    ('enced', 'A'),
+    ('ished', 'A'),
+    ('ied', 'A'),
+    ('ened', 'E'),
+    ('ioned', 'A'),
+    ('ated', 'I'),
+    ('ented', 'C'),
+    ('ized', 'F'),
+    ('arized', 'A'),
+    ('oid', 'A'),
+    ('aroid', 'A'),
+    ('hood', 'A'),
+    ('ehood', 'A'),
+    ('ihood', 'A'),
+    ('elihood', 'E'),
+    ('ward', 'A'),
+    ('e', 'A'),
+    ('ae', 'A'),
+    ('ance', 'B'),
+    ('icance', 'A'),
+    ('ence', 'A'),
+    ('ide', 'L'),
+    ('icide', 'A'),
+    ('otide', 'A'),
+    ('age', 'B'),
+    ('able', 'A'),
+    ('atable', 'A'),
+    ('izable', 'E'),
+    ('arizable', 'A'),
+    ('ible', 'A'),
+    ('encible', 'A'),
+    ('ene', 'E'),
+    ('ine', 'M'),
+    ('idine', 'I'),
+    ('one', 'R'),
+    ('ature', 'E'),
+    ('eature', 'Z'),
+    ('ese', 'A'),
+    ('wise', 'A'),
+    ('ate', 'A'),
+    ('entiate', 'A'),
+    ('inate', 'A'),
+    ('ionate', 'D'),
+    ('ite', 'AA'),
+    ('ive', 'A'),
+    ('ative', 'A'),
+    ('ize', 'F'),
+    ('alize', 'A'),
+    ('icalize', 'A'),
+    ('ialize', 'A'),
+    ('entialize', 'A'),
+    ('ionalize', 'A'),
+    ('arize', 'A'),
+    ('ing', 'N'),
+    ('ancing', 'B'),
+    ('encing', 'A'),
+    ('aging', 'B'),
+    ('ening', 'E'),
+    ('ioning', 'A'),
+    ('ating', 'I'),
+    ('enting', 'C'),
+    ('ying', 'B'),
+    ('izing', 'F'),
+    ('arizing', 'A'),
+    ('ish', 'C'),
+    ('yish', 'A'),
+    ('i', 'A'),
+    ('al', 'BB'),
+    ('ical', 'A'),
+    ('aical', 'A'),
+    ('istical', 'A'),
+    ('oidal', 'A'),
+    ('eal', 'Y'),
+    ('ial', 'A'),
+    ('ancial', 'A'),
+    ('arial', 'A'),
+    ('ential', 'A'),
+    ('ional', 'A'),
+    ('ational', 'B'),
+    ('izational', 'A'),
+    ('ental', 'A'),
+    ('ful', 'A'),
+    ('eful', 'A'),
+    ('iful', 'A'),
+    ('yl', 'R'),
+    ('ism', 'B'),
+    ('icism', 'A'),
+    ('oidism', 'A'),
+    ('alism', 'B'),
+    ('icalism', 'A'),
+    ('ionalism', 'A'),
+    ('inism', 'J'),
+    ('ativism', 'A'),
+    ('um', 'U'),
+    ('ium', 'A'),
+    ('ian', 'A'),
+    ('ician', 'A'),
+    ('en', 'F'),
+    ('ogen', 'A'),
+    ('on', 'S'),
+    ('ion', 'Q'),
+    ('ation', 'B'),
+    ('ication', 'G'),
+    ('entiation', 'A'),
+    ('ination', 'A'),
+    ('isation', 'A'),
+    ('arisation', 'A'),
+    ('entation', 'A'),
+    ('ization', 'F'),
+    ('arization', 'A'),
+    ('action', 'G'),
+    ('o', 'A'),
+    ('ar', 'X'),
+    ('ear', 'Y'),
+    ('ier', 'A'),
+    ('ariser', 'A'),
+    ('izer', 'F'),
+    ('arizer', 'A'),
+    ('or', 'T'),
+    ('ator', 'A'),
+    ('s', 'W'),
+    ("'s", 'A'),
+    ('as', 'B'),
+    ('ics', 'A'),
+    ('istics', 'A'),
+    ('es', 'E'),
+    ('ances', 'B'),
+    ('ences', 'A'),
+    ('ides', 'L'),
+    ('oides', 'A'),
+    ('ages', 'B'),
+    ('ies', 'P'),
+    ('acies', 'A'),
+    ('ancies', 'A'),
+    ('encies', 'A'),
+    ('aries', 'A'),
+    ('ities', 'A'),
+    ('alities', 'A'),
+    ('ivities', 'A'),
+    ('ines', 'M'),
+    ('nesses', 'A'),
+    ('ates', 'A'),
+    ('atives', 'A'),
+    ('ings', 'N'),
+    ('is', 'A'),
+    ('als', 'BB'),
+    ('ials', 'A'),
+    ('entials', 'A'),
+    ('ionals', 'A'),
+    ('isms', 'B'),
+    ('ians', 'A'),
+    ('icians', 'A'),
+    ('ions', 'B'),
+    ('ations', 'B'),
+    ('arisations', 'A'),
+    ('entations', 'A'),
+    ('izations', 'A'),
+    ('arizations', 'A'),
+    ('ars', 'O'),
+    ('iers', 'A'),
+    ('izers', 'F'),
+    ('ators', 'A'),
+    ('less', 'A'),
+    ('eless', 'A'),
+    ('ness', 'A'),
+    ('eness', 'E'),
+    ('ableness', 'A'),
+    ('eableness', 'E'),
+    ('ibleness', 'A'),
+    ('ateness', 'A'),
+    ('iteness', 'A'),
+    ('iveness', 'A'),
+    ('ativeness', 'A'),
+    ('ingness', 'A'),
+    ('ishness', 'A'),
+    ('iness', 'A'),
+    ('ariness', 'E'),
+    ('alness', 'A'),
+    ('icalness', 'A'),
+    ('antialness', 'A'),
+    ('entialness', 'A'),
+    ('ionalness', 'A'),
+    ('fulness', 'A'),
+    ('lessness', 'A'),
+    ('ousness', 'A'),
+    ('eousness', 'A'),
+    ('iousness', 'A'),
+    ('itousness', 'A'),
+    ('entness', 'A'),
+    ('ants', 'B'),
+    ('ists', 'A'),
+    ('icists', 'A'),
+    ('us', 'V'),
+    ('ous', 'A'),
+    ('eous', 'A'),
+    ('aceous', 'A'),
+    ('antaneous', 'A'),
+    ('ious', 'A'),
+    ('acious', 'B'),
+    ('itous', 'A'),
+    ('ant', 'B'),
+    ('icant', 'A'),
+    ('ent', 'C'),
+    ('ement', 'A'),
+    ('izement', 'A'),
+    ('ist', 'A'),
+    ('icist', 'A'),
+    ('alist', 'A'),
+    ('icalist', 'A'),
+    ('ialist', 'A'),
+    ('ionist', 'A'),
+    ('entist', 'A'),
+    ('y', 'B'),
+    ('acy', 'A'),
+    ('ancy', 'B'),
+    ('ency', 'A'),
+    ('ly', 'B'),
+    ('ealy', 'Y'),
+    ('ably', 'A'),
+    ('ibly', 'A'),
+    ('edly', 'E'),
+    ('iedly', 'A'),
+    ('ely', 'E'),
+    ('ately', 'A'),
+    ('ively', 'A'),
+    ('atively', 'A'),
+    ('ingly', 'B'),
+    ('atingly', 'A'),
+    ('ily', 'A'),
+    ('lily', 'A'),
+    ('arily', 'A'),
+    ('ally', 'B'),
+    ('ically', 'A'),
+    ('aically', 'A'),
+    ('allically', 'C'),
+    ('istically', 'A'),
+    ('alistically', 'B'),
+    ('oidally', 'A'),
+    ('ially', 'A'),
+    ('entially', 'A'),
+    ('ionally', 'A'),
+    ('ationally', 'B'),
+    ('izationally', 'B'),
+    ('entally', 'A'),
+    ('fully', 'A'),
+    ('efully', 'A'),
+    ('ifully', 'A'),
+    ('enly', 'E'),
+    ('arly', 'K'),
+    ('early', 'Y'),
+    ('lessly', 'A'),
+    ('ously', 'A'),
+    ('eously', 'A'),
+    ('iously', 'A'),
+    ('ently', 'A'),
+    ('ary', 'F'),
+    ('ery', 'E'),
+    ('icianry', 'A'),
+    ('atory', 'A'),
+    ('ity', 'A'),
+    ('acity', 'A'),
+    ('icity', 'A'),
+    ('eity', 'A'),
+    ('ality', 'A'),
+    ('icality', 'A'),
+    ('iality', 'A'),
+    ('antiality', 'A'),
+    ('entiality', 'A'),
+    ('ionality', 'A'),
+    ('elity', 'A'),
+    ('ability', 'A'),
+    ('izability', 'A'),
+    ('arizability', 'A'),
+    ('ibility', 'A'),
+    ('inity', 'CC'),
+    ('arity', 'B'),
+    ('ivity', 'A'),
+)
+
+_LOVINS_COND = {
+    "A": lambda s: len(s) >= 2,
+    "B": lambda s: len(s) >= 3,
+    "C": lambda s: len(s) >= 4,
+    "D": lambda s: len(s) >= 5,
+    "E": lambda s: len(s) >= 2 and s[-1] != "e",
+    "F": lambda s: len(s) >= 3 and s[-1] != "e",
+    "G": lambda s: len(s) >= 3 and s[-1] == "f",
+    "H": lambda s: len(s) >= 2 and (s.endswith("t") or s.endswith("ll")),
+    "I": lambda s: len(s) >= 2 and s[-1] not in "oe",
+    "J": lambda s: len(s) >= 2 and s[-1] not in "ae",
+    "K": lambda s: len(s) >= 3 and (s[-1] in "li"
+                                    or (s[-1] == "e" and s[-3] == "u")),
+    "L": lambda s: len(s) >= 2 and s[-1] not in "ux"
+        and (s[-1] != "s" or (len(s) >= 2 and s[-2] == "o")),
+    "M": lambda s: len(s) >= 2 and s[-1] not in "acem",
+    "N": lambda s: len(s) >= 3 and (s[-3] != "s" or len(s) >= 4),
+    "O": lambda s: len(s) >= 2 and s[-1] in "li",
+    "P": lambda s: len(s) >= 2 and s[-1] != "c",
+    "Q": lambda s: len(s) >= 3 and s[-1] not in "ln",
+    "R": lambda s: len(s) >= 2 and s[-1] in "nr",
+    "S": lambda s: len(s) >= 2 and (s.endswith("dr")
+        or (s[-1] == "t" and not s.endswith("tt"))),
+    "T": lambda s: len(s) >= 2 and (s[-1] == "s"
+        or (s[-1] == "t" and not s.endswith("ot"))),
+    "U": lambda s: len(s) >= 2 and s[-1] in "lmnr",
+    "V": lambda s: len(s) >= 2 and s[-1] == "c",
+    "W": lambda s: len(s) >= 2 and s[-1] not in "su",
+    "X": lambda s: len(s) >= 2 and (s[-1] in "li"
+        or (s[-1] == "e" and len(s) >= 3 and s[-3] == "u")),
+    "Y": lambda s: len(s) >= 2 and s.endswith("in"),
+    "Z": lambda s: len(s) >= 2 and s[-1] != "f",
+    "AA": lambda s: len(s) >= 2 and any(s.endswith(e) for e in (
+        "d", "f", "ph", "th", "l", "er", "or", "es", "t")),
+    "BB": lambda s: len(s) >= 3 and not s.endswith("met")
+        and not s.endswith("ryst"),
+    "CC": lambda s: len(s) >= 2 and s[-1] == "l",
+}
+
+_LOVINS_BY_LEN = sorted(_LOVINS_ENDINGS, key=lambda p: -len(p[0]))
+
+_LOVINS_UNDOUBLE = ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr",
+                    "ss", "tt")
+
+# (suffix, replacement, guard) — guard(stem_before_suffix) must be True
+# to respell; a failed guard leaves the word untouched (no fallback)
+_LOVINS_RESPELL = (
+    ("iev", "ief", None),
+    ("uct", "uc", None),
+    ("umpt", "um", None),
+    ("rpt", "rb", None),
+    ("urs", "ur", None),
+    ("istr", "ister", None),
+    ("metr", "meter", None),
+    ("olv", "olut", None),
+    ("ul", "l", lambda p: not p or p[-1] not in "aio"),
+    ("bex", "bic", None),
+    ("dex", "dic", None),
+    ("pex", "pic", None),
+    ("tex", "tic", None),
+    ("ax", "ac", None),
+    ("ex", "ec", None),
+    ("ix", "ic", None),
+    ("lux", "luc", None),
+    ("uad", "uas", None),
+    ("vad", "vas", None),
+    ("cid", "cis", None),
+    ("lid", "lis", None),
+    ("erid", "eris", None),
+    ("pand", "pans", None),
+    ("end", "ens", lambda p: not p or p[-1] != "s"),
+    ("ond", "ons", None),
+    ("lud", "lus", None),
+    ("rud", "rus", None),
+    ("her", "hes", lambda p: not p or p[-1] not in "pt"),
+    ("mit", "mis", None),
+    ("ent", "ens", lambda p: not p or p[-1] != "m"),
+    ("ert", "ers", None),
+    ("et", "es", lambda p: not p or p[-1] != "n"),
+    ("yt", "ys", None),
+    ("yz", "ys", None),
+)
+_LOVINS_RESPELL_BY_LEN = sorted(_LOVINS_RESPELL, key=lambda r: -len(r[0]))
+
+
+def lovins_stem(word: str) -> str:
+    w = word
+    # step 1: longest ending whose condition holds on the stem;
+    # condition failure falls through to shorter matching endings
+    # (the among parent-chain backtrack)
+    for end, cond in _LOVINS_BY_LEN:
+        if w.endswith(end):
+            stem = w[:len(w) - len(end)]
+            if _LOVINS_COND[cond](stem):
+                w = stem
+                break
+    # step 2: undouble a final double consonant
+    if w[-2:] in _LOVINS_UNDOUBLE:
+        w = w[:-1]
+    # step 3: respell (longest suffix match; guard failure = no-op)
+    for suf, rep, guard in _LOVINS_RESPELL_BY_LEN:
+        if w.endswith(suf):
+            pre = w[:len(w) - len(suf)]
+            if guard is None or guard(pre):
+                w = pre + rep
+            break
     return w

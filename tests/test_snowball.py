@@ -14,7 +14,9 @@ from lucene_ray.analysis.snowball import (
     dutch_stem,
     english_stem,
     finnish_stem,
+    german2_stem,
     german_stem,
+    lovins_stem,
     hungarian_stem,
     italian_stem,
     norwegian_stem,
@@ -32,6 +34,8 @@ _DATA = os.path.join(os.path.dirname(__file__), "data", "snowball")
 
 _STEMMERS = {
     "german": german_stem,
+    "german2": german2_stem,
+    "lovins": lovins_stem,
     "swedish": swedish_stem,
     "norwegian": norwegian_stem,
     "danish": danish_stem,
