@@ -88,6 +88,11 @@ class _HnswGraph:
                      for _ in range(self.max_level + 1)]
         self.entry = -1
         self.entry_level = -1
+        # epoch-stamped visited marks: one persistent array instead of a
+        # fresh O(n) zeros per _search_layer call (which made the build
+        # O(n^2) in allocation/zeroing alone)
+        self._vis = np.zeros(n, dtype=np.int64)
+        self._vis_epoch = 0
 
     # --- primitives -----------------------------------------------------
     def _sims(self, q: np.ndarray, nodes: np.ndarray) -> np.ndarray:
@@ -97,13 +102,15 @@ class _HnswGraph:
                       level: int) -> list[tuple[float, int]]:
         """ef-bounded beam at one layer -> [(sim, node)] best-first
         (HnswGraphSearcher.searchLevel)."""
-        visited = np.zeros(len(self.mat), dtype=bool)
+        self._vis_epoch += 1
+        epoch = self._vis_epoch
+        visited = self._vis
         eps = list(dict.fromkeys(eps))
         sims = self._sims(q, np.array(eps, dtype=np.int64))
         cand: list[tuple[float, int]] = []   # max-heap via -sim
         best: list[tuple[float, int]] = []   # min-heap of sims (size<=ef)
         for s, e in zip(sims, eps):
-            visited[e] = True
+            visited[e] = epoch
             heapq.heappush(cand, (-s, e))
             heapq.heappush(best, (s, e))
         while len(best) > ef:
@@ -116,10 +123,10 @@ class _HnswGraph:
             if best and cs < best[0][0] and len(best) >= ef:
                 break
             ns = nbr[c, :cnt[c]]
-            ns = ns[~visited[ns]]
+            ns = ns[visited[ns] != epoch]
             if len(ns) == 0:
                 continue
-            visited[ns] = True
+            visited[ns] = epoch
             nsims = self._sims(q, ns)
             lb = best[0][0] if len(best) >= ef else -np.inf
             if len(best) >= ef:
@@ -150,15 +157,20 @@ class _HnswGraph:
                           count=len(cands))
         sims_q = np.fromiter((s for s, _ in cands), dtype=np.float64,
                              count=len(cands))
-        # one cross-similarity matmul instead of a gather per candidate
+        # one cross-similarity matmul instead of a gather per candidate;
+        # then an incremental dominated mask: selecting j rules out every
+        # candidate closer to j than to the query (one vectorized compare
+        # per SELECTION instead of one .any() per candidate)
         cross = self.mat[ids] @ self.mat[ids].T
+        dominated = np.zeros(len(ids), dtype=bool)
         sel_idx: list[int] = []
         for j in range(len(ids)):
             if len(sel_idx) >= max_conn:
                 break
-            if sel_idx and (cross[j, sel_idx] > sims_q[j]).any():
+            if dominated[j]:
                 continue
             sel_idx.append(j)
+            dominated |= cross[:, j] > sims_q
         return [int(ids[j]) for j in sel_idx]
 
     def _link(self, a: int, b: int, level: int) -> None:
