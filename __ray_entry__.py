@@ -248,6 +248,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "_score * ln(1 + n_chars)", 20),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
+        # grouping module (FirstPassGroupingCollector + TopGroups):
+        # top-4 lang groups by best BM25 hit, top-3 hits per group
+        "grouped_search": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["grouped_topk"])
+            .grouped_topk(_docp(sf), _OR_TERMS, "lang", 4, 3),
+        # TermInSetQuery (constant-score set filter, no clause cap;
+        # one term is absent from the corpus on purpose)
+        "term_in_set_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["term_in_set_match"])
+            .term_in_set_match(_docp(sf),
+                               [_TERM_A, _TERM_B, "window", "zzzzabsent"]),
         "highlight_top5": lambda sf: highlight_top(
             _docp(sf), "data", 5),  # rows-only (snippet strings)
         # PII/pattern screening (vectorized Arrow regex kernels)
@@ -590,6 +603,39 @@ GROUP BY d.lang ORDER BY count DESC, d.lang""",
         "blockjoin_orders": (
             "SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem "
             "WHERE lower(l_returnflag) = 'r' ORDER BY 1"),
+        "grouped_search": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id),
+g AS (SELECT d.lang, sc.doc_id, sc.score
+      FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id),
+gb AS (SELECT lang, max(score) AS best FROM g GROUP BY lang),
+tg AS (SELECT lang,
+              row_number() OVER (ORDER BY best DESC, lang) AS group_rank
+       FROM gb ORDER BY best DESC, lang LIMIT 4),
+ranked AS (
+  SELECT g.lang, tg.group_rank, g.doc_id,
+         row_number() OVER (PARTITION BY g.lang
+                            ORDER BY g.score DESC, g.doc_id) AS doc_rank
+  FROM g JOIN tg ON g.lang = tg.lang)
+SELECT lang, group_rank, doc_id, doc_rank FROM ranked
+WHERE doc_rank <= 3 ORDER BY group_rank, doc_rank""",
+        "term_in_set_match": f"""
+{_TOKS}
+SELECT DISTINCT doc_id FROM toks
+WHERE term IN ('{_TERM_A}', '{_TERM_B}', 'window', 'zzzzabsent')
+ORDER BY doc_id""",
         "topk_shortest_docs": (
             "SELECT n_chars, doc_id FROM documents "
             "ORDER BY n_chars, doc_id LIMIT 20"),

@@ -489,3 +489,36 @@ def blockjoin_order_keys(sf_dir: str, flag_term: str = "r") -> pa.Table:
         if len(inb):
             keys.extend(sr.stored(inb, "o_orderkey"))
     return pa.table({"o_orderkey": pa.array(sorted(keys), pa.int64())})
+
+
+def _facet_index(doc_path: str) -> str:
+    """The stored-cols index shared by facet/highlight/grouping queries."""
+    key = hashlib.md5(("facet:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"facetidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    stored_cols=("lang", "source", "text"))
+    return out
+
+
+def grouped_topk(doc_path: str, terms: list[str], group_col: str = "lang",
+                 n_groups: int = 4, k: int = 3) -> pa.Table:
+    """TopGroups (grouping module): top-``n_groups`` groups by best hit
+    of an OR query, top-``k`` hits within each group."""
+    from ..search.grouping import group_topk
+
+    s = Searcher(IndexReader(_facet_index(doc_path)),
+                 similarity="bm25_exact64")
+    return group_topk(s, _query("or", terms), group_col,
+                      n_groups=n_groups, k=k)
+
+
+def term_in_set_match(doc_path: str, terms: list[str]) -> pa.Table:
+    """TermInSetQuery: docs containing ANY of the given terms
+    (constant score, no clause cap)."""
+    from ..search import TermInSetQuery
+
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    docs = s.match_docs(TermInSetQuery(tuple(terms)))
+    return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})

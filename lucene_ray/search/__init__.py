@@ -14,6 +14,7 @@ from .query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    TermInSetQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -29,7 +30,8 @@ __all__ = [
     "idf", "avg_field_length", "norm_inverse_cache", "score_freqs", "score64",
     "Query", "TermQuery", "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
     "DisjunctionMaxQuery", "MatchAllDocsQuery", "PhraseQuery", "SpanNearQuery", "PrefixQuery", "WildcardQuery",
-    "RegexpQuery", "TermRangeQuery", "FuzzyQuery", "FunctionScoreQuery",
+    "RegexpQuery", "TermInSetQuery", "TermRangeQuery", "FuzzyQuery",
+    "FunctionScoreQuery",
     "and_query", "or_query", "parse_simple", "query_terms",
     "IndexReader", "SegmentReader", "Searcher", "TopDocs", "merge_top_docs",
 ]

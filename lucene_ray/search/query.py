@@ -27,6 +27,20 @@ class TermQuery(Query):
 
 
 @dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """Constant-score membership over many terms — the reference's
+    ``TermInSetQuery`` (``core/src/java/org/apache/lucene/search/
+    TermInSetQuery.java``; tests ``TestTermInSetQuery.java``): matches
+    docs containing ANY of ``terms``, scored ``boost`` regardless of
+    tf/idf, and EXEMPT from the maxClauseCount cap (its reason to
+    exist — huge filter sets rewrite to a doc-set, not clauses).
+    Terms absent from the index are simply skipped."""
+    terms: tuple[str, ...] = ()
+    boost: float = 1.0
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class BooleanQuery(Query):
     must: tuple = ()
     should: tuple = ()
@@ -396,6 +410,6 @@ def query_terms(q: Query) -> list[str]:
         for sub in q.disjuncts:
             out.extend(query_terms(sub))
         return out
-    if isinstance(q, (PhraseQuery, SpanNearQuery)):
+    if isinstance(q, (PhraseQuery, SpanNearQuery, TermInSetQuery)):
         return list(q.terms)
     return []  # MatchAll / unexpanded multi-term

@@ -40,6 +40,7 @@ from .query import (
     Query,
     RegexpQuery,
     SpanNearQuery,
+    TermInSetQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -201,6 +202,13 @@ class Searcher:
             terms = self._expand(q)
             return BooleanQuery(should=tuple(
                 TermQuery(t, q.boost * boost) for t in terms))
+        if isinstance(q, TermInSetQuery):
+            # no term-dict scan, no clause cap: the given terms ARE the
+            # set; absent ones contribute no postings
+            return ConstantScoreQuery(
+                BooleanQuery(should=tuple(TermQuery(t)
+                                          for t in dict.fromkeys(q.terms))),
+                q.boost * boost)
         if isinstance(q, _MULTI_TERM):
             terms = self._expand(q)
             return ConstantScoreQuery(
