@@ -254,6 +254,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["grouped_topk"])
             .grouped_topk(_docp(sf), _OR_TERMS, "lang", 4, 3),
+        # JoinUtil query-time term join (join/JoinUtil.java:71): from
+        # docs matching 'data', join on lang with ScoreMode.Max
+        "join_util_max": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["join_util_topk"])
+            .join_util_topk(_docp(sf), _TERM_A, "lang", "max", 50),
         # TermInSetQuery (constant-score set filter, no clause cap;
         # one term is absent from the corpus on purpose)
         "term_in_set_match": lambda sf: __import__(
@@ -636,6 +642,25 @@ WHERE doc_rank <= 3 ORDER BY group_rank, doc_rank""",
 SELECT DISTINCT doc_id FROM toks
 WHERE term IN ('{_TERM_A}', '{_TERM_B}', 'window', 'zzzzabsent')
 ORDER BY doc_id""",
+        "join_util_max": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, count(*) AS tf FROM toks
+       WHERE term = '{_TERM_A}' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM pt),
+scored AS (
+  SELECT pt.doc_id,
+         ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS score
+  FROM pt CROSS JOIN dfs
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s),
+vals AS (SELECT dd.lang, max(sc.score) AS jscore
+         FROM scored sc JOIN documents dd ON sc.doc_id = dd.doc_id
+         GROUP BY dd.lang)
+SELECT d.doc_id, row_number() OVER (ORDER BY v.jscore DESC, d.doc_id) AS rank
+FROM documents d JOIN vals v ON d.lang = v.lang
+ORDER BY v.jscore DESC, d.doc_id LIMIT 50""",
         "topk_shortest_docs": (
             "SELECT n_chars, doc_id FROM documents "
             "ORDER BY n_chars, doc_id LIMIT 20"),

@@ -522,3 +522,22 @@ def term_in_set_match(doc_path: str, terms: list[str]) -> pa.Table:
                  similarity="bm25_exact64")
     docs = s.match_docs(TermInSetQuery(tuple(terms)))
     return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})
+
+
+def join_util_topk(doc_path: str, term: str, join_col: str = "lang",
+                   score_mode: str = "max", k: int = 50) -> pa.Table:
+    """JoinUtil query-time join (self-join on the documents corpus):
+    from-side docs matching ``term`` project their ``join_col`` values
+    (score agg by ``score_mode``); to-side docs sharing a value match
+    with the value's aggregate score. Top-k (doc_id, rank)."""
+    from ..search.join import join_util_query
+
+    s = Searcher(IndexReader(_facet_index(doc_path)),
+                 similarity="bm25_exact64")
+    docs, scores = join_util_query(s, TermQuery(term), join_col, s,
+                                   join_col, score_mode)
+    order = np.lexsort((docs, -scores))[:k]
+    return pa.table({
+        "doc_id": pa.array(docs[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })

@@ -222,3 +222,68 @@ def build_block_index(parent_table: pa.Table, child_table: pa.Table,
         src, os.path.join(out_dir, "idx"), batch_size=batch_size,
         stored_cols=("block_key", *stored_parent),
         doc_value_cols=("is_parent",))
+
+
+def join_util_query(from_searcher: Searcher, from_query: Query,
+                    from_col: str, to_searcher: Searcher, to_col: str,
+                    score_mode: str = "max") -> tuple:
+    """Query-time term join — JoinUtil.createJoinQuery
+    (``lucene/join/src/java/org/apache/lucene/search/join/
+    JoinUtil.java:71``; tests ``TestJoinUtil.java``).
+
+    Phase 1 (TermsWithScoreCollector): run ``from_query`` on the from
+    side, collect the distinct ``from_col`` values of the matching
+    docs with a per-value score aggregate by ``score_mode``
+    ('none' -> 1, 'max', 'total', 'avg').
+
+    Phase 2 (TermsIncludingScoreQuery): match every to-side doc whose
+    ``to_col`` equals a collected value; its score is that value's
+    aggregate. Returns (to docIDs sorted asc, scores float64 aligned).
+
+    The join-value exchange is tiny (distinct keys only), so the
+    to-side match is a predicate-pushdown read of (doc_id, to_col) —
+    the postings of the joined TermInSetQuery, never full rows.
+    """
+    assert score_mode in ("none", "total", "max", "avg")
+    import pyarrow.parquet as pq
+
+    docs, scores = from_searcher.eval_complete(from_query)
+    # per-value aggregate over the from side (TermsWithScoreCollector)
+    val_score: dict[str, list[float]] = {}
+    for sr in from_searcher.reader.segments():
+        lo, hi = sr.doc_ids[0], sr.doc_ids[-1]
+        m = (docs >= lo) & (docs <= hi)
+        if not m.any():
+            continue
+        for v, s in zip(sr.stored(docs[m], from_col), scores[m]):
+            if v is not None:
+                val_score.setdefault(str(v), []).append(float(s))
+    if not val_score:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    agg = {}
+    for v, ss in val_score.items():
+        if score_mode == "none":
+            agg[v] = 1.0
+        elif score_mode == "max":
+            agg[v] = max(ss)
+        elif score_mode == "total":
+            agg[v] = float(np.sum(np.asarray(ss, dtype=np.float64)))
+        else:
+            a = np.asarray(ss, dtype=np.float64)
+            agg[v] = float(a.sum() / len(a))
+    vals = sorted(agg)
+    out_d, out_s = [], []
+    for sr in to_searcher.reader.segments():
+        t = pq.read_table(sr._docs_path, columns=["doc_id", to_col],
+                          filters=[(to_col, "in", vals)])
+        d = t.column("doc_id").to_numpy()
+        lm = sr.live_mask(d)
+        keep = np.ones(len(d), bool) if lm is None else lm
+        vv = t.column(to_col).to_pylist()
+        out_d.append(d[keep])
+        out_s.append(np.array([agg[str(v)] for v, k in zip(vv, keep) if k],
+                              dtype=np.float64))
+    docs_to = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+    scores_to = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
+    order = np.argsort(docs_to, kind="stable")
+    return docs_to[order].astype(np.int64), scores_to[order]
