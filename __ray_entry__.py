@@ -254,6 +254,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["grouped_topk"])
             .grouped_topk(_docp(sf), _OR_TERMS, "lang", 4, 3),
+        # numeric range facets (facet/range/LongRangeFacetCounts.java):
+        # overlapping doc_len ranges over docs matching 'data'
+        "facet_ranges": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["facet_range_counts"])
+            .facet_range_counts(_docp(sf), _TERM_A),
+        # hierarchical taxonomy facets (facet/taxonomy/
+        # FastTaxonomyFacetCounts.java): source/lang path prefixes
+        "facet_taxonomy": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["facet_taxonomy_counts"])
+            .facet_taxonomy_counts(_docp(sf), _TERM_A),
         # JoinUtil query-time term join (join/JoinUtil.java:71): from
         # docs matching 'data', join on lang with ScoreMode.Max
         "join_util_max": lambda sf: __import__(
@@ -642,6 +654,26 @@ WHERE doc_rank <= 3 ORDER BY group_rank, doc_rank""",
 SELECT DISTINCT doc_id FROM toks
 WHERE term IN ('{_TERM_A}', '{_TERM_B}', 'window', 'zzzzabsent')
 ORDER BY doc_id""",
+        "facet_ranges": f"""
+{_TOKS},
+{_DL},
+m AS (SELECT DISTINCT t.doc_id FROM toks t WHERE t.term = '{_TERM_A}'),
+md AS (SELECT d.dl FROM m JOIN dl d ON m.doc_id = d.doc_id)
+SELECT 'short' AS range_label, count(*)::BIGINT AS count FROM md
+  WHERE dl >= 0 AND dl < 40
+UNION ALL SELECT 'mid', count(*)::BIGINT FROM md WHERE dl >= 40 AND dl < 80
+UNION ALL SELECT 'long', count(*)::BIGINT FROM md WHERE dl >= 80
+UNION ALL SELECT 'overlap', count(*)::BIGINT FROM md
+  WHERE dl >= 20 AND dl < 60""",
+        "facet_taxonomy": f"""
+{_TOKS},
+m AS (SELECT DISTINCT t.doc_id FROM toks t WHERE t.term = '{_TERM_A}'),
+j AS (SELECT d.source, d.lang FROM m JOIN documents d
+      ON m.doc_id = d.doc_id)
+SELECT source AS path, count(*)::BIGINT AS count FROM j GROUP BY source
+UNION ALL
+SELECT source || '/' || lang, count(*)::BIGINT FROM j
+GROUP BY source, lang""",
         "join_util_max": f"""
 {_TOKS},
 {_DL},

@@ -541,3 +541,27 @@ def join_util_topk(doc_path: str, term: str, join_col: str = "lang",
         "doc_id": pa.array(docs[order], pa.int64()),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+def facet_range_counts(doc_path: str, term: str,
+                       ranges=None) -> pa.Table:
+    """LongRangeFacetCounts analog over doc_len for docs matching a
+    term (ranges may overlap; each counts independently)."""
+    from ..search.facets import range_facet_counts
+
+    if ranges is None:
+        ranges = [("short", 0, 40), ("mid", 40, 80), ("long", 80, None),
+                  ("overlap", 20, 60)]
+    s = Searcher(IndexReader(_facet_index(doc_path)),
+                 similarity="bm25_exact64")
+    return range_facet_counts(s, TermQuery(term), "doc_len", ranges)
+
+
+def facet_taxonomy_counts(doc_path: str, term: str) -> pa.Table:
+    """Hierarchical taxonomy facets over the (source, lang) path for
+    docs matching a term: one count per path prefix."""
+    from ..search.facets import taxonomy_facet_counts
+
+    s = Searcher(IndexReader(_facet_index(doc_path)),
+                 similarity="bm25_exact64")
+    return taxonomy_facet_counts(s, TermQuery(term), ("source", "lang"))

@@ -105,3 +105,69 @@ def topk_by_field(reader, col: str, k: int = 10,
     order = np.lexsort((d, v if ascending else -v))[:k]
     return pa.table({col: pa.array(v[order]),
                      "doc_id": pa.array(d[order], pa.int64())})
+
+
+def range_facet_counts(searcher: Searcher, q: Query, col: str,
+                       ranges: list[tuple]) -> pa.Table:
+    """Numeric range facets — ``LongRangeFacetCounts`` /
+    ``DoubleRangeFacetCounts`` (``facet/range/LongRangeFacetCounts.java``,
+    tests ``TestRangeFacetCounts.java``): per declared range
+    ``(label, lo, hi)`` (half-open [lo, hi); None = unbounded), the
+    count of matching docs whose ``col`` value falls inside. Ranges may
+    overlap — each counts independently; output keeps declared order."""
+    q = searcher.rewrite(q)
+    from .query import query_terms
+    searcher._prefetch(sorted(set(query_terms(q))))
+    counts = np.zeros(len(ranges), dtype=np.int64)
+    for sr in searcher.reader.segments():
+        docs = searcher._match_docs(sr, q)
+        if len(docs) == 0:
+            continue
+        got = sr.stored(np.sort(docs), col)  # segment-local pushdown
+        vals = np.array([float(v) for v in got if v is not None],
+                        dtype=np.float64)
+        for i, (_label, lo, hi) in enumerate(ranges):
+            m = np.ones(len(vals), dtype=bool)
+            if lo is not None:
+                m &= vals >= lo
+            if hi is not None:
+                m &= vals < hi
+            counts[i] += int(m.sum())
+    return pa.table({
+        "range_label": pa.array([r[0] for r in ranges], pa.string()),
+        "count": pa.array(counts, pa.int64()),
+    })
+
+
+def taxonomy_facet_counts(searcher: Searcher, q: Query,
+                          path_cols: tuple) -> pa.Table:
+    """Hierarchical (taxonomy) facet counts — the taxonomy side of the
+    facet module (``facet/taxonomy/TaxonomyFacetIntAssociations`` /
+    ``FastTaxonomyFacetCounts.java``; ``FacetsConfig`` hierarchical
+    dims): the category path of a doc is the tuple of its
+    ``path_cols`` stored values; every PREFIX of the path gets a
+    count (getTopChildren at each level). Output: ('/'-joined path,
+    count), path asc — dimension rollups first."""
+    q = searcher.rewrite(q)
+    from .query import query_terms
+    searcher._prefetch(sorted(set(query_terms(q))))
+    total: Counter = Counter()
+    for sr in searcher.reader.segments():
+        docs = searcher._match_docs(sr, q)
+        if len(docs) == 0:
+            continue
+        docs = np.sort(docs)
+        cols = [sr.stored(docs, c) for c in path_cols]
+        # per-segment partial counts of every path prefix (combiner)
+        for parts in zip(*cols):
+            path = ""
+            for p in parts:
+                if p is None:
+                    break
+                path = f"{path}/{p}" if path else str(p)
+                total[path] += 1
+    items = sorted(total.items())
+    return pa.table({
+        "path": pa.array([p for p, _ in items], pa.string()),
+        "count": pa.array([n for _, n in items], pa.int64()),
+    })

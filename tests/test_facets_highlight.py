@@ -107,3 +107,42 @@ def test_custom_collector(facet_index):
     got = s.collect(TermQuery("data"), HistCollector())
     assert got["n"] == s.count(TermQuery("data"))
     assert got["mean"] > 0
+
+
+def test_range_facets(facet_index):
+    from lucene_ray.search.facets import range_facet_counts
+    out, texts, langs, sources = facet_index
+    s = Searcher(IndexReader(out))
+    ranges = [("lo", 0, 3), ("hi", 3, None), ("all", None, None),
+              ("mid_overlap", 2, 4)]
+    got = {r["range_label"]: r["count"]
+           for r in range_facet_counts(
+               s, TermQuery("data"), "doc_len", ranges).to_pylist()}
+    dls = [len(t.split()) for i, t in enumerate(texts)
+           if "data" in t.split()]
+    assert got == {
+        "lo": sum(1 for d in dls if d < 3),
+        "hi": sum(1 for d in dls if d >= 3),
+        "all": len(dls),
+        "mid_overlap": sum(1 for d in dls if 2 <= d < 4),
+    }
+
+
+def test_taxonomy_facets(facet_index):
+    from collections import Counter
+    from lucene_ray.search.facets import taxonomy_facet_counts
+    out, texts, langs, sources = facet_index
+    s = Searcher(IndexReader(out))
+    got = {r["path"]: r["count"]
+           for r in taxonomy_facet_counts(
+               s, TermQuery("merge"), ("source", "lang")).to_pylist()}
+    want = Counter()
+    for i, t in enumerate(texts):
+        if "merge" in t.split():
+            want[sources[i]] += 1
+            want[f"{sources[i]}/{langs[i]}"] += 1
+    assert got == dict(want)
+    # every child path's parent prefix is present with count >= child
+    for p, c in got.items():
+        if "/" in p:
+            assert got[p.rsplit("/", 1)[0]] >= c
