@@ -254,6 +254,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["grouped_topk"])
             .grouped_topk(_docp(sf), _OR_TERMS, "lang", 4, 3),
+        # classification module: naive Bayes (SimpleNaiveBayesClassifier)
+        # trained on the corpus, first 100 docs classified; kNN
+        # classifier (KNearestNeighborClassifier) on 20 docs
+        "classify_nb": lambda sf: __import__(
+            "lucene_ray.pipelines.classify",
+            fromlist=["classify_naive_bayes"])
+            .classify_naive_bayes(_docp(sf), "lang", max_doc_id=100),
+        "classify_knn": lambda sf: __import__(
+            "lucene_ray.pipelines.classify", fromlist=["classify_knn"])
+            .classify_knn(_docp(sf), list(range(20)), k=25),
         # numeric range facets (facet/range/LongRangeFacetCounts.java):
         # overlapping doc_len ranges over docs matching 'data'
         "facet_ranges": lambda sf: __import__(
@@ -653,6 +663,57 @@ WHERE doc_rank <= 3 ORDER BY group_rank, doc_rank""",
 {_TOKS}
 SELECT DISTINCT doc_id FROM toks
 WHERE term IN ('{_TERM_A}', '{_TERM_B}', 'window', 'zzzzabsent')
+ORDER BY doc_id""",
+        "classify_nb": f"""
+{_TOKS},
+ct AS (SELECT d.lang, t.term, count(*) AS tf FROM toks t
+       JOIN documents d ON t.doc_id = d.doc_id GROUP BY d.lang, t.term),
+ctot AS (SELECT lang, sum(tf) AS tot FROM ct GROUP BY lang),
+voc AS (SELECT count(DISTINCT term) AS v FROM toks),
+pri AS (SELECT lang, ln(count(*) * 1.0 /
+                        (SELECT count(*) FROM documents)) AS lp
+        FROM documents GROUP BY lang),
+test AS (SELECT doc_id, term, count(*) AS n FROM toks
+         WHERE doc_id < 100 GROUP BY doc_id, term),
+sc AS (SELECT te.doc_id, p.lang,
+              p.lp + sum(te.n * (ln(coalesce(ct.tf, 0) + 1)
+                                 - ln(ctot.tot + voc.v))) AS s
+       FROM test te CROSS JOIN pri p
+       LEFT JOIN ct ON ct.lang = p.lang AND ct.term = te.term
+       JOIN ctot ON ctot.lang = p.lang CROSS JOIN voc
+       GROUP BY te.doc_id, p.lang, p.lp)
+SELECT doc_id, lang AS pred FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY s DESC, lang) = 1
+ORDER BY doc_id""",
+        "classify_knn": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+qt AS (SELECT doc_id AS qid, term FROM toks WHERE doc_id < 20
+       GROUP BY doc_id, term),
+alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          GROUP BY term),
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+nbr AS (
+  SELECT q.qid, pt.doc_id,
+         sum(ln(1 + (s.n - a.df + 0.5) / (a.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+  FROM qt q JOIN pt ON pt.term = q.term
+       JOIN alldf a ON a.term = q.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  WHERE pt.doc_id <> q.qid
+  GROUP BY q.qid, pt.doc_id),
+topk AS (SELECT qid, doc_id FROM nbr
+         QUALIFY row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id) <= 25),
+votes AS (SELECT t.qid, d.lang, count(*) AS c
+          FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+          GROUP BY t.qid, d.lang)
+SELECT qid AS doc_id, lang AS pred FROM votes
+QUALIFY row_number() OVER (PARTITION BY qid
+                           ORDER BY c DESC, lang) = 1
 ORDER BY doc_id""",
         "facet_ranges": f"""
 {_TOKS},
