@@ -359,6 +359,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw_top10": lambda sf: __import__(
             "lucene_ray.pipelines.hnsw", fromlist=["knn_hnsw"]).knn_hnsw(
             _embp(sf), range(10), 10, ef=10**6),
+        # scalar-quantized vectors (util/quantization/ScalarQuantizer,
+        # Lucene99ScalarQuantizedVectorsFormat): int7 candidate
+        # selection + full rescore; exhaustive rescore == brute is the
+        # oracle gate, default-rerank recall is pytest-gated
+        "knn_sq_top10": lambda sf: __import__(
+            "lucene_ray.pipelines.sq", fromlist=["knn_sq"]).knn_sq(
+            _embp(sf), range(10), 10, rerank_all=True),
         # reverse search / percolator (monitor/Monitor.java,
         # TermFilteredPresearcher.java): registered queries matched
         # against the streaming documents table
@@ -799,6 +806,15 @@ SELECT qid, vec_id,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
 FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
         "knn_top10": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < 10),
+sims AS (SELECT q.qid, e.vec_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "knn_sq_top10": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
            WHERE vec_id < 10),
 sims AS (SELECT q.qid, e.vec_id,
