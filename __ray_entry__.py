@@ -300,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), 42, max_query_terms=8, min_doc_freq=2, k=20),
         "suggest_prefix": lambda sf: suggest_completions(_docp(sf), "me", 10),
         "suggest_spell": lambda sf: suggest_corrections(_docp(sf), "merje", 5),
+        "suggest_infix": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["suggest_infix"]).suggest_infix(_docp(sf), "er", 10),
         "bm25_phrase": lambda sf: phrase_topk(
             _docp(sf), [_TERM_A, _TERM_B], 20),  # rows-only (f32 scores)
         # --- incremental indexing / deletes (SURVEY §2.1 live docs) ---
@@ -628,6 +631,11 @@ SELECT term, levenshtein(term, 'merje') AS distance, df FROM dict
 WHERE term LIKE 'm%' AND abs(length(term) - 5) <= 2
   AND levenshtein(term, 'merje') <= 2
 ORDER BY distance, df DESC, term LIMIT 5""",
+        "suggest_infix": f"""
+{_TOKS}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE term LIKE '%er%' GROUP BY term
+ORDER BY df DESC, term LIMIT 10""",
         "facet_lang_counts": f"""
 {_TOKS}
 SELECT d.lang, count(*) AS count

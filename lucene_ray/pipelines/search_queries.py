@@ -565,3 +565,10 @@ def facet_taxonomy_counts(doc_path: str, term: str) -> pa.Table:
     s = Searcher(IndexReader(_facet_index(doc_path)),
                  similarity="bm25_exact64")
     return taxonomy_facet_counts(s, TermQuery(term), ("source", "lang"))
+
+
+def suggest_infix(doc_path: str, fragment: str, k: int = 10) -> pa.Table:
+    """Infix completion ranked by df (AnalyzingInfixSuggester role)."""
+    from ..search.suggest import complete_infix
+    idx = cached_index(doc_path)
+    return complete_infix(IndexReader(idx), fragment, k)

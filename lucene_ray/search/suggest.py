@@ -58,3 +58,21 @@ def spell_correct(reader: IndexReader, word: str, k: int = 5,
         "distance": pa.array([d for _, d in cands], pa.int64()),
         "df": pa.array([stats[t][0] for t, _ in cands], pa.int64()),
     })
+
+
+def complete_infix(reader: IndexReader, fragment: str,
+                   k: int = 10) -> pa.Table:
+    """Infix completion — the AnalyzingInfixSuggester role
+    (``lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java``,
+    tests ``TestAnalyzingInfixSuggester.java``): dictionary terms
+    CONTAINING ``fragment`` anywhere, weighted by popularity (df),
+    ties by term asc. Unlike the prefix suggester the whole vocabulary
+    is scanned (the reference builds a dedicated n-gram index; the
+    vocab here is row-group-resident and the scan is one pass)."""
+    terms = [t for t in reader.vocab(None, None) if fragment in t]
+    stats = reader.term_stats(terms)
+    ranked = sorted(terms, key=lambda t: (-stats[t][0], t))[:k]
+    return pa.table({
+        "term": pa.array(ranked, pa.string()),
+        "df": pa.array([stats[t][0] for t in ranked], pa.int64()),
+    })
