@@ -835,10 +835,15 @@ class Searcher:
 
     @staticmethod
     def _ordered_span_freq(slots, slop: int) -> float:
-        """Ordered near: for each start occurrence of clause 0, the
-        greedy chain (first position of clause i strictly after clause
-        i-1's) is the minimal ordered window from that start; gaps =
-        (last - first) - (n-1)."""
+        """Ordered near — EXACT NearSpansOrdered semantics for term
+        clauses: for each start occurrence of clause 0, the greedy
+        first-fit chain (first position of clause i strictly after
+        clause i-1's) IS the minimal ordered window from that start
+        (first-fit == minimal for unit-length sub-spans; proven
+        exhaustively in tests/test_intervals.py), and the iterator's
+        forward-only stretch visits exactly these chains; gaps =
+        (last - first) - (n-1), freq += 1/(1+gaps) per fitting start
+        (SpanScorer sloppyWeight)."""
         n = len(slots)
         if n == 1:
             return float(len(slots[0]))

@@ -110,3 +110,38 @@ def test_randomized_vs_bruteforce(ray_session, tmp_path_factory):
         got = s.match_docs(SpanNearQuery(terms, slop, in_order)).tolist()
         want = brute(terms, slop, in_order)
         assert got == want, (terms, slop, in_order)
+
+
+def test_ordered_span_freq_is_exact_near_spans():
+    """_ordered_span_freq == NearSpansOrdered enumeration: per
+    first-clause start, the MINIMAL ordered chain width (exhaustive
+    check), freq = sum of 1/(1+gaps) over fitting starts."""
+    from itertools import product
+
+    import numpy as np
+
+    from lucene_ray.search.searcher import Searcher
+
+    rng = np.random.default_rng(123)
+    for trial in range(300):
+        n = int(rng.integers(2, 5))
+        slots = []
+        for _ in range(n):
+            cnt = int(rng.integers(1, 6))
+            slots.append(np.sort(rng.choice(40, cnt, replace=False))
+                         .astype(np.int64))
+        slop = int(rng.integers(0, 6))
+        got = Searcher._ordered_span_freq(slots, slop)
+        # brute: minimal strictly-increasing chain width per start
+        want = 0.0
+        for p0 in slots[0]:
+            best = None
+            for tup in product(*[a.tolist() for a in slots[1:]]):
+                chain = (int(p0),) + tuple(tup)
+                if all(chain[i] < chain[i + 1] for i in range(n - 1)):
+                    w = (chain[-1] - chain[0]) - (n - 1)
+                    if best is None or w < best:
+                        best = w
+            if best is not None and best <= slop:
+                want += 1.0 / (1 + best)
+        assert abs(got - want) < 1e-12, (slots, slop, got, want)
