@@ -298,7 +298,8 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Magic-dispatched image decode (BMP or PNG) -> HxWx3 uint8 RGB."""
+    """Magic-dispatched image decode (BMP, PNG or GIF) -> HxWx3 uint8
+    RGB."""
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
@@ -308,4 +309,198 @@ def decode_image(blob: bytes) -> np.ndarray:
         elif img.shape[2] == 4:
             img = img[:, :, :3].copy()
         return img
-    raise ValueError("unrecognized image format (need BMP or PNG)")
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(blob)
+    raise ValueError("unrecognized image format (need BMP, PNG or GIF)")
+
+
+# --- GIF (87a/89a, LZW) ----------------------------------------------------
+# Pure-Python/numpy implementation of the published GIF specification
+# (CompuServe GIF89a spec): logical screen descriptor, global/local
+# color tables, variable-width LSB-first LZW, interlace passes. The
+# encoder uses the classic "uncompressed GIF" technique (a CLEAR code
+# is emitted before the dictionary would force a width increase), which
+# produces a fully spec-conformant stream.
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """Variable-width LSB-first LZW -> uint8 index array."""
+    clear = 1 << mcs
+    end = clear + 1
+    width = mcs + 1
+    # bit reader over the whole byte stream
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                         bitorder="little")
+    pos = 0
+    nbits = len(bits)
+    # dictionary as index chains: base entries are single literals
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.int32)
+    for i in range(clear):
+        suffix[i] = i
+    next_code = end + 1
+    prev = -1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    stack = []
+    while pos + width <= nbits and n_out < n_pixels:
+        code = int(bits[pos:pos + width] @ (1 << np.arange(width,
+                                                           dtype=np.int64)))
+        pos += width
+        if code == clear:
+            next_code = end + 1
+            width = mcs + 1
+            prev = -1
+            continue
+        if code == end:
+            break
+        if prev < 0:
+            out[n_out] = suffix[code]
+            n_out += 1
+            prev = code
+            continue
+        if code < next_code:
+            cur = code
+        elif code == next_code:
+            # KwKwK case: entry = dict[prev] + first(dict[prev])
+            cur = prev
+        else:
+            raise ValueError("corrupt LZW stream")
+        # expand chain (reversed)
+        stack.clear()
+        c = cur
+        while c >= 0:
+            stack.append(suffix[c])
+            c = prefix[c]
+        first = stack[-1]
+        if code == next_code:
+            stack.insert(0, first)
+        for v in reversed(stack):
+            if n_out < n_pixels:
+                out[n_out] = v
+                n_out += 1
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return out[:n_out]
+
+
+def _lzw_encode_uncompressed(indices: np.ndarray, mcs: int) -> bytes:
+    """Literal-codes-only LZW stream (CLEAR before every forced width
+    increase keeps the code width at mcs+1 — the spec-conformant
+    'uncompressed GIF' technique)."""
+    clear = 1 << mcs
+    end = clear + 1
+    width = mcs + 1
+    cap = (1 << width) - 1  # emit CLEAR when next_code would reach this
+    out_bits = []
+    next_code = end + 1
+    first_after_clear = True
+
+    def emit(code: int):
+        for b in range(width):
+            out_bits.append((code >> b) & 1)
+
+    emit(clear)
+    for p in map(int, indices):
+        emit(p)
+        if first_after_clear:
+            first_after_clear = False
+        else:
+            next_code += 1
+        if next_code >= cap:
+            emit(clear)
+            next_code = end + 1
+            first_after_clear = True
+    emit(end)
+    arr = np.array(out_bits, dtype=np.uint8)
+    return np.packbits(arr, bitorder="little").tobytes()
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H, W) uint8 index image + (n<=256, 3) uint8 palette -> GIF89a."""
+    h, w = indices.shape
+    n = len(palette)
+    assert n <= 256 and indices.max(initial=0) < n
+    bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    table_size = 1 << bits
+    mcs = max(2, bits)
+    out = [b"GIF89a", struct.pack("<HHBBB", w, h,
+                                  0x80 | (bits - 1), 0, 0)]
+    pal = np.zeros((table_size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out.append(pal.tobytes())
+    out.append(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+    out.append(bytes([mcs]))
+    lzw = _lzw_encode_uncompressed(indices.reshape(-1), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(bytes([len(chunk)]) + chunk)
+    out.append(b"\x00;")
+    return b"".join(out)
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """First frame of a GIF -> HxWx3 uint8 RGB (interlace supported)."""
+    if blob[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, size * 3, pos) \
+            .reshape(size, 3)
+        pos += size * 3
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, w, h, ipk = struct.unpack_from("<HHHHB", blob, pos + 1)
+            pos += 10
+            ct = gct
+            if ipk & 0x80:
+                size = 2 << (ipk & 0x07)
+                ct = np.frombuffer(blob, np.uint8, size * 3, pos) \
+                    .reshape(size, 3)
+                pos += size * 3
+            mcs = blob[pos]
+            pos += 1
+            parts = []
+            while blob[pos] != 0:
+                ln = blob[pos]
+                parts.append(blob[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(parts), mcs, w * h)
+            if len(idx) < w * h:
+                idx = np.pad(idx, (0, w * h - len(idx)))
+            img = idx.reshape(h, w)
+            if ipk & 0x40:  # interlaced: reorder rows by pass
+                rows = np.concatenate([np.arange(start, h, step)
+                                       for start, step in
+                                       _INTERLACE_PASSES])
+                deinter = np.empty_like(img)
+                deinter[rows] = img
+                img = deinter
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            return ct[img]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
