@@ -369,6 +369,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_sq_top10": lambda sf: __import__(
             "lucene_ray.pipelines.sq", fromlist=["knn_sq"]).knn_sq(
             _embp(sf), range(10), 10, rerank_all=True),
+        # product-quantized ANN (Jegou et al. 2011 ADC; the compressed
+        # cousin of the SQ path): exhaustive rescore == brute oracle,
+        # default-rerank recall pytest-gated
+        "knn_pq_top10": lambda sf: __import__(
+            "lucene_ray.pipelines.pq", fromlist=["knn_pq"]).knn_pq(
+            _embp(sf), range(10), 10, m=8, n_cent=64, rerank_all=True),
         # reverse search / percolator (monitor/Monitor.java,
         # TermFilteredPresearcher.java): registered queries matched
         # against the streaming documents table
@@ -814,6 +820,15 @@ SELECT qid, vec_id,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
 FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
         "knn_top10": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < 10),
+sims AS (SELECT q.qid, e.vec_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "knn_pq_top10": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
            WHERE vec_id < 10),
 sims AS (SELECT q.qid, e.vec_id,
