@@ -248,6 +248,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "_score * ln(1 + n_chars)", 20),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
+        # SimpleQueryParser (queryparser/simple): lenient syntax
+        "simple_parsed_query": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["simple_parsed_docs"])
+            .simple_parsed_docs(_docp(sf), 'data merge | wind* -spark'),
         # grouping module (FirstPassGroupingCollector + TopGroups):
         # top-4 lang groups by best BM25 hit, top-3 hits per group
         "grouped_search": lambda sf: __import__(
@@ -652,6 +657,17 @@ GROUP BY d.lang ORDER BY count DESC, d.lang""",
         "blockjoin_orders": (
             "SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem "
             "WHERE lower(l_returnflag) = 'r' ORDER BY 1"),
+        "simple_parsed_query": f"""
+{_TOKS},
+g1 AS (SELECT doc_id FROM toks WHERE term IN ('data', 'merge')
+       GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+wind AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'wind%'),
+spk AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+g2 AS (SELECT doc_id FROM wind
+       WHERE doc_id NOT IN (SELECT doc_id FROM spk))
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id FROM g1 UNION SELECT doc_id FROM g2)
+ORDER BY doc_id""",
         "grouped_search": f"""
 {_TOKS},
 {_DL},

@@ -572,3 +572,15 @@ def suggest_infix(doc_path: str, fragment: str, k: int = 10) -> pa.Table:
     from ..search.suggest import complete_infix
     idx = cached_index(doc_path)
     return complete_infix(IndexReader(idx), fragment, k)
+
+
+def simple_parsed_docs(doc_path: str, expr: str,
+                       default_operator: str = "must") -> pa.Table:
+    """SimpleQueryParser (lenient end-user syntax) -> matching docs."""
+    from ..search.simpleparser import parse_simple_query
+
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    q = parse_simple_query(expr, default_operator=default_operator)
+    docs = s.match_docs(q)
+    return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})
