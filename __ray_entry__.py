@@ -248,6 +248,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "_score * ln(1 + n_chars)", 20),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
+        # polygon geo query (LatLonPoint.newPolygonQuery; convex ->
+        # half-plane conjunction, exactly SQL-expressible)
+        "geo_polygon_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["geo_polygon_match"]).geo_polygon_match(sf),
         # SimpleQueryParser (queryparser/simple): lenient syntax
         "simple_parsed_query": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -871,6 +876,18 @@ sims AS (SELECT q.qid, e.vec_id,
 SELECT qid, vec_id,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
 FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "geo_polygon_match": """
+WITH geo AS (SELECT c_custkey,
+                    ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+                    ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+             FROM customer)
+SELECT c_custkey FROM geo
+WHERE (20.0041 - 10.0019) * (lat - -20.0053) - (30.0011 - -20.0053) * (lon - 10.0019) >= 0
+  AND (-40.0067 - 20.0041) * (lat - 30.0011) - (45.0029 - 30.0011) * (lon - 20.0041) >= 0
+  AND (-80.0013 - -40.0067) * (lat - 45.0029) - (10.0043 - 45.0029) * (lon - -40.0067) >= 0
+  AND (-60.0071 - -80.0013) * (lat - 10.0043) - (-30.0037 - 10.0043) * (lon - -80.0013) >= 0
+  AND (10.0019 - -60.0071) * (lat - -30.0037) - (-20.0053 - -30.0037) * (lon - -60.0071) >= 0
+ORDER BY c_custkey""",
         "geo_box_match": """
 WITH geo AS (SELECT c_custkey,
                     ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,

@@ -584,3 +584,17 @@ def simple_parsed_docs(doc_path: str, expr: str,
     q = parse_simple_query(expr, default_operator=default_operator)
     docs = s.match_docs(q)
     return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})
+
+
+def geo_polygon_match(sf_dir: str, poly=None) -> pa.Table:
+    """LatLonPoint.newPolygonQuery over the derived customer coords
+    (convex polygon -> half-plane conjunction, SQL-expressible)."""
+    from ..search.geo import geo_polygon_docs
+
+    if poly is None:
+        # convex CCW pentagon over a populated patch of the derived grid
+        poly = [(-20.0053, 10.0019), (30.0011, 20.0041),
+                (45.0029, -40.0067), (10.0043, -80.0013),
+                (-30.0037, -60.0071)]
+    ids = geo_polygon_docs(_geo_index(sf_dir), poly, convex=True)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})

@@ -78,3 +78,60 @@ def geo_distance_docs(index_dir: str, lat: float, lon: float,
     if return_distance:
         return ids[keep], d[keep]
     return ids[keep]
+
+
+def point_in_polygon(lats: np.ndarray, lons: np.ndarray,
+                     poly: list[tuple]) -> np.ndarray:
+    """Vectorized even-odd ray casting (``geo/Polygon.java`` contains
+    semantics): True where (lat, lon) is inside the polygon given as
+    [(lat, lon), ...] (closed implicitly). Points exactly on a
+    horizontal-crossing edge follow the half-open rule."""
+    lats = np.asarray(lats, np.float64)
+    lons = np.asarray(lons, np.float64)
+    inside = np.zeros(len(lats), dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        y1, x1 = poly[i]
+        y2, x2 = poly[(i + 1) % n]
+        crosses = (y1 > lats) != (y2 > lats)
+        if not crosses.any():
+            continue
+        xint = x1 + (lats - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= crosses & (lons < xint)
+    return inside
+
+
+def point_in_convex_polygon(lats: np.ndarray, lons: np.ndarray,
+                            poly: list[tuple]) -> np.ndarray:
+    """Half-plane conjunction for CONVEX counter-clockwise polygons
+    (boundary inclusive): inside iff every edge cross product >= 0.
+    This form is exactly expressible in ANSI SQL (the oracle gate)."""
+    lats = np.asarray(lats, np.float64)
+    lons = np.asarray(lons, np.float64)
+    ok = np.ones(len(lats), dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        y1, x1 = poly[i]
+        y2, x2 = poly[(i + 1) % n]
+        ok &= (x2 - x1) * (lats - y1) - (y2 - y1) * (lons - x1) >= 0
+    return ok
+
+
+def geo_polygon_docs(index_dir: str, poly: list[tuple],
+                     convex: bool = False) -> np.ndarray:
+    """LatLonPoint.newPolygonQuery role: the polygon's bounding box
+    runs through the BKD tree (leaf-cell pushdown), survivors refine
+    with the exact point-in-polygon test."""
+    from ..index.points import point_box_docs
+    lat_lo = min(p[0] for p in poly)
+    lat_hi = max(p[0] for p in poly)
+    lon_lo = min(p[1] for p in poly)
+    lon_hi = max(p[1] for p in poly)
+    ids, coords = point_box_docs(
+        index_dir, [(lat_lo, lat_hi), (lon_lo, lon_hi)],
+        return_coords=True)
+    if len(ids) == 0:
+        return ids
+    fn = point_in_convex_polygon if convex else point_in_polygon
+    keep = fn(coords[:, 0], coords[:, 1], poly)
+    return ids[keep]

@@ -103,3 +103,58 @@ def test_geo_distance_returns_distances(geo_index):
     assert (dist <= 2e6).all()
     d_all = haversin_meters(10.0, 20.0, lat, lon)
     np.testing.assert_allclose(dist, d_all[np.isin(ids, got)])
+
+
+def test_point_in_polygon_convex_agrees_with_halfplanes():
+    import numpy as np
+    from lucene_ray.search.geo import (point_in_convex_polygon,
+                                       point_in_polygon)
+    rng = np.random.default_rng(5)
+    poly = [(-20.0053, 10.0019), (30.0011, 20.0041),
+            (45.0029, -40.0067), (10.0043, -80.0013),
+            (-30.0037, -60.0071)]  # convex CCW
+    lats = rng.uniform(-60, 60, 5000)
+    lons = rng.uniform(-100, 40, 5000)
+    a = point_in_polygon(lats, lons, poly)
+    b = point_in_convex_polygon(lats, lons, poly)
+    assert (a == b).all()
+
+
+def test_point_in_polygon_concave():
+    import numpy as np
+    from lucene_ray.search.geo import point_in_polygon
+    # concave "arrow": notch cut into the right side
+    poly = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (5.0, 5.5),
+            (0.0, 10.0)]
+    lats, lons = np.array([5.0, 9.0, 1.0, 5.0]), \
+        np.array([2.0, 5.0, 5.0, 8.0])
+    got = point_in_polygon(lats, lons, poly)
+    # (5,2) inside; (9,5) inside the notch? y=9 x=5 -> above the notch
+    # tip (5,5.5): the notch cuts between x in [5,10] high y — point
+    # (9,5): ray at lat 9 crosses edges ... verified by hand: inside.
+    # (1,5) inside; (5,8) inside (right of notch tip but below edges)
+    # independent check: matplotlib-free winding number
+    def wn(y, x):
+        w = 0
+        n = len(poly)
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if y1 <= y:
+                if y2 > y and (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) > 0:
+                    w += 1
+            elif y2 <= y and (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) < 0:
+                w -= 1
+        return w != 0
+    for i in range(4):
+        assert got[i] == wn(lats[i], lons[i]), i
+
+
+def test_geo_polygon_docs_bbox_refine(geo_index):
+    import numpy as np
+    from lucene_ray.search.geo import geo_polygon_docs, point_in_polygon
+    out, ids, lat, lon = geo_index
+    poly = [(-10.0, 30.0), (40.0, 20.0), (35.0, -30.0), (-20.0, -20.0)]
+    got = geo_polygon_docs(out, poly)
+    want = ids[point_in_polygon(lat, lon, poly)]
+    np.testing.assert_array_equal(np.sort(got), np.sort(want))
