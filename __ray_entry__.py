@@ -248,6 +248,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "_score * ln(1 + n_chars)", 20),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
+        # term vectors (forward index, Lucene90TermVectorsFormat /
+        # IndexReader.getTermVector role)
+        "term_vector_doc42": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["term_vector_doc"]).term_vector_doc(_docp(sf), 42),
         # polygon geo query (LatLonPoint.newPolygonQuery; convex ->
         # half-plane conjunction, exactly SQL-expressible)
         "geo_polygon_match": lambda sf: __import__(
@@ -662,6 +667,10 @@ GROUP BY d.lang ORDER BY count DESC, d.lang""",
         "blockjoin_orders": (
             "SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem "
             "WHERE lower(l_returnflag) = 'r' ORDER BY 1"),
+        "term_vector_doc42": f"""
+{_TOKS}
+SELECT term, count(*) AS tf FROM toks WHERE doc_id = 42
+GROUP BY term ORDER BY term""",
         "simple_parsed_query": f"""
 {_TOKS},
 g1 AS (SELECT doc_id FROM toks WHERE term IN ('data', 'merge')

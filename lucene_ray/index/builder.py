@@ -88,7 +88,8 @@ class SegmentIndexer:
                  stored_cols: tuple, stop_words: frozenset,
                  arrow_fast_path: bool = True, index_positions: bool = False,
                  analyzer=None, doc_value_cols: tuple = (),
-                 postings_format: str = "for128"):
+                 postings_format: str = "for128",
+                 term_vectors: bool = False):
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
@@ -110,6 +111,9 @@ class SegmentIndexer:
         # PostingsFormat SPI slot (codecs/registry.py): blocks are
         # self-describing, so mixed-format segments read transparently
         self.postings_format = postings_format
+        # TermVectorsFormat role: per-segment forward index
+        # (doc_id, term, tf) sorted by doc for pushdown reads
+        self.term_vectors = term_vectors
         self._seg_override: str | None = None  # ShardIndexer naming hook
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -248,6 +252,26 @@ class SegmentIndexer:
                 .sort_by([("value", "ascending"), ("doc_id", "ascending")])
             pq.write_table(dv, os.path.join(seg_dir, f"dv_{c}.parquet"),
                            row_group_size=4096)
+        if self.term_vectors:
+            # TermVectorsFormat analog (codecs/lucene90/
+            # Lucene90TermVectorsFormat.java): the forward index,
+            # (doc, term, tf), doc-sorted so a single-doc read touches
+            # one row-group slice (written even when empty, so readers
+            # can distinguish "no terms" from "not enabled")
+            if len(codes):
+                tv = pa.table({
+                    "doc_id": pa.array(doc_ids[d_idx], pa.int64()),
+                    "term": pa.array(uniques[t_codes].tolist(),
+                                     pa.large_string()),
+                    "tf": pa.array(tf, pa.int64()),
+                }).sort_by([("doc_id", "ascending"),
+                            ("term", "ascending")])
+            else:
+                tv = pa.table({"doc_id": pa.array([], pa.int64()),
+                               "term": pa.array([], pa.large_string()),
+                               "tf": pa.array([], pa.int64())})
+            pq.write_table(tv, os.path.join(seg_dir, "tv.parquet"),
+                           row_group_size=4096)
         # term-membership fingerprint: readers skip this segment's
         # postings entirely for absent terms (FST-presence role)
         from ..util import term_hash64
@@ -284,6 +308,7 @@ def build_index(
     allow_doc_overlap: bool = False,
     doc_value_cols: tuple = (),
     postings_format: str = "for128",
+    term_vectors: bool = False,
 ) -> IndexManifest:
     """Build an inverted index over a Parquet corpus / Dataset.
 
@@ -330,7 +355,8 @@ def build_index(
                      stored_cols=stored_cols, stop_words=stop_words,
                      index_positions=index_positions, analyzer=analyzer,
                      doc_value_cols=doc_value_cols,
-                     postings_format=postings_format)
+                     postings_format=postings_format,
+                     term_vectors=term_vectors)
     meta = ds.map_batches(
         SegmentIndexer,
         fn_constructor_kwargs=fn_kwargs,

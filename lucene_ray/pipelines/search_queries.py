@@ -598,3 +598,12 @@ def geo_polygon_match(sf_dir: str, poly=None) -> pa.Table:
                 (-30.0037, -60.0071)]
     ids = geo_polygon_docs(_geo_index(sf_dir), poly, convex=True)
     return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+
+
+def term_vector_doc(doc_path: str, doc_id: int = 42) -> pa.Table:
+    """Term vector (forward index) of one doc: (term, tf), term asc."""
+    key = hashlib.md5(("tv:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"tvidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048, term_vectors=True)
+    return IndexReader(out).term_vector(doc_id)

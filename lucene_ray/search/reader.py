@@ -433,6 +433,18 @@ class SegmentReader:
                           filters=filters or None)
         return np.sort(t.column("doc_id").to_numpy().astype(np.int64))
 
+    def term_vector(self, doc_id: int) -> pa.Table:
+        """Forward index read (TermVectorsFormat / ``IndexReader.
+        getTermVector`` role): (term, tf) of one doc, term-sorted —
+        a doc_id-pushdown read of the segment's ``tv.parquet``.
+        Requires the index to be built with ``term_vectors=True``."""
+        tv_path = os.path.join(self._seg_dir, "tv.parquet")
+        if not os.path.isfile(tv_path):
+            raise ValueError("index built without term_vectors=True")
+        t = pq.read_table(tv_path, columns=["term", "tf"],
+                          filters=[("doc_id", "==", int(doc_id))])
+        return t.sort_by([("term", "ascending")])
+
     def stored(self, docs: np.ndarray, col: str):
         """Stored-field values for the given docIDs (lazy, predicate-
         pushdown read of only the needed column + row groups)."""
@@ -478,6 +490,18 @@ class IndexReader:
     @property
     def sum_total_term_freq(self) -> int:
         return self.manifest.sum_doc_len
+
+    def term_vector(self, doc_id: int) -> pa.Table:
+        """(term, tf) forward index of one doc — routed to the owning
+        segment by doc range (IndexReader.getTermVector role)."""
+        for info in self.segment_infos:
+            if info.min_doc <= doc_id <= info.max_doc:
+                sr = self.segment(info.seg_id)
+                t = sr.term_vector(doc_id)
+                if len(t):
+                    return t
+        return pa.table({"term": pa.array([], pa.large_string()),
+                         "tf": pa.array([], pa.int64())})
 
     def segment(self, seg_id: str) -> SegmentReader:
         r = self._readers.get(seg_id)

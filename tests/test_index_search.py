@@ -226,3 +226,25 @@ def test_search_after_pages_equal_global_ranking(ray_session, built_index):
         td = s.search_after(q, k=10, after=after)
         paged.extend(zip(td.doc_ids.tolist(), td.scores.tolist()))
     assert [d for d, _ in paged] == full.doc_ids.tolist()
+
+
+def test_term_vectors(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from lucene_ray.index import build_index
+    from lucene_ray.search import IndexReader
+    texts = ["data merge data window", "spark spark block", ""]
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([5, 6, 7], pa.int64()),
+        "text": pa.array(texts)}), path)
+    out = str(tmp_path / "idx")
+    build_index(path, out, batch_size=2, term_vectors=True)
+    r = IndexReader(out)
+    for did, text in zip([5, 6, 7], texts):
+        tv = r.term_vector(did)
+        want = Counter(text.split())
+        got = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
+        assert got == dict(want)
+        assert tv["term"].to_pylist() == sorted(want)  # term-sorted
