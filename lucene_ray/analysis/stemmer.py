@@ -241,3 +241,33 @@ class AnalyzerChain:
 
     def analyze_batch(self, texts):
         return [self(t if t is not None else "") for t in texts]
+
+
+class ShingleFilter:
+    """Word-shingle token filter
+    (``analysis/common/.../shingle/ShingleFilter.java`` semantics,
+    flattened to the list protocol: at each token position emit the
+    unigram (if ``output_unigrams``) followed by each shingle of size
+    ``min_shingle..max_shingle`` starting there, tokens joined by
+    ``token_separator``; trailing windows shorter than min_shingle
+    emit nothing). The phrase-speedup / common-grams role."""
+
+    def __init__(self, min_shingle: int = 2, max_shingle: int = 2,
+                 token_separator: str = "_",
+                 output_unigrams: bool = True):
+        assert 2 <= min_shingle <= max_shingle
+        self.min_shingle = min_shingle
+        self.max_shingle = max_shingle
+        self.sep = token_separator
+        self.output_unigrams = output_unigrams
+
+    def __call__(self, terms):
+        out = []
+        n = len(terms)
+        for i in range(n):
+            if self.output_unigrams:
+                out.append(terms[i])
+            for size in range(self.min_shingle, self.max_shingle + 1):
+                if i + size <= n:
+                    out.append(self.sep.join(terms[i:i + size]))
+        return out

@@ -326,3 +326,17 @@ def test_smallfloat_vectorized_matches_scalar():
     enc = int_to_byte4_array(xs)
     for x, e in zip(xs.tolist(), enc.tolist()):
         assert int_to_byte4(x) == e
+
+
+def test_shingle_filter():
+    from lucene_ray.analysis.stemmer import AnalyzerChain, ShingleFilter
+    f = ShingleFilter(2, 2)
+    assert f(["a", "b", "c"]) == ["a", "a_b", "b", "b_c", "c"]
+    f2 = ShingleFilter(2, 3, token_separator=" ", output_unigrams=False)
+    assert f2(["a", "b", "c", "d"]) == [
+        "a b", "a b c", "b c", "b c d", "c d"]
+    assert f([]) == []
+    assert f(["solo"]) == ["solo"]
+    chain = AnalyzerChain(ShingleFilter(2, 2))
+    assert chain("Data Merge Window") == [
+        "data", "data_merge", "merge", "merge_window", "window"]
