@@ -340,3 +340,26 @@ def test_shingle_filter():
     chain = AnalyzerChain(ShingleFilter(2, 2))
     assert chain("Data Merge Window") == [
         "data", "data_merge", "merge", "merge_window", "window"]
+
+
+def test_datetools_roundtrip_and_order():
+    from datetime import datetime, timezone, timedelta
+    from lucene_ray.analysis.datetools import (
+        RESOLUTIONS, date_to_string, round_floor, string_to_date)
+    dt = datetime(2024, 3, 7, 15, 42, 9, 123000)
+    assert date_to_string(dt, "day") == "20240307"
+    assert date_to_string(dt, "minute") == "202403071542"
+    assert date_to_string(dt, "millisecond") == "20240307154209123"
+    # round trip at every resolution == floor
+    assert string_to_date("20240307154209123") == dt
+    assert string_to_date("202403") == datetime(2024, 3, 1)
+    assert round_floor(dt, "hour") == datetime(2024, 3, 7, 15)
+    # lexicographic == chronological
+    a, b = datetime(1999, 12, 31, 23, 59), datetime(2000, 1, 1, 0, 0)
+    for res in RESOLUTIONS:
+        sa, sb = date_to_string(a, res), date_to_string(b, res)
+        assert sa <= sb
+    # tz-aware renders in UTC
+    east = datetime(2024, 1, 1, 1, 30,
+                    tzinfo=timezone(timedelta(hours=5)))
+    assert date_to_string(east, "hour") == "2023123120"
