@@ -248,6 +248,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "_score * ln(1 + n_chars)", 20),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
+        # numeric doc-values updates (IndexWriter.updateNumericDocValue
+        # analog): overlay generation + range query over updated values
+        "dv_update_range": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["dv_update_range"]).dv_update_range(_docp(sf)),
         # term vectors (forward index, Lucene90TermVectorsFormat /
         # IndexReader.getTermVector role)
         "term_vector_doc42": lambda sf: __import__(
@@ -667,6 +672,10 @@ GROUP BY d.lang ORDER BY count DESC, d.lang""",
         "blockjoin_orders": (
             "SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem "
             "WHERE lower(l_returnflag) = 'r' ORDER BY 1"),
+        "dv_update_range": (
+            "SELECT doc_id FROM documents WHERE (CASE WHEN doc_id % 9 = 0 "
+            "THEN 10000 + doc_id ELSE n_chars END) >= 10000 "
+            "ORDER BY doc_id"),
         "term_vector_doc42": f"""
 {_TOKS}
 SELECT term, count(*) AS tf FROM toks WHERE doc_id = 42

@@ -30,6 +30,10 @@ class SegmentInfo:
     # in segments/<id>/deletes_gen<del_gen>.parquet; -1 = none
     del_gen: int = -1
     del_count: int = 0
+    # numeric doc-values update generation (the .dvd-gen analog,
+    # IndexWriter.updateNumericDocValue): overlay rows live in
+    # segments/<id>/dv_updates_gen<dvu_gen>.parquet; -1 = none
+    dvu_gen: int = -1
 
     @property
     def live_docs(self) -> int:

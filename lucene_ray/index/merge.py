@@ -217,14 +217,37 @@ def _merge_bucket(group: pa.Table, norms_data, repack: bool,
 
 @ray.remote(num_returns=2)
 def _merge_group_docs(index_dir: str, seg_ids: list[str],
-                      del_gens: list[int], seg_dir: str):
+                      del_gens: list[int], seg_dir: str,
+                      dvu_gens: list[int] | None = None):
     """Per-group docs-table leg as a Ray task (no driver-resident docs):
-    concat + sort the group's docs tables, reclaim tombstones, write the
-    merged (live) docs.parquet, and return the norms broadcast tuple +
-    the group's live stats."""
+    concat + sort the group's docs tables, FOLD pending numeric
+    doc-values updates (the reference applies DV updates on merge too),
+    reclaim tombstones, write the merged (live) docs.parquet, and
+    return the norms broadcast tuple + the group's live stats."""
     doc_tables = [pq.read_table(os.path.join(
         index_dir, "segments", sid, "docs.parquet")) for sid in seg_ids]
     docs_table = pa.concat_tables(doc_tables).sort_by("doc_id")
+    dvu = [(sid, g) for sid, g in zip(seg_ids, dvu_gens or [])
+           if g >= 0]
+    if dvu:
+        ov = pa.concat_tables([pq.read_table(os.path.join(
+            index_dir, "segments", sid,
+            f"dv_updates_gen{g}.parquet")) for sid, g in dvu])
+        ids = docs_table.column("doc_id").to_numpy()
+        for col in set(ov.column("col").to_pylist()):
+            import pyarrow.compute as pc
+            sub = ov.filter(pc.equal(ov.column("col"), col))
+            ud = sub.column("doc_id").to_numpy()
+            uv = sub.column("value").to_numpy()
+            base = docs_table.column(col)
+            vals = base.to_numpy(zero_copy_only=False).copy()
+            pos = np.searchsorted(ids, ud)
+            hit = (pos < len(ids))
+            hit[hit] = ids[pos[hit]] == ud[hit]
+            vals[pos[hit]] = uv[hit]
+            docs_table = docs_table.set_column(
+                docs_table.column_names.index(col), col,
+                pa.array(vals, type=base.type))
     dels = [pq.read_table(os.path.join(
                 index_dir, "segments", sid, f"deletes_gen{dg}.parquet"))
             .column("doc_id").to_numpy()
@@ -304,7 +327,8 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
             # the tiny live stats come back
             norms_refs[gi], stats_ref = _merge_group_docs.remote(
                 index_dir, [s.seg_id for s in g], [s.del_gen for s in g],
-                seg_dir)
+                seg_dir,
+                [getattr(s, "dvu_gen", -1) for s in g])
             group_meta.append((gi, g, seg_id, seg_dir, stats_ref))
         group_meta = [(gi, g, seg_id, seg_dir, tuple(ray.get(ref)))
                       for gi, g, seg_id, seg_dir, ref in group_meta]

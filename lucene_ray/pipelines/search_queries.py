@@ -607,3 +607,30 @@ def term_vector_doc(doc_path: str, doc_id: int = 42) -> pa.Table:
     if not os.path.exists(os.path.join(out, "manifest_0.json")):
         build_index(doc_path, out, batch_size=2048, term_vectors=True)
     return IndexReader(out).term_vector(doc_id)
+
+
+def dv_update_range(doc_path: str) -> pa.Table:
+    """Numeric doc-values update (updateNumericDocValue analog) then a
+    range query over the overlaid column: docs with doc_id % 9 == 0
+    get n_chars := 10000 + doc_id, then n_chars >= 10000 matches
+    exactly those docs through the overlay path."""
+    import pyarrow.parquet as pq2
+
+    from ..index.dv_updates import update_numeric_dv
+    from ..search.query import NumericRangeQuery
+
+    key = hashlib.md5(("dvu:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"dvuidx-{key}")
+    marker = os.path.join(out, "_DVU_APPLIED")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    stored_cols=("n_chars",), doc_value_cols=("n_chars",))
+    if not os.path.exists(marker):
+        ids = pq2.read_table(doc_path, columns=["doc_id"]) \
+            .column("doc_id").to_numpy()
+        upd = {int(d): 10000 + int(d) for d in ids if d % 9 == 0}
+        update_numeric_dv(out, "n_chars", upd)
+        open(marker, "w").write("1")
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    docs = s.match_docs(NumericRangeQuery("n_chars", 10000, None))
+    return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})

@@ -78,6 +78,31 @@ def topk_by_field(reader, col: str, k: int = 10,
         if not os.path.isfile(dv_path):
             raise ValueError(f"no dv sidecar for {col}; build with "
                              f"doc_value_cols=({col!r},)")
+        ov = sr._dvu.get(col)
+        if ov is not None:
+            # DV updates present: value order in the sidecar is stale
+            # for the updated docs, so this segment reads fully and
+            # overlays before taking its k best (early termination
+            # would be unsound)
+            t = pq.read_table(dv_path, use_threads=False)
+            v = t.column("value").to_numpy().copy()
+            d = t.column("doc_id").to_numpy().astype(np.int64)
+            ud, uv = ov
+            # sidecar rows are value-sorted, not doc-sorted: map the
+            # overlay through a doc_id index
+            idx = {int(x): i for i, x in enumerate(d)}
+            for du, vu in zip(ud, uv):
+                j = idx.get(int(du))
+                if j is not None:
+                    v[j] = vu
+            m = sr.live_mask(d)
+            if m is not None:
+                v, d = v[m], d[m]
+            order = np.lexsort((d, v if ascending else -v))[:k]
+            got_v, got_d = [v[order]], [d[order]]
+            vals_all.append(np.concatenate(got_v))
+            docs_all.append(np.concatenate(got_d))
+            continue
         pf = pq.ParquetFile(dv_path)
         nrg = pf.metadata.num_row_groups
         rows_needed = k

@@ -192,7 +192,7 @@ def _row_to_postings(t: pa.Table, i: int) -> PackedPostings:
 
 class SegmentReader:
     def __init__(self, seg_dir: str, cache_size: int = 4096,
-                 del_gen: int = -1):
+                 del_gen: int = -1, dvu_gen: int = -1):
         self._seg_dir = seg_dir
         self._postings = _ShardedPostings(
             os.path.join(seg_dir, "postings.parquet"))
@@ -222,6 +222,20 @@ class SegmentReader:
             dp = os.path.join(seg_dir, f"deletes_gen{del_gen}.parquet")
             self.deleted = np.sort(pq.read_table(
                 dp, columns=["doc_id"]).column("doc_id").to_numpy())
+        # numeric doc-values overlay (updateNumericDocValue analog):
+        # col -> (sorted doc_ids, int64 values); consulted by stored()
+        # and every numeric-range / sort-by-value path
+        self._dvu: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        if dvu_gen >= 0:
+            up = os.path.join(seg_dir, f"dv_updates_gen{dvu_gen}.parquet")
+            t = pq.read_table(up)
+            cols = np.asarray(t.column("col").to_pylist(), dtype=object)
+            ud = t.column("doc_id").to_numpy()
+            uv = t.column("value").to_numpy()
+            for c in np.unique(cols):
+                m = cols == c
+                order = np.argsort(ud[m])
+                self._dvu[str(c)] = (ud[m][order], uv[m][order])
         # observability: rows/row-groups materialized from postings files
         self.rows_loaded = 0
         self.rg_reads = 0
@@ -391,6 +405,18 @@ class SegmentReader:
             return cached
         out = self._numeric_range_docs(col, lower, upper, include_lower,
                                        include_upper)
+        ov = self._dvu.get(col)
+        if ov is not None:
+            # overlay wins: drop updated docs from the base result,
+            # re-add those whose NEW value is in range
+            ud, uv = ov
+            out = out[~np.isin(out, ud)]
+            keep = np.ones(len(uv), dtype=bool)
+            if lower is not None:
+                keep &= (uv >= lower) if include_lower else (uv > lower)
+            if upper is not None:
+                keep &= (uv <= upper) if include_upper else (uv < upper)
+            out = np.sort(np.concatenate([out, ud[keep]]))
         self._dv_cache[ck] = out
         if len(self._dv_cache) > 64:  # LRUQueryCache role for filters
             self._dv_cache.popitem(last=False)
@@ -454,6 +480,12 @@ class SegmentReader:
             filters=[("doc_id", "in", docs.tolist())])
         got = dict(zip(t.column("doc_id").to_pylist(),
                        t.column(col).to_pylist()))
+        ov = self._dvu.get(col)
+        if ov is not None:
+            ud, uv = ov
+            for d, v in zip(ud, uv):
+                if int(d) in got:
+                    got[int(d)] = int(v)
         return [got.get(int(d)) for d in docs]
 
 
@@ -506,13 +538,14 @@ class IndexReader:
     def segment(self, seg_id: str) -> SegmentReader:
         r = self._readers.get(seg_id)
         if r is None:
-            del_gen = -1
+            del_gen = dvu_gen = -1
             for info in self.segment_infos:
                 if info.seg_id == seg_id:
                     del_gen = info.del_gen
+                    dvu_gen = getattr(info, "dvu_gen", -1)
                     break
             r = SegmentReader(os.path.join(self.index_dir, "segments", seg_id),
-                              del_gen=del_gen)
+                              del_gen=del_gen, dvu_gen=dvu_gen)
             self._readers[seg_id] = r
         return r
 
