@@ -320,6 +320,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), 42, max_query_terms=8, min_doc_freq=2, k=20),
         "suggest_prefix": lambda sf: suggest_completions(_docp(sf), "me", 10),
         "suggest_spell": lambda sf: suggest_corrections(_docp(sf), "merje", 5),
+        "suggest_wordbreak": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["suggest_word_breaks"])
+            .suggest_word_breaks(_docp(sf), "datamerge", 5),
         "suggest_infix": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
             fromlist=["suggest_infix"]).suggest_infix(_docp(sf), "er", 10),
@@ -657,6 +661,14 @@ SELECT term, levenshtein(term, 'merje') AS distance, df FROM dict
 WHERE term LIKE 'm%' AND abs(length(term) - 5) <= 2
   AND levenshtein(term, 'merje') <= 2
 ORDER BY distance, df DESC, term LIMIT 5""",
+        "suggest_wordbreak": f"""
+{_TOKS},
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         GROUP BY term)
+SELECT a.term AS lterm, b.term AS rterm, (a.df + b.df)::BIGINT AS df_sum
+FROM dict a JOIN dict b ON a.term || b.term = 'datamerge'
+WHERE length(a.term) >= 2 AND length(b.term) >= 2
+ORDER BY df_sum DESC, a.term LIMIT 5""",
         "suggest_infix": f"""
 {_TOKS}
 SELECT term, count(DISTINCT doc_id) AS df FROM toks

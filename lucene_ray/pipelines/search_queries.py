@@ -634,3 +634,9 @@ def dv_update_range(doc_path: str) -> pa.Table:
     s = Searcher(IndexReader(out), similarity="bm25_exact64")
     docs = s.match_docs(NumericRangeQuery("n_chars", 10000, None))
     return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})
+
+
+def suggest_word_breaks(doc_path: str, word: str, k: int = 5) -> pa.Table:
+    """WordBreakSpellChecker.suggestWordBreaks role."""
+    from ..search.suggest import word_breaks
+    return word_breaks(IndexReader(cached_index(doc_path)), word, k)

@@ -76,3 +76,44 @@ def complete_infix(reader: IndexReader, fragment: str,
         "term": pa.array(ranked, pa.string()),
         "df": pa.array([stats[t][0] for t in ranked], pa.int64()),
     })
+
+
+def word_breaks(reader: IndexReader, word: str, k: int = 5,
+                min_suggestion_len: int = 2) -> pa.Table:
+    """Word-break suggestions — ``suggest/spell/WordBreakSpellChecker
+    .java`` ``suggestWordBreaks`` role: split ``word`` into two
+    dictionary terms (both with df > 0, each at least
+    ``min_suggestion_len`` chars), ranked by combined popularity
+    (df_left + df_right desc, then left term asc)."""
+    cands = []
+    for cut in range(min_suggestion_len,
+                     len(word) - min_suggestion_len + 1):
+        a, b = word[:cut], word[cut:]
+        st = reader.term_stats([a, b])
+        if st[a][0] > 0 and st[b][0] > 0:
+            cands.append((a, b, st[a][0] + st[b][0]))
+    cands.sort(key=lambda t: (-t[2], t[0]))
+    cands = cands[:k]
+    return pa.table({
+        "lterm": pa.array([a for a, _, _ in cands], pa.string()),
+        "rterm": pa.array([b for _, b, _ in cands], pa.string()),
+        "df_sum": pa.array([s for _, _, s in cands], pa.int64()),
+    })
+
+
+def word_combinations(reader: IndexReader, terms: list[str],
+                      k: int = 5) -> pa.Table:
+    """``suggestWordCombinations``: adjacent query-term pairs whose
+    concatenation is a dictionary term, ranked by the combined term's
+    df desc, then position asc."""
+    pairs = [(i, terms[i] + terms[i + 1])
+             for i in range(len(terms) - 1)]
+    st = reader.term_stats([w for _, w in pairs])
+    cands = [(i, w, st[w][0]) for i, w in pairs if st[w][0] > 0]
+    cands.sort(key=lambda t: (-t[2], t[0]))
+    cands = cands[:k]
+    return pa.table({
+        "position": pa.array([i for i, _, _ in cands], pa.int64()),
+        "combined": pa.array([w for _, w, _ in cands], pa.string()),
+        "df": pa.array([d for _, _, d in cands], pa.int64()),
+    })

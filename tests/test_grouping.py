@@ -100,3 +100,15 @@ def test_term_in_set_constant_score(grp_index):
     s = Searcher(IndexReader(out), similarity="bm25_exact64")
     td = s.search(TermInSetQuery(("data", "merge"), boost=2.5), k=5)
     assert np.allclose(td.scores, 2.5)
+
+
+def test_word_breaks_and_combinations(grp_index):
+    from lucene_ray.search import IndexReader
+    from lucene_ray.search.suggest import word_breaks, word_combinations
+    r = IndexReader(grp_index[0])
+    # vocab: data merge spark window shard block
+    wb = word_breaks(r, "datamerge").to_pylist()
+    assert wb and wb[0]["lterm"] == "data" and wb[0]["rterm"] == "merge"
+    assert word_breaks(r, "xxyyzz").to_pylist() == []
+    wc = word_combinations(r, ["da", "ta", "merge"]).to_pylist()
+    assert wc and wc[0]["combined"] == "data" and wc[0]["position"] == 0
