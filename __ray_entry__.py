@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import dedup, similarity, text_analysis
     from lucene_ray.pipelines.search_queries import (
         bm25_topk, bm25_topk_lucene, cached_index, conjunction_docs,
-        dismax_topk, match_query_docs,
+        dismax_topk, match_query_docs, sim_topk,
     )
     from lucene_ray.pipelines.search_queries import (
         blockjoin_order_keys, dedup_update_live_docs, facet_lang_counts,
@@ -199,6 +199,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_match": lambda sf: _match(sf, "range"),
         "fuzzy_match": lambda sf: _match(sf, "fuzzy"),
         "bm25_dismax": lambda sf: dismax_topk(_docp(sf), _OR_TERMS, 0.3, 20),
+        # pluggable Similarity models (similarities package:
+        # ClassicSimilarity.java, LMDirichletSimilarity.java,
+        # BooleanSimilarity.java) on the exact-dl rails
+        "tfidf_or": lambda sf: sim_topk(_docp(sf), _OR_TERMS, "or",
+                                        "classic", 20),
+        "lm_dirichlet_or": lambda sf: sim_topk(_docp(sf), _OR_TERMS, "or",
+                                               "lm_dirichlet", 20),
+        "boolean_sim_and_or": lambda sf: sim_topk(
+            _docp(sf), [_ANDOR_MUST, *_ANDOR_SHOULD], "and_or", "boolean", 20),
         "phrase_match": lambda sf: match_query_docs(
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B))),
         "phrase_slop_match": lambda sf: match_query_docs(
@@ -560,6 +569,53 @@ ts AS (SELECT pt.doc_id,
             JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s),
 scored AS (SELECT doc_id, max(sc) + 0.3 * (sum(sc) - max(sc)) AS score
            FROM ts GROUP BY doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+        "tfidf_or": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+        GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum((ln((s.n + 1) / (dfs.df + 1.0)) + 1.0)
+             * sqrt(pt.tf) / sqrt(d.dl)) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+        "lm_dirichlet_or": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+tfs AS (SELECT term, count(*) AS ttf FROM toks
+        WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+        GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(greatest(0.0,
+             ln(1 + pt.tf / (2000.0 * (tfs.ttf + 1.0) / (s.sum_dl + 1.0)))
+             + ln(2000.0 / (d.dl + 2000.0)))) AS score
+  FROM pt JOIN tfs ON pt.term = tfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+        "boolean_sim_and_or": f"""
+{_TOKS},
+pt AS (SELECT DISTINCT doc_id, term FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in [_ANDOR_MUST, *_ANDOR_SHOULD])})),
+scored AS (SELECT doc_id, count(*) * 1.0 AS score FROM pt GROUP BY doc_id
+           HAVING count(CASE WHEN term = '{_ANDOR_MUST}' THEN 1 END) = 1)
 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
 FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
         "phrase_match": (

@@ -46,6 +46,24 @@ def _query(kind: str, terms: list[str]):
     raise ValueError(kind)
 
 
+def sim_topk(doc_path: str, terms: list[str], kind: str, sim: str,
+             k: int = 20) -> pa.Table:
+    """Top-k under a pluggable Similarity (similarities module role —
+    ClassicSimilarity / LMDirichletSimilarity / BooleanSimilarity).
+    Returns (doc_id, rank); ranks by float64 score desc, ties doc_id asc,
+    so an ANSI-SQL oracle reproduces them exactly."""
+    from ..search.similarities import (
+        BooleanSimilarity, ClassicSimilarity, LMDirichletSimilarity,
+    )
+    sims = {"classic": ClassicSimilarity, "lm_dirichlet": LMDirichletSimilarity,
+            "boolean": BooleanSimilarity}
+    s = Searcher(IndexReader(cached_index(doc_path)), similarity=sims[sim]())
+    td = s.search(_query(kind, terms), k=k)
+    ranks = np.arange(1, len(td.doc_ids) + 1, dtype=np.int64)
+    return pa.table({"doc_id": pa.array(td.doc_ids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64())})
+
+
 def bm25_topk(doc_path: str, terms: list[str], kind: str = "term",
               k: int = 10) -> pa.Table:
     """Top-k doc ids by BM25 (exact64 oracle mode).

@@ -86,6 +86,8 @@ class _TermPlan(NamedTuple):
     term: str
     weight: np.float32  # boost * idf (0 df -> weight computed but no postings)
     df: int
+    ttf: int = 0       # global total term freq (custom Similarity models)
+    boost: float = 1.0
 
 
 class Searcher:
@@ -96,10 +98,14 @@ class Searcher:
         """similarity: 'lucene' = exact float32 norm-quantized reference
         formula; 'bm25_exact64' = double precision with exact doc lengths
         (the Similarity plug point, SURVEY.md §2.10 — also what an
-        ANSI-SQL oracle computes)."""
+        ANSI-SQL oracle computes); or a ``similarities.Similarity``
+        object (Classic TF-IDF / LMDirichlet / Boolean) which runs on
+        the exact-dl unpruned rails (BM25 impact bounds don't apply)."""
+        from .similarities import Similarity as _Sim
         self.reader = reader
         self.k1, self.b = k1, b
-        self.exact64 = similarity == "bm25_exact64"
+        self.sim = similarity if isinstance(similarity, _Sim) else None
+        self.exact64 = similarity == "bm25_exact64" or self.sim is not None
         n = max(reader.doc_count, 1)
         self.avgdl = bm25.avg_field_length(max(reader.sum_total_term_freq, 1), n)
         self.avgdl64 = max(reader.sum_total_term_freq, 1) / float(n)
@@ -113,6 +119,10 @@ class Searcher:
 
     def _contrib(self, t: "_TermPlan", freqs: np.ndarray,
                  norm_data: np.ndarray) -> np.ndarray:
+        if self.sim is not None:
+            return self.sim.term_score(
+                freqs, norm_data, t.df, t.ttf, t.boost,
+                self.reader.doc_count, self.reader.sum_total_term_freq)
         if self.exact64:
             return bm25.score64(freqs, norm_data, t.df, self.reader.doc_count,
                                 self.avgdl64, self.k1, self.b)
@@ -125,9 +135,9 @@ class Searcher:
         n = self.reader.doc_count
 
         def tp(tq: TermQuery) -> _TermPlan:
-            df = stats[tq.term][0]
+            df, ttf = stats[tq.term]
             w = bm25.term_weight(tq.boost, df, n) if df > 0 else np.float32(0)
-            return _TermPlan(tq.term, w, df)
+            return _TermPlan(tq.term, w, df, ttf, tq.boost)
 
         if isinstance(q, TermQuery):
             return {"must": [tp(q)], "should": [], "must_not": [], "filter": [],

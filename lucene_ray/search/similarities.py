@@ -1,0 +1,85 @@
+"""Pluggable scoring models beyond BM25 (the Similarity plug point).
+
+Analogs of the reference's similarities package
+(``lucene/core/src/java/org/apache/lucene/search/similarities/``):
+
+- ``ClassicSimilarity`` — the classic TF-IDF vector-space model
+  (``ClassicSimilarity.java:38-63``, ``TFIDFSimilarity.java``):
+  ``score = boost * idf * sqrt(tf) * 1/sqrt(dl)`` with
+  ``idf = ln((docCount+1)/(df+1)) + 1``.
+- ``LMDirichletSimilarity`` — Dirichlet-smoothed query-likelihood LM
+  (``LMDirichletSimilarity.java:70-77``, ``LMSimilarity.java:146``):
+  ``score = boost * (ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)))`` clamped at
+  0, with collection probability ``p = (ttf+1)/(sum_ttf+1)``.
+- ``BooleanSimilarity`` — score == query boost, freq/length ignored
+  (``BooleanSimilarity.java:58-60``).
+
+Each similarity is a stateless float64 scorer over vectorized
+(freqs, dl) arrays; a ``Searcher(reader, similarity=obj)`` runs it on
+the exact-doc-length (exhaustive, unpruned) evaluation path — the same
+rails the ``bm25_exact64`` oracle mode uses — so results are
+deterministic and ANSI-SQL-expressible. BM25-specific impact pruning
+(WAND, block-max) stays off for custom models: their score bounds are
+not tf-monotone in general (LMDirichlet contributions clamp at 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Similarity:
+    """Per-term vectorized scorer protocol.
+
+    ``term_score`` receives the term's postings freqs for the candidate
+    docs, the exact doc lengths, the term's global (df, ttf), the query
+    boost and the collection stats, and returns float64 contributions
+    (one per candidate). Contributions from multiple query terms are
+    summed by the boolean combiner (BooleanWeight semantics).
+    """
+
+    name = "similarity"
+
+    def term_score(self, freqs: np.ndarray, dl: np.ndarray, df: int,
+                   ttf: int, boost: float, doc_count: int,
+                   sum_ttf: int) -> np.ndarray:
+        raise NotImplementedError
+
+
+class ClassicSimilarity(Similarity):
+    """TF-IDF: ``boost * (ln((n+1)/(df+1))+1) * sqrt(tf) / sqrt(dl)``."""
+
+    name = "classic"
+
+    def term_score(self, freqs, dl, df, ttf, boost, doc_count, sum_ttf):
+        idf = np.log((doc_count + 1) / (df + 1.0)) + 1.0
+        tf = np.sqrt(freqs.astype(np.float64))
+        norm = 1.0 / np.sqrt(np.maximum(dl.astype(np.float64), 1.0))
+        return boost * idf * tf * norm
+
+
+class LMDirichletSimilarity(Similarity):
+    """Dirichlet-smoothed LM, default mu=2000, clamped at 0."""
+
+    name = "lm_dirichlet"
+
+    def __init__(self, mu: float = 2000.0):
+        if not np.isfinite(mu) or mu < 0:
+            raise ValueError(f"illegal mu value: {mu}")
+        self.mu = float(mu)
+
+    def term_score(self, freqs, dl, df, ttf, boost, doc_count, sum_ttf):
+        p = (ttf + 1.0) / (sum_ttf + 1.0)
+        tf = freqs.astype(np.float64)
+        score = boost * (np.log1p(tf / (self.mu * p))
+                         + np.log(self.mu / (dl.astype(np.float64) + self.mu)))
+        return np.maximum(score, 0.0)
+
+
+class BooleanSimilarity(Similarity):
+    """score == boost; freq and length ignored."""
+
+    name = "boolean"
+
+    def term_score(self, freqs, dl, df, ttf, boost, doc_count, sum_ttf):
+        return np.full(len(freqs), float(boost), dtype=np.float64)
