@@ -70,15 +70,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dismax_topk, match_query_docs, sim_topk,
     )
     from lucene_ray.pipelines.search_queries import (
-        blockjoin_order_keys, dedup_update_live_docs, facet_lang_counts,
+        blockjoin_order_keys, dedup_update_live_docs, diversified_or_topk,
+        facet_lang_counts,
         highlight_top, incremental_build_stats, suggest_completions,
         suggest_corrections, topk_by_numeric_field,
         multi_field_match, numeric_range_match, parsed_query_docs,
         phrase_topk, point_box_match, synonym_query_docs,
     )
     from lucene_ray.search import (
-        FuzzyQuery, PhraseQuery, PrefixQuery, SpanNearQuery, TermRangeQuery,
-        WildcardQuery,
+        FuzzyQuery, MultiPhraseQuery, PhraseQuery, PrefixQuery, SpanNearQuery,
+        TermRangeQuery, WildcardQuery,
     )
 
     _MATCH_QUERIES = {
@@ -212,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B))),
         "phrase_slop_match": lambda sf: match_query_docs(
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B), slop=2)),
+        # phrase with per-position alternatives (MultiPhraseQuery.java)
+        "multi_phrase_match": lambda sf: match_query_docs(
+            _docp(sf), MultiPhraseQuery(((_TERM_A,), ("merge", "window")))),
         # spans / intervals (SpanNearQuery.java, Intervals.maxgaps)
         "span_near_ordered": lambda sf: match_query_docs(
             _docp(sf), SpanNearQuery((_TERM_A, _TERM_B), slop=3,
@@ -255,8 +259,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["function_score_topk"])
             .function_score_topk(_docp(sf), _OR_TERMS,
                                  "_score * ln(1 + n_chars)", 20),
+        # static-feature boosts (FeatureField saturation,
+        # LongField.newDistanceFeatureQuery)
+        "feature_saturation": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["feature_topk"])
+            .feature_topk(_docp(sf), _OR_TERMS, "saturation",
+                          weight=3.5, pivot=200.0),
+        "distance_feature": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["feature_topk"])
+            .feature_topk(_docp(sf), _OR_TERMS, "distance",
+                          weight=2.0, pivot=150.0, origin=500.0),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
+        # diversified top-k (misc DiversifiedTopDocsCollector): <=2/lang
+        "diversified_bm25_or": lambda sf: diversified_or_topk(
+            _docp(sf), _OR_TERMS, "lang", 2, 20),
         # numeric doc-values updates (IndexWriter.updateNumericDocValue
         # analog): overlay generation + range query over updated values
         "dv_update_range": lambda sf: __import__(
@@ -621,6 +640,10 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
         "phrase_match": (
             "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE "
             f"'% {_TERM_A} {_TERM_B} %' ORDER BY doc_id"),
+        "multi_phrase_match": (
+            "SELECT doc_id FROM documents WHERE "
+            f"' ' || text || ' ' LIKE '% {_TERM_A} merge %' OR "
+            f"' ' || text || ' ' LIKE '% {_TERM_A} window %' ORDER BY doc_id"),
         "synonym_match": (
             "SELECT doc_id FROM documents WHERE "
             "' ' || text || ' ' LIKE '% data %' OR "
@@ -737,6 +760,28 @@ FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t
               WHERE t.doc_id = d.doc_id AND t.term = 'data')
 GROUP BY d.lang ORDER BY count DESC, d.lang""",
+        "diversified_bm25_or": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id),
+keyed AS (
+  SELECT sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY doc.lang
+                            ORDER BY sc.score DESC, sc.doc_id) AS rnk
+  FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM keyed WHERE rnk <= 2 ORDER BY score DESC, doc_id LIMIT 20""",
         "blockjoin_orders": (
             "SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem "
             "WHERE lower(l_returnflag) = 'r' ORDER BY 1"),
@@ -1010,6 +1055,47 @@ scored AS (
        JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
   GROUP BY pt.doc_id),
 fs AS (SELECT sc.doc_id, sc.score * ln(1 + doc.n_chars) AS fscore
+       FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY fscore DESC, doc_id) AS rank
+FROM fs ORDER BY fscore DESC, doc_id LIMIT 20""",
+        "feature_saturation": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id),
+fs AS (SELECT sc.doc_id,
+              sc.score + 3.5 * doc.n_chars / (doc.n_chars + 200.0) AS fscore
+       FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY fscore DESC, doc_id) AS rank
+FROM fs ORDER BY fscore DESC, doc_id LIMIT 20""",
+        "distance_feature": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id),
+fs AS (SELECT sc.doc_id,
+              sc.score + 2.0 * 150.0 /
+                (150.0 + abs(doc.n_chars - 500.0)) AS fscore
        FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id)
 SELECT doc_id, row_number() OVER (ORDER BY fscore DESC, doc_id) AS rank
 FROM fs ORDER BY fscore DESC, doc_id LIMIT 20""",

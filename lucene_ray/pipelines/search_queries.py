@@ -397,6 +397,23 @@ def facet_lang_counts(doc_path: str, term: str, col: str = "lang") -> pa.Table:
     return facet_counts(s, TermQuery(term), col)
 
 
+def diversified_or_topk(doc_path: str, terms: list[str], col: str = "lang",
+                        max_per_key: int = 2, k: int = 20) -> pa.Table:
+    """Diversified top-k (DiversifiedTopDocsCollector role): global
+    BM25 (exact64) top-k over an OR query with at most ``max_per_key``
+    docs per stored-key value. Uses the facet-cache index (stores the
+    key column)."""
+    from ..search.facets import diversified_topk
+
+    key = hashlib.md5(("facet:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"facetidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    stored_cols=("lang", "source", "text"))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    return diversified_topk(s, _query("or", terms), col, max_per_key, k)
+
+
 def highlight_top(doc_path: str, term: str, k: int = 5) -> pa.Table:
     """Search + snippet highlighting (UnifiedHighlighter analog) over
     the facet-cache index (stores text)."""
@@ -437,6 +454,37 @@ def topk_by_numeric_field(doc_path: str, col: str, k: int = 20,
     if not os.path.exists(os.path.join(out, "manifest_0.json")):
         build_index(doc_path, out, batch_size=2048, doc_value_cols=(col,))
     return topk_by_field(IndexReader(out), col, k, ascending)
+
+
+def feature_topk(doc_path: str, terms: list[str], mode: str,
+                 field: str = "n_chars", k: int = 20, *,
+                 weight: float = 3.5, pivot: float = 200.0,
+                 origin: float = 500.0) -> pa.Table:
+    """Static-feature score boosting over an OR query —
+    FeatureField.newSaturationQuery (`mode='saturation'`) /
+    LongField.newDistanceFeatureQuery (`mode='distance'`) roles on a
+    numeric doc-value column; (doc_id, rank)."""
+    from ..search import or_query
+    from ..search.query import distance_feature_query, feature_saturation_query
+
+    inner = or_query(terms)
+    if mode == "saturation":
+        q = feature_saturation_query(inner, field, weight, pivot)
+    elif mode == "distance":
+        q = distance_feature_query(inner, field, origin, pivot, weight)
+    else:
+        raise ValueError(mode)
+    key = hashlib.md5(("num2:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"numidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    doc_value_cols=(field,))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    td = s.search(q, k=k)
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+    })
 
 
 def function_score_topk(doc_path: str, terms: list[str], expression: str,

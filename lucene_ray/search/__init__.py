@@ -9,6 +9,7 @@ from .query import (
     FunctionScoreQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     SpanNearQuery,
     PrefixQuery,
@@ -29,7 +30,8 @@ from .searcher import Searcher, TopDocs, merge_top_docs
 __all__ = [
     "idf", "avg_field_length", "norm_inverse_cache", "score_freqs", "score64",
     "Query", "TermQuery", "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
-    "DisjunctionMaxQuery", "MatchAllDocsQuery", "PhraseQuery", "SpanNearQuery", "PrefixQuery", "WildcardQuery",
+    "DisjunctionMaxQuery", "MatchAllDocsQuery", "MultiPhraseQuery",
+    "PhraseQuery", "SpanNearQuery", "PrefixQuery", "WildcardQuery",
     "RegexpQuery", "TermInSetQuery", "TermRangeQuery", "FuzzyQuery",
     "FunctionScoreQuery",
     "and_query", "or_query", "parse_simple", "query_terms",

@@ -196,3 +196,47 @@ def taxonomy_facet_counts(searcher: Searcher, q: Query,
         "path": pa.array([p for p, _ in items], pa.string()),
         "count": pa.array([n for _, n in items], pa.int64()),
     })
+
+
+def diversified_topk(searcher: Searcher, q: Query, col: str,
+                     max_per_key: int = 2, k: int = 20) -> pa.Table:
+    """Diversified top-k (``misc/src/java/org/apache/lucene/misc/search/
+    DiversifiedTopDocsCollector.java``; tests ``TestDiversifiedTopDocs
+    Collector.java``): the global top-k by score with at most
+    ``max_per_key`` hits sharing one key — walk hits in (score desc,
+    docID asc) order and skip docs whose key already hit the cap,
+    which is exactly "rank-within-key <= cap then global top-k".
+    Keys come from the stored ``col`` (the reference uses a
+    NumericDocValues key source). Returns (doc_id, rank)."""
+    q = searcher.rewrite(q)
+    from .query import query_terms
+    searcher._prefetch(sorted(set(query_terms(q))))
+    prep = searcher._prepare(q)
+    parts_d, parts_s, keys = [], [], []
+    for sr in searcher.reader.segments():
+        d, s = searcher._eval(sr, prep, k, -np.inf, top=False)
+        if d is None or len(d) == 0:
+            continue
+        parts_d.append(np.asarray(d, dtype=np.int64))
+        parts_s.append(np.asarray(s, dtype=np.float64))
+        keys.extend(sr.stored(np.asarray(d, dtype=np.int64), col))
+    if not parts_d:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    docs = np.concatenate(parts_d)
+    scores = np.concatenate(parts_s)
+    order = np.lexsort((docs, -scores))
+    counts: Counter = Counter()
+    out: list[int] = []
+    for i in order:
+        kk = keys[i]
+        if counts[kk] >= max_per_key:
+            continue
+        counts[kk] += 1
+        out.append(int(docs[i]))
+        if len(out) == k:
+            break
+    return pa.table({
+        "doc_id": pa.array(out, pa.int64()),
+        "rank": pa.array(np.arange(1, len(out) + 1), pa.int64()),
+    })

@@ -80,6 +80,26 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Exact phrase with term ALTERNATIVES per position
+    (search/MultiPhraseQuery.java; tests TestMultiPhraseQuery.java) —
+    ``(("data",), ("merge", "window"))`` matches "data merge" or
+    "data window". Each slot's postings are the union of its
+    alternatives' positions (UnionPostingsEnum role); matching then
+    proceeds like the exact phrase matcher. Scored with BM25 over the
+    phrase frequency and the idf summed over every term in every slot
+    (MultiPhraseWeight term-statistics collection). Requires
+    positions."""
+    positions: tuple = ()  # tuple of tuples of alternative terms
+    boost: float = 1.0
+    field: str | None = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "positions",
+                           tuple(tuple(alts) for alts in self.positions))
+
+
+@dataclass(frozen=True)
 class SpanNearQuery(Query):
     """Proximity query over term clauses on positional postings — the
     spans / intervals role (``core/.../search/spans/SpanNearQuery.java``,
@@ -361,6 +381,30 @@ def term_query(t: str) -> TermQuery:
     return TermQuery(t)
 
 
+def feature_saturation_query(inner: Query, field: str, weight: float,
+                             pivot: float) -> FunctionScoreQuery:
+    """FeatureField.newSaturationQuery analog
+    (``document/FeatureField.java`` SaturationFunction: score
+    contribution ``weight * S / (S + pivot)`` for feature value S),
+    combined additively with the inner score as a SHOULD clause
+    would be. The feature lives in a numeric doc-value column."""
+    return FunctionScoreQuery(
+        inner, f"_score + {weight} * {field} / ({field} + {pivot})")
+
+
+def distance_feature_query(inner: Query, field: str, origin: float,
+                           pivot: float, weight: float = 1.0
+                           ) -> FunctionScoreQuery:
+    """LongField.newDistanceFeatureQuery analog
+    (``document/LongField.java`` / LongDistanceFeatureQuery: score
+    contribution ``weight * pivot / (pivot + |value - origin|)``),
+    added to the inner score — boosts docs whose numeric value is
+    near the origin (recency/proximity boosting)."""
+    return FunctionScoreQuery(
+        inner,
+        f"_score + {weight} * {pivot} / ({pivot} + abs({field} - {origin}))")
+
+
 def and_query(terms) -> BooleanQuery:
     return BooleanQuery(must=tuple(TermQuery(t) for t in terms))
 
@@ -412,4 +456,6 @@ def query_terms(q: Query) -> list[str]:
         return out
     if isinstance(q, (PhraseQuery, SpanNearQuery, TermInSetQuery)):
         return list(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return [t for alts in q.positions for t in alts]
     return []  # MatchAll / unexpanded multi-term

@@ -34,6 +34,7 @@ from .query import (
     FunctionScoreQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     NumericRangeQuery,
     PhraseQuery,
     PrefixQuery,
@@ -200,6 +201,14 @@ class Searcher:
             if len(q.terms) == 1:
                 return TermQuery(q.terms[0], q.boost * boost)
             return PhraseQuery(q.terms, q.boost * boost, q.slop)
+        if isinstance(q, MultiPhraseQuery):
+            if len(q.positions) == 1 and len(q.positions[0]) == 1:
+                return TermQuery(q.positions[0][0], q.boost * boost)
+            if all(len(a) == 1 for a in q.positions):
+                # no alternatives anywhere -> plain phrase
+                return PhraseQuery(tuple(a[0] for a in q.positions),
+                                   q.boost * boost)
+            return MultiPhraseQuery(q.positions, q.boost * boost)
         if isinstance(q, SpanNearQuery):
             if len(q.terms) == 1:
                 return TermQuery(q.terms[0], q.boost * boost)
@@ -438,6 +447,21 @@ class Searcher:
             if isinstance(q, SpanNearQuery):
                 return ("span", q.terms, weight, dfs, q.slop, q.in_order)
             return ("phrase", q.terms, weight, dfs, q.slop)
+        if isinstance(q, MultiPhraseQuery):
+            # idf over every alternative in every slot
+            # (MultiPhraseWeight collects all TermStatistics)
+            flat = [t for alts in q.positions for t in alts]
+            stats = self.reader.term_stats(flat)
+            n = self.reader.doc_count
+            idf_sum = 0.0
+            dfs = []
+            for t in flat:
+                df = stats[t][0]
+                dfs.append(df)
+                if df > 0:
+                    idf_sum += float(bm25.idf(df, n))
+            weight = np.float32(np.float32(q.boost) * np.float32(idf_sum))
+            return ("mphrase", q.positions, weight, dfs, 0)
         raise TypeError(f"unpreparable query {type(q)}")
 
     def _eval(self, sr: SegmentReader, prep, k: int, threshold: float,
@@ -460,10 +484,12 @@ class Searcher:
             docs = sr.live_doc_ids()
             dt = np.float64 if self.exact64 else np.float32
             return docs, np.full(len(docs), prep[1], dtype=dt)
-        if kind in ("phrase", "span"):
+        if kind in ("phrase", "span", "mphrase"):
             if kind == "span":
                 docs, freqs = self._span_freqs(sr, prep[1], prep[4],
                                                prep[5])
+            elif kind == "mphrase":
+                docs, freqs = self._mphrase_freqs(sr, prep[1])
             else:
                 docs, freqs = self._phrase_freqs(sr, prep[1], prep[4])
             if docs is None or len(docs) == 0:
@@ -604,6 +630,48 @@ class Searcher:
             sel = np.isin(occ_doc, cand)
             k = (np.searchsorted(cand, occ_doc[sel]).astype(np.int64) << 32) \
                 + (pos[sel] - i + off)
+            keys = k if keys is None else keys[np.isin(keys, k,
+                                                       assume_unique=True)]
+            if len(keys) == 0:
+                return None, None
+        doc_ord = (keys >> 32).astype(np.int64)
+        pfreq = np.bincount(doc_ord, minlength=len(cand))
+        hit = pfreq > 0
+        return cand[hit], pfreq[hit].astype(np.int32)
+
+    def _mphrase_freqs(self, sr: SegmentReader, positions: tuple):
+        """(docs, phrase_freq) for a MultiPhraseQuery in one segment:
+        each slot's occurrence set is the UNION of its alternatives'
+        (doc, pos) pairs (MultiPhraseQuery.UnionPostingsEnum role), then
+        the exact-phrase key intersection runs unchanged — occurrences
+        become ``doc_ord * 2^32 + (pos - slot)`` keys whose cross-slot
+        intersection leaves one key per phrase start."""
+        slot_occ = []
+        for alts in positions:
+            docs_l, pos_l = [], []
+            for t in dict.fromkeys(alts):
+                got = sr.get_positions(t)
+                if got is None:
+                    continue
+                docs, freqs, pos = got
+                docs_l.append(np.repeat(docs, freqs))
+                pos_l.append(pos)
+            if not docs_l:
+                return None, None  # a slot with no postings kills the phrase
+            slot_occ.append((np.concatenate(docs_l), np.concatenate(pos_l)))
+        cand = np.unique(slot_occ[0][0])
+        cand, = self._live(sr, cand)
+        for od, _ in slot_occ[1:]:
+            cand = cand[np.isin(cand, od)]
+            if len(cand) == 0:
+                return None, None
+        keys = None
+        off = len(slot_occ)
+        for i, (od, op) in enumerate(slot_occ):
+            sel = np.isin(od, cand)
+            k = (np.searchsorted(cand, od[sel]).astype(np.int64) << 32) \
+                + (op[sel] - i + off)
+            k = np.unique(k)  # alternatives can't collide, but be safe
             keys = k if keys is None else keys[np.isin(keys, k,
                                                        assume_unique=True)]
             if len(keys) == 0:
@@ -937,6 +1005,9 @@ class Searcher:
                     if parts else np.empty(0, np.int64))
         if isinstance(q, PhraseQuery):
             docs, _ = self._phrase_freqs(sr, q.terms, q.slop)
+            return docs if docs is not None else np.empty(0, np.int64)
+        if isinstance(q, MultiPhraseQuery):
+            docs, _ = self._mphrase_freqs(sr, q.positions)
             return docs if docs is not None else np.empty(0, np.int64)
         if isinstance(q, SpanNearQuery):
             docs, _ = self._span_freqs(sr, q.terms, q.slop, q.in_order)
