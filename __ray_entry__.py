@@ -222,6 +222,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      in_order=True)),
         "span_near_unordered": lambda sf: match_query_docs(
             _docp(sf), SpanNearQuery((_TERM_A, _TERM_B), slop=3)),
+        # BlendedTermQuery: blended df = max(df_i), dismax(0.01)
+        "blended_term": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["blended_term_topk"])
+            .blended_term_topk(_docp(sf), _OR_TERMS, 0.01, 20),
+        # CommonTermsQuery: df-split boolean rewrite at cutoff 0.78
+        "common_terms": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["common_terms_topk"])
+            .common_terms_topk(_docp(sf), ["data", "merge", "window",
+                                           "spark"], 0.78, 20),
+        # surround query language (queryparser/surround): distance ops
+        "surround_query": lambda sf: match_query_docs(
+            _docp(sf), __import__(
+                "lucene_ray.search.surroundparser",
+                fromlist=["parse_surround"])
+            .parse_surround(f"4W({_TERM_A}, {_TERM_B}) AND window")),
         "parsed_query": lambda sf: parsed_query_docs(
             _docp(sf), 'data AND (merge OR "window data") -spark'),
         # query-time SynonymGraph (QueryBuilder.analyzeGraphBoolean):
@@ -688,6 +705,66 @@ b AS (SELECT doc_id, pos FROM pos WHERE term = '{_TERM_B}')
 SELECT DISTINCT a.doc_id AS doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id
              AND a.pos <> b.pos AND abs(a.pos - b.pos) - 1 <= 3
+ORDER BY a.doc_id""",
+        "blended_term": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+dfb AS (SELECT max(df) AS dfb FROM dfs),
+ts AS (SELECT pt.doc_id,
+              ln(1 + (s.n - b.dfb + 0.5) / (b.dfb + 0.5)) * pt.tf /
+                (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS sc
+       FROM pt CROSS JOIN dfb b
+            JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s),
+scored AS (SELECT doc_id, max(sc) + 0.01 * (sum(sc) - max(sc)) AS score
+           FROM ts GROUP BY doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+        "common_terms": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('data', 'merge', 'window', 'spark')
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+split AS (SELECT term, df,
+                 (df > ceil(0.78 * (SELECT count(*) FROM documents)))
+                     AS is_high
+          FROM dfs),
+nlow AS (SELECT count(CASE WHEN NOT is_high THEN 1 END) AS n_low,
+                count(CASE WHEN is_high THEN 1 END) AS n_high FROM split),
+ts AS (SELECT pt.doc_id, sp.is_high,
+              ln(1 + (s.n - sp.df + 0.5) / (sp.df + 0.5)) * pt.tf /
+                (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS sc
+       FROM pt JOIN split sp ON pt.term = sp.term
+            JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s),
+scored AS (SELECT doc_id, sum(sc) AS score,
+                  count(CASE WHEN NOT is_high THEN 1 END) AS m_low,
+                  count(CASE WHEN is_high THEN 1 END) AS m_high
+           FROM ts GROUP BY doc_id),
+elig AS (SELECT sc.* FROM scored sc CROSS JOIN nlow
+         WHERE (nlow.n_low > 0 AND sc.m_low >= 1)
+            OR (nlow.n_low = 0 AND sc.m_high = nlow.n_high))
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM elig ORDER BY score DESC, doc_id LIMIT 20""",
+        "surround_query": f"""
+WITH lists AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS l
+               FROM documents),
+pos AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+        FROM lists),
+a AS (SELECT doc_id, pos FROM pos WHERE term = '{_TERM_A}'),
+b AS (SELECT doc_id, pos FROM pos WHERE term = '{_TERM_B}'),
+w AS (SELECT DISTINCT doc_id FROM pos WHERE term = 'window')
+SELECT DISTINCT a.doc_id AS doc_id
+FROM a JOIN b ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+     JOIN w ON w.doc_id = a.doc_id
 ORDER BY a.doc_id""",
         "event_sessions": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),

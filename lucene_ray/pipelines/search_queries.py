@@ -456,6 +456,47 @@ def topk_by_numeric_field(doc_path: str, col: str, k: int = 20,
     return topk_by_field(IndexReader(out), col, k, ascending)
 
 
+def blended_term_topk(doc_path: str, terms: list[str], tie: float = 0.01,
+                      k: int = 20) -> pa.Table:
+    """BlendedTermQuery role (core search/BlendedTermQuery.java):
+    every term scores with the blended df = max(df_i), combined by
+    DisjunctionMax(tie=0.01) — the reference's default
+    DISJUNCTION_MAX_REWRITE. (doc_id, rank), exact64 arithmetic."""
+    from ..search import DisjunctionMaxQuery
+    from ..search.similarities import BlendedBM25Similarity
+
+    reader = IndexReader(cached_index(doc_path))
+    stats = reader.term_stats(list(terms))
+    df_blend = max(stats[t][0] for t in terms)
+    s = Searcher(reader, similarity=BlendedBM25Similarity(df_blend))
+    q = DisjunctionMaxQuery(tuple(TermQuery(t) for t in terms), tie)
+    td = s.search(q, k=k)
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+    })
+
+
+def common_terms_topk(doc_path: str, terms: list[str],
+                      max_term_frequency: float, k: int = 20) -> pa.Table:
+    """CommonTermsQuery role: df-split boolean rewrite (high-frequency
+    terms optional, low-frequency terms required as a group), scored
+    exact64; (doc_id, rank)."""
+    from ..search.query import common_terms_query
+
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    stats = s.reader.term_stats(list(terms))
+    dfs = {t: stats[t][0] for t in terms}
+    q = common_terms_query(terms, dfs, s.reader.doc_count,
+                           max_term_frequency)
+    td = s.search(q, k=k)
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+    })
+
+
 def feature_topk(doc_path: str, terms: list[str], mode: str,
                  field: str = "n_chars", k: int = 20, *,
                  weight: float = 3.5, pivot: float = 200.0,

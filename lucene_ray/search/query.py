@@ -381,6 +381,45 @@ def term_query(t: str) -> TermQuery:
     return TermQuery(t)
 
 
+def common_terms_query(terms, df_by_term: dict, max_doc: int,
+                       max_term_frequency: float = 0.01,
+                       low_freq_occur: str = "should",
+                       high_freq_occur: str = "should",
+                       low_freq_msm: int = 0,
+                       high_freq_msm: int = 0) -> Query:
+    """CommonTermsQuery rewrite (``queries/src/java/org/apache/lucene/
+    queries/CommonTermsQuery.java:145-205`` buildQuery; tests
+    ``CommonTermsQueryTest.java``): terms whose df exceeds
+    ``ceil(max_term_frequency * max_doc)`` (or the absolute count when
+    >= 1) form the optional high-frequency group; the rest form the
+    low-frequency group required as a MUST clause. With no low-freq
+    terms the high-freq group becomes a conjunction (the reference's
+    slow-query guard). Scores sum over every matched term."""
+    import math
+    low, high = [], []
+    thr = (max_term_frequency if max_term_frequency >= 1
+           else math.ceil(max_term_frequency * float(max_doc)))
+    for t in terms:
+        df = df_by_term.get(t, 0)
+        (high if df > thr else low).append(TermQuery(t))
+    occ_high = high_freq_occur
+    if not low and high_freq_msm == 0 and occ_high != "must":
+        occ_high = "must"
+    clauses_must, clauses_should = [], []
+    if low:
+        g = (BooleanQuery(must=tuple(low)) if low_freq_occur == "must"
+             else BooleanQuery(should=tuple(low),
+                               min_should_match=low_freq_msm))
+        clauses_must.append(g)
+    if high:
+        g = (BooleanQuery(must=tuple(high)) if occ_high == "must"
+             else BooleanQuery(should=tuple(high),
+                               min_should_match=high_freq_msm))
+        (clauses_should if low else clauses_must).append(g)
+    return BooleanQuery(must=tuple(clauses_must),
+                        should=tuple(clauses_should))
+
+
 def feature_saturation_query(inner: Query, field: str, weight: float,
                              pivot: float) -> FunctionScoreQuery:
     """FeatureField.newSaturationQuery analog

@@ -83,3 +83,28 @@ class BooleanSimilarity(Similarity):
 
     def term_score(self, freqs, dl, df, ttf, boost, doc_count, sum_ttf):
         return np.full(len(freqs), float(boost), dtype=np.float64)
+
+
+class BlendedBM25Similarity(Similarity):
+    """BM25 with BLENDED term statistics — the scoring side of
+    ``core/src/java/org/apache/lucene/search/BlendedTermQuery.java:285``
+    (``df = max(df_i)`` across the blended terms, applied to every
+    term via adjustFrequencies): each term scores as if its docFreq
+    were the blend, so synonyms/variants rank comparably. Combined by
+    the caller via DisjunctionMax(tie=0.01), the reference's default
+    DISJUNCTION_MAX_REWRITE."""
+
+    name = "blended_bm25"
+
+    def __init__(self, df_blend: int, k1: float = 1.2, b: float = 0.75):
+        self.df_blend = int(df_blend)
+        self.k1, self.b = float(k1), float(b)
+
+    def term_score(self, freqs, dl, df, ttf, boost, doc_count, sum_ttf):
+        idf = np.log(1 + (doc_count - self.df_blend + 0.5)
+                     / (self.df_blend + 0.5))
+        avgdl = sum_ttf / float(max(doc_count, 1))
+        tf = freqs.astype(np.float64)
+        return boost * idf * tf / (
+            tf + self.k1 * (1 - self.b + self.b
+                            * dl.astype(np.float64) / avgdl))
