@@ -222,6 +222,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      in_order=True)),
         "span_near_unordered": lambda sf: match_query_docs(
             _docp(sf), SpanNearQuery((_TERM_A, _TERM_B), slop=3)),
+        # replicator module: delta-sync the index, search the REPLICA
+        "replica_search": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["replica_search_topk"])
+            .replica_search_topk(_docp(sf), _OR_TERMS, "or", 20),
         # BlendedTermQuery: blended df = max(df_i), dismax(0.01)
         "blended_term": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -706,6 +711,7 @@ SELECT DISTINCT a.doc_id AS doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id
              AND a.pos <> b.pos AND abs(a.pos - b.pos) - 1 <= 3
 ORDER BY a.doc_id""",
+        "replica_search": _bm25_multi_sql(_OR_TERMS, 20, require_all=False),
         "blended_term": f"""
 {_TOKS},
 {_DL},

@@ -456,6 +456,26 @@ def topk_by_numeric_field(doc_path: str, col: str, k: int = 20,
     return topk_by_field(IndexReader(out), col, k, ascending)
 
 
+def replica_search_topk(doc_path: str, terms: list[str], kind: str = "or",
+                        k: int = 20) -> pa.Table:
+    """Replicator-module role end-to-end: sync the index into a replica
+    directory (delta copy, manifest-last publish), then answer the
+    query FROM THE REPLICA — results must equal searching the source
+    (gated by the same BM25 SQL oracle)."""
+    from ..index.replicator import replicate
+
+    src = cached_index(doc_path)
+    key = hashlib.md5(("replica:" + doc_path).encode()).hexdigest()[:12]
+    dst = os.path.join(_CACHE_ROOT, f"replica-{key}")
+    replicate(src, dst)
+    s = Searcher(IndexReader(dst), similarity="bm25_exact64")
+    td = s.search(_query(kind, terms), k=k)
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+    })
+
+
 def blended_term_topk(doc_path: str, terms: list[str], tie: float = 0.01,
                       k: int = 20) -> pa.Table:
     """BlendedTermQuery role (core search/BlendedTermQuery.java):
