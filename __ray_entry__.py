@@ -27,6 +27,12 @@ _DL = ("dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)")
 _STATS = ("stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl, "
           "sum(dl) * 1.0 / count(*) AS avgdl FROM dl)")
 
+# the 33-word reference English stop list, quoted for SQL IN (...)
+_STOP_IN = ",".join(f"'{w}'" for w in (
+    "a an and are as at be but by for if in into is it no not of on "
+    "or such that the their then there these they this to was will with"
+).split())
+
 _TERM_A = "data"
 _TERM_B = "merge"
 _AND_TERMS = ["data", "merge", "window"]
@@ -364,6 +370,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII/pattern screening (vectorized Arrow regex kernels)
         "pattern_counts": lambda sf: text_analysis.pattern_counts(
             _docp(sf)),
+        # --- web-text curation ops (pipelines/webtext.py) ---
+        # Gopher-style quality rules: integer repetition/shape metrics
+        "gopher_quality": lambda sf: __import__(
+            "lucene_ray.pipelines.webtext", fromlist=["gopher_quality"])
+            .gopher_quality(_docp(sf)),
+        # deterministic salted-md5 sampling (CCNet-style keep rule)
+        "sample_hash": lambda sf: __import__(
+            "lucene_ray.pipelines.webtext", fromlist=["sample_hash"])
+            .sample_hash(_docp(sf), 10, "s"),
+        "sample_stratified": lambda sf: __import__(
+            "lucene_ray.pipelines.webtext", fromlist=["sample_stratified"])
+            .sample_stratified(_docp(sf), {"en": 30, "zh": 80, "es": 80,
+                                           "de": 80, "fr": 80}, 50, "s"),
+        # benchmark-contamination screening (word-8-gram membership
+        # against a broadcast benchmark gram set)
+        "contamination_8gram": lambda sf: __import__(
+            "lucene_ray.pipelines.webtext", fromlist=["contamination"])
+            .contamination(_docp(sf), 8, 97),
         # MoreLikeThis (queries/mlt/MoreLikeThis.java): tf*idf term
         # selection from a source doc -> OR query, exact64 scores
         "more_like_this": lambda sf: text_analysis.more_like_this(
@@ -542,6 +566,72 @@ SELECT doc_id,
   len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_urls,
   len(regexp_extract_all(text, '[aeiou]{2,}'))::BIGINT AS n_vowel_runs
 FROM documents""",
+        "gopher_quality": f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split(text,' '),
+                                       x -> x <> '') AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS term,
+             unnest(range(1, len(toks)+1)) AS ord FROM tl),
+base AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(length(term))::BIGINT AS word_chars,
+         count(*) FILTER (WHERE regexp_matches(term,'[a-zA-Z]'))::BIGINT
+             AS n_alpha_words,
+         count(*) FILTER (WHERE term IN ({_STOP_IN}))::BIGINT AS n_stop_words
+         FROM t GROUP BY doc_id),
+bi AS (SELECT a.doc_id, a.term AS t1, b.term AS t2 FROM t a
+       JOIN t b ON a.doc_id=b.doc_id AND b.ord=a.ord+1),
+bc AS (SELECT doc_id, t1, t2, count(*) AS cnt,
+              length(t1)+length(t2)+1 AS blen FROM bi GROUP BY ALL),
+mx AS (SELECT doc_id, max(cnt) AS c FROM bc GROUP BY doc_id),
+top2 AS (SELECT bc.doc_id, any_value(mx.c)::BIGINT AS top2gram_count,
+         max(bc.cnt*bc.blen)::BIGINT AS top2gram_chars
+         FROM bc JOIN mx ON bc.doc_id=mx.doc_id AND bc.cnt=mx.c
+         GROUP BY bc.doc_id),
+dup2 AS (SELECT doc_id, coalesce(sum(blen*cnt) FILTER (WHERE cnt>=2),0)::BIGINT
+             AS dup2gram_chars FROM bc GROUP BY doc_id),
+g5 AS (SELECT doc_id, array_to_string(toks[i:i+4],' ') AS gram FROM
+       (SELECT doc_id, toks, unnest(range(1, len(toks)-3)) AS i
+        FROM tl WHERE len(toks)>=5)),
+gc5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY ALL),
+dup5 AS (SELECT doc_id, coalesce(sum(length(gram)*cnt) FILTER (WHERE cnt>=2),
+             0)::BIGINT AS dup5gram_chars FROM gc5 GROUP BY doc_id)
+SELECT d.doc_id, b.n_words, b.word_chars, b.n_alpha_words, b.n_stop_words,
+  coalesce(t2.top2gram_count,0) AS top2gram_count,
+  coalesce(t2.top2gram_chars,0) AS top2gram_chars,
+  coalesce(dup2.dup2gram_chars,0) AS dup2gram_chars,
+  coalesce(dup5.dup5gram_chars,0) AS dup5gram_chars,
+  (CASE WHEN b.n_words BETWEEN 30 AND 50000
+        AND 3*b.n_words <= b.word_chars AND b.word_chars <= 10*b.n_words
+        AND 5*b.n_alpha_words >= 4*b.n_words AND b.n_stop_words >= 2
+        AND 5*coalesce(t2.top2gram_chars,0) < b.word_chars
+        AND 4*coalesce(dup2.dup2gram_chars,0) < b.word_chars
+        AND 2*coalesce(dup5.dup5gram_chars,0) < b.word_chars
+   THEN 1 ELSE 0 END)::BIGINT AS gopher_pass
+FROM documents d JOIN base b USING (doc_id)
+LEFT JOIN top2 t2 ON d.doc_id=t2.doc_id
+LEFT JOIN dup2 ON d.doc_id=dup2.doc_id
+LEFT JOIN dup5 ON d.doc_id=dup5.doc_id""",
+        "sample_hash": ("SELECT doc_id FROM documents WHERE "
+                        "('0x'||substr(md5('s:'||doc_id::VARCHAR),1,8))"
+                        "::UBIGINT % 100 < 10"),
+        "sample_stratified": """
+SELECT doc_id, lang FROM documents
+WHERE ('0x'||substr(md5('s:'||doc_id::VARCHAR),1,8))::UBIGINT % 100 <
+      CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 80 WHEN 'es' THEN 80
+                WHEN 'de' THEN 80 WHEN 'fr' THEN 80 ELSE 50 END""",
+        "contamination_8gram": """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text,' '),
+                                       x -> x <> '') AS toks FROM documents),
+g8 AS (SELECT doc_id, array_to_string(toks[i:i+7],' ') AS gram FROM
+       (SELECT doc_id, toks, unnest(range(1, len(toks)-6)) AS i
+        FROM tl WHERE len(toks)>=8)),
+bench AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 97 = 0),
+cnt AS (SELECT g8.doc_id, count(*)::BIGINT AS n_grams,
+        count(*) FILTER (WHERE gram IN (SELECT gram FROM bench))::BIGINT
+            AS n_contaminated FROM g8 GROUP BY g8.doc_id)
+SELECT d.doc_id, coalesce(c.n_grams,0) AS n_grams,
+       coalesce(c.n_contaminated,0) AS n_contaminated,
+       (coalesce(c.n_contaminated,0) > 0)::BIGINT AS contaminated
+FROM documents d LEFT JOIN cnt c USING (doc_id)""",
         "more_like_this": f"""
 {_TOKS},
 {_DL},

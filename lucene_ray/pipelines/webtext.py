@@ -1,0 +1,314 @@
+"""Web-text curation operators for LLM training-data pipelines.
+
+Three families, all streaming ``map_batches`` stages over the
+``documents`` table (``doc_id:int64, text:string, lang:string``):
+
+* **Gopher-style quality rules** (Rae et al. 2021, "Scaling Language
+  Models: ... Gopher", §A1.1 — public method): per-doc repetition and
+  shape statistics plus a pass/fail flag. All outputs are integers and
+  every rule is an integer cross-multiplication, so the DuckDB oracle
+  compares exactly (no float hashing).
+* **Deterministic hash sampling** (plain + per-language stratified):
+  the CCNet-style salted-md5 keep rule, reproducible across runs and
+  engines (DuckDB computes the identical md5 prefix).
+* **Benchmark-contamination screening**: exact word-8-gram membership
+  of every document against a broadcast benchmark n-gram set
+  (the standard decontamination step, cf. GPT-3 appendix C).
+
+Scale notes (100 TB): quality + contamination read only
+``(doc_id, text)`` (pruned scan), never shuffle, and are fully
+vectorized (Arrow kernels + numpy grouping; the only per-row Python is
+the md5 in sampling, which reads just the id column — a crc64
+vectorized variant would drop even that, but md5 keeps the oracle
+exact and portable). The contamination benchmark set is collected once
+(benchmark corpora are small by definition) and broadcast via
+``ray.put``; each actor resolves it once in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# the 33-word reference English stop list
+# (lucene/analysis/common/src/java/org/apache/lucene/analysis/en/
+#  EnglishAnalyzer.java:43-54)
+ENGLISH_STOP_WORDS = (
+    "a an and are as at be but by for if in into is it no not of on "
+    "or such that the their then there these they this to was will with"
+).split()
+
+
+def _read_docs(path: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(path, columns=list(columns))
+
+
+def _split_words(text_col: pa.ChunkedArray | pa.Array):
+    """Whitespace words per doc -> (flat tokens, doc index, per-doc count).
+
+    Mirrors the oracle tokenizer ``list_filter(string_split(text,' '),
+    x -> x <> '')`` exactly (empty strings from runs of spaces drop,
+    but still never appear mid-token).
+    """
+    import pyarrow.compute as pc
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    lists = pc.split_pattern(pc.fill_null(text_col, ""), " ")
+    flat = pc.list_flatten(lists)
+    didx = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    didx = didx[keep.to_numpy(zero_copy_only=False)]
+    n_words = np.bincount(didx, minlength=len(text_col)).astype(np.int64)
+    return flat, didx.astype(np.int64), n_words
+
+
+def _group_rows(*cols: np.ndarray):
+    """Exact multi-column grouping without hash collisions.
+
+    Stacks the int64 columns and takes unique rows via a void view
+    (vectorized; no Python loop). Returns (first_index, counts) —
+    first_index indexes a representative row per group.
+    """
+    mat = np.ascontiguousarray(np.stack(cols, axis=1))
+    view = mat.view([("", mat.dtype)] * mat.shape[1]).ravel()
+    _, first, counts = np.unique(view, return_index=True, return_counts=True)
+    return first, counts
+
+
+class GopherQuality:
+    """(doc_id, text) -> integer Gopher-style quality metrics + pass flag.
+
+    Columns (all int64):
+      n_words, word_chars (sum of word lengths), n_alpha_words (words
+      containing an ASCII letter), n_stop_words, top2gram_count /
+      top2gram_chars (count of the most frequent word 2-gram and the
+      max char-mass count*len among the tied-most-frequent ones),
+      dup2gram_chars / dup5gram_chars (char mass len*count of n-grams
+      occurring >= 2 times), gopher_pass.
+
+    Pass rules (integer cross-multiplied; thresholds follow Gopher's
+    published shape, scaled to the short synthetic docs):
+      30 <= n_words <= 50000; 3*n_words <= word_chars <= 10*n_words;
+      5*n_alpha_words >= 4*n_words; n_stop_words >= 2;
+      5*top2gram_chars < word_chars (top-2-gram char fraction < 0.2);
+      4*dup2gram_chars < word_chars (duplicate-2-gram fraction < 0.25);
+      2*dup5gram_chars < word_chars.
+    """
+
+    def __init__(self, stop_words=tuple(ENGLISH_STOP_WORDS)):
+        self.stop_set = pa.array(sorted(set(stop_words)), pa.string())
+
+    def _ngram_stats(self, didx, codes, lens, n, width):
+        """Per-doc (top_count, top_chars, dup_chars) for word n-grams."""
+        top_count = np.zeros(n, dtype=np.int64)
+        top_chars = np.zeros(n, dtype=np.int64)
+        dup_chars = np.zeros(n, dtype=np.int64)
+        m = len(codes) - (width - 1)
+        if m <= 0:
+            return top_count, top_chars, dup_chars
+        valid = didx[:m] == didx[width - 1:]
+        if not valid.any():
+            return top_count, top_chars, dup_chars
+        cols = [didx[:m][valid]] + [codes[k:k + m][valid] for k in range(width)]
+        first, counts = _group_rows(*cols)
+        # char mass of one n-gram occurrence = token lens + separators
+        starts = np.flatnonzero(valid)[first]
+        glen = np.zeros(len(first), dtype=np.int64) + (width - 1)
+        for k in range(width):
+            glen += lens[starts + k]
+        gdoc = didx[starts]
+        np.maximum.at(top_count, gdoc, counts)
+        tied = counts == top_count[gdoc]
+        np.maximum.at(top_chars, gdoc[tied], (counts * glen)[tied])
+        dmask = counts >= 2
+        np.add.at(dup_chars, gdoc[dmask], (counts * glen)[dmask])
+        return top_count, top_chars, dup_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = len(batch)
+        flat, didx, n_words = _split_words(batch["text"])
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        word_chars = np.zeros(n, dtype=np.int64)
+        np.add.at(word_chars, didx, lens)
+        alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(
+            zero_copy_only=False)
+        n_alpha = np.zeros(n, dtype=np.int64)
+        np.add.at(n_alpha, didx[alpha], 1)
+        stop = pc.is_in(flat, value_set=self.stop_set).to_numpy(
+            zero_copy_only=False)
+        n_stop = np.zeros(n, dtype=np.int64)
+        np.add.at(n_stop, didx[stop], 1)
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        top2c, top2ch, dup2 = self._ngram_stats(didx, codes, lens, n, 2)
+        _, _, dup5 = self._ngram_stats(didx, codes, lens, n, 5)
+        ok = ((n_words >= 30) & (n_words <= 50000)
+              & (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+              & (5 * n_alpha >= 4 * n_words) & (n_stop >= 2)
+              & (5 * top2ch < word_chars) & (4 * dup2 < word_chars)
+              & (2 * dup5 < word_chars))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "word_chars": pa.array(word_chars),
+            "n_alpha_words": pa.array(n_alpha),
+            "n_stop_words": pa.array(n_stop),
+            "top2gram_count": pa.array(top2c),
+            "top2gram_chars": pa.array(top2ch),
+            "dup2gram_chars": pa.array(dup2),
+            "dup5gram_chars": pa.array(dup5),
+            "gopher_pass": pa.array(ok.astype(np.int64)),
+        })
+
+
+def gopher_quality(path: str) -> ray.data.Dataset:
+    return _read_docs(path).map_batches(GopherQuality, batch_format="pyarrow",
+                                        concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling
+
+
+def _md5_bucket(ids, salt: str) -> np.ndarray:
+    """bucket in [0,100) = first-8-hex-digits of md5(f"{salt}:{id}") % 100.
+
+    Identical to DuckDB ``('0x'||substr(md5(salt||':'||id),1,8))::UBIGINT
+    % 100`` — the engine-portable reproducible sampler.
+    """
+    out = np.empty(len(ids), dtype=np.int64)
+    pre = f"{salt}:".encode()
+    for i, v in enumerate(ids):
+        h = hashlib.md5(pre + str(v).encode()).hexdigest()
+        out[i] = int(h[:8], 16) % 100
+    return out
+
+
+class _HashSampler:
+    def __init__(self, pct: int, salt: str):
+        self.pct, self.salt = pct, salt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = _md5_bucket(ids, self.salt) < self.pct
+        return batch.filter(pa.array(keep))
+
+
+def sample_hash(path: str, pct: int = 10, salt: str = "s") -> ray.data.Dataset:
+    """Deterministic pct% sample of doc_ids (salted md5 keep rule)."""
+    return _read_docs(path, columns=("doc_id",)).map_batches(
+        _HashSampler(pct, salt), batch_format="pyarrow")
+
+
+class _StratifiedSampler:
+    def __init__(self, rates: dict[str, int], default_pct: int, salt: str):
+        self.rates, self.default, self.salt = dict(rates), default_pct, salt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        pcts = np.array([self.rates.get(l, self.default) for l in langs])
+        keep = _md5_bucket(ids, self.salt) < pcts
+        return batch.filter(pa.array(keep))
+
+
+def sample_stratified(path: str, rates: dict[str, int],
+                      default_pct: int = 0, salt: str = "s") -> ray.data.Dataset:
+    """Per-language sampling rates (e.g. downsample head languages)."""
+    return _read_docs(path, columns=("doc_id", "lang")).map_batches(
+        _StratifiedSampler(rates, default_pct, salt), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination screening
+
+
+def _doc_ngrams(text_col, width: int):
+    """Exact word n-gram strings per doc, fully vectorized.
+
+    Builds the n-gram strings with ``binary_join_element_wise`` over
+    `width` shifted views of the flat token array — no Python loop over
+    rows or grams.
+    Returns (grams: StringArray, gram_doc_index: np.ndarray).
+    """
+    import pyarrow.compute as pc
+    flat, didx, _ = _split_words(text_col)
+    m = len(flat) - (width - 1)
+    if m <= 0:
+        return pa.array([], pa.string()), np.array([], dtype=np.int64)
+    valid = didx[:m] == didx[width - 1:]
+    parts = [flat.slice(k, m) for k in range(width)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    vmask = pa.array(valid)
+    return grams.filter(vmask), didx[:m][valid]
+
+
+def benchmark_ngrams(path: str, width: int = 8,
+                     bench_mod: int = 97) -> ray.data.Dataset:
+    """Distinct word n-grams of the 'benchmark' docs (doc_id % mod == 0)."""
+    import pyarrow.compute as pc
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = pa.array(ids % bench_mod == 0)
+        sub = batch.filter(sel)
+        g, _ = _doc_ngrams(sub["text"], width)
+        return pa.table({"gram": g.unique() if len(g) else g})
+
+    ds = _read_docs(path).map_batches(grams, batch_format="pyarrow")
+    return ds.groupby("gram").count().select_columns(["gram"])
+
+
+class ContaminationScreen:
+    """Counts benchmark n-grams inside each document.
+
+    The benchmark gram set arrives as a ``ray.put`` object ref and is
+    resolved ONCE per actor here in ``__init__`` (broadcast, not
+    re-shipped per batch).
+    """
+
+    def __init__(self, grams_ref, width: int):
+        value_set = ray.get(grams_ref) if isinstance(
+            grams_ref, ray.ObjectRef) else grams_ref
+        self.value_set = pa.array(value_set, pa.string())
+        self.width = width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = len(batch)
+        grams, gdoc = _doc_ngrams(batch["text"], self.width)
+        n_grams = np.bincount(gdoc, minlength=n).astype(np.int64)
+        n_cont = np.zeros(n, dtype=np.int64)
+        if len(grams):
+            hit = pc.is_in(grams, value_set=self.value_set).to_numpy(
+                zero_copy_only=False)
+            np.add.at(n_cont, gdoc[hit], 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array(n_grams),
+            "n_contaminated": pa.array(n_cont),
+            "contaminated": pa.array((n_cont > 0).astype(np.int64)),
+        })
+
+
+def contamination(path: str, width: int = 8,
+                  bench_mod: int = 97) -> ray.data.Dataset:
+    """Screen every doc against the benchmark docs' n-gram set.
+
+    The benchmark side (docs with doc_id % bench_mod == 0 — the stand-in
+    for an eval corpus, which is small by definition) is materialized
+    once and broadcast; the corpus side streams.
+    """
+    bench = benchmark_ngrams(path, width, bench_mod)
+    gram_list = [r["gram"] for r in bench.take_all()]
+    ref = ray.put(gram_list)
+    return _read_docs(path).map_batches(
+        ContaminationScreen, batch_format="pyarrow",
+        fn_constructor_args=(ref, width), concurrency=(1, 8))
