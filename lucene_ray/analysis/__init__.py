@@ -22,8 +22,14 @@ from .tokenizer import (
     tokenize,
 )
 from .props import java_lowercase
+from .cjk import CJKAnalyzer, CJKBigramFilter
+from .urlemail import UAX29URLEmailAnalyzer, tokenize_urlemail
 
 __all__ = [
+    "CJKAnalyzer",
+    "CJKBigramFilter",
+    "UAX29URLEmailAnalyzer",
+    "tokenize_urlemail",
     "KeywordAnalyzer",
     "ENGLISH_STOP_WORDS",
     "AnalyzedToken",
