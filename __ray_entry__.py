@@ -222,6 +222,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase with per-position alternatives (MultiPhraseQuery.java)
         "multi_phrase_match": lambda sf: match_query_docs(
             _docp(sf), MultiPhraseQuery(((_TERM_A,), ("merge", "window")))),
+        # wildcards/groups inside quoted phrases
+        # (queryparser/complexPhrase/ComplexPhraseQueryParser.java)
+        "complex_phrase_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["complex_phrase_match"])
+            .complex_phrase_match(_docp(sf), '"data (mer* win*)"'),
         # spans / intervals (SpanNearQuery.java, Intervals.maxgaps)
         "span_near_ordered": lambda sf: match_query_docs(
             _docp(sf), SpanNearQuery((_TERM_A, _TERM_B), slop=3,
@@ -756,6 +762,9 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
             "SELECT doc_id FROM documents WHERE "
             f"' ' || text || ' ' LIKE '% {_TERM_A} merge %' OR "
             f"' ' || text || ' ' LIKE '% {_TERM_A} window %' ORDER BY doc_id"),
+        "complex_phrase_match": (
+            "SELECT doc_id FROM documents WHERE regexp_matches("
+            "' ' || text || ' ', ' data (mer|win)[^ ]* ') ORDER BY doc_id"),
         "synonym_match": (
             "SELECT doc_id FROM documents WHERE "
             "' ' || text || ' ' LIKE '% data %' OR "

@@ -343,6 +343,19 @@ def parsed_query_docs(doc_path: str, expr: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
 
 
+def complex_phrase_match(doc_path: str, expr: str) -> pa.Table:
+    """ComplexPhraseQueryParser round trip (queryparser/complexPhrase):
+    wildcards/groups inside quoted phrases, lowered against the term
+    dictionary at rewrite time; returns matching doc ids."""
+    from ..search.queryparser import parse_complex_phrase_query
+
+    idx = cached_index(doc_path)
+    s = Searcher(IndexReader(idx), similarity="bm25_exact64")
+    q = parse_complex_phrase_query(expr, default_field="text")
+    docs = s.match_docs(q)
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def multi_field_match(doc_path: str, expr: str) -> pa.Table:
     """Cross-field query over a multi-field index of the documents
     table (text: StandardAnalyzer, lang + source: KeywordAnalyzer) —

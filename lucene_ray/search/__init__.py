@@ -4,6 +4,7 @@ from .bm25 import avg_field_length, idf, norm_inverse_cache, score_freqs, score6
 from .query import (
     BooleanQuery,
     BoostQuery,
+    ComplexPhraseQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FunctionScoreQuery,
@@ -29,7 +30,8 @@ from .searcher import Searcher, TopDocs, merge_top_docs
 
 __all__ = [
     "idf", "avg_field_length", "norm_inverse_cache", "score_freqs", "score64",
-    "Query", "TermQuery", "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
+    "Query", "TermQuery", "BooleanQuery", "BoostQuery", "ComplexPhraseQuery",
+    "ConstantScoreQuery",
     "DisjunctionMaxQuery", "MatchAllDocsQuery", "MultiPhraseQuery",
     "PhraseQuery", "SpanNearQuery", "PrefixQuery", "WildcardQuery",
     "RegexpQuery", "TermInSetQuery", "TermRangeQuery", "FuzzyQuery",

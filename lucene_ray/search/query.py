@@ -125,6 +125,30 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class ComplexPhraseQuery(Query):
+    """Phrase whose positions may hold multi-term sub-queries — the
+    ``queryparser/complexPhrase/ComplexPhraseQueryParser.java`` query
+    shape (tests ``TestComplexPhraseQuery.java``): ``"data mer*"``,
+    ``"(john jonathon) smith"``, ``"foo bar~1"``.
+
+    ``positions`` is a tuple of slots; each slot is a tuple whose
+    elements are literal term strings or multi-term ``Query`` objects
+    (Prefix/Wildcard/Fuzzy/Regexp/TermRange). The searcher expands each
+    sub-query against the term dictionary at rewrite time, then lowers
+    to ``MultiPhraseQuery`` (slop 0), sloppy ``PhraseQuery`` (all
+    slots singleton), or a capped disjunction of sloppy phrase variants
+    (slop > 0 with alternatives — the span-near analog)."""
+    positions: tuple = ()
+    slop: int = 0
+    boost: float = 1.0
+    field: str | None = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "positions",
+                           tuple(tuple(alts) for alts in self.positions))
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     boost: float = 1.0
 

@@ -27,6 +27,7 @@ import re
 from .query import (
     BooleanQuery,
     BoostQuery,
+    ComplexPhraseQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
@@ -392,6 +393,87 @@ class QueryParser:
         return qs[0] if len(qs) == 1 else BooleanQuery(should=tuple(qs))
 
 
+class ComplexPhraseQueryParser(QueryParser):
+    """Classic parser that re-parses quoted-phrase contents for embedded
+    sub-syntax (``queryparser/complexPhrase/ComplexPhraseQueryParser
+    .java``; tests ``TestComplexPhraseQuery.java``): ``"data mer*"``,
+    ``"(john jonathon) smith"``, ``"foo bar~1"``, ``"a b*"~2``.
+
+    Phrase elements: a parenthesized group is a slot of alternatives;
+    other elements classify like classic term atoms (prefix / wildcard
+    / fuzzy keep their multi-term query, plain terms analyze; a
+    stop-worded-away element drops its slot). Lowering to concrete
+    terms happens at search time against the term dictionary
+    (``Searcher.rewrite`` on :class:`ComplexPhraseQuery`)."""
+
+    _ELEM = re.compile(r"\(([^()]*)\)|\S+")
+
+    def _phrase_slot(self, text: str, field):
+        """One element -> list of slot entries (str | Query), or None to
+        drop the slot (stop word)."""
+        q = self._term_query(text, field)
+        if q is None:
+            return None
+        if isinstance(q, TermQuery):
+            return [q.term]
+        if isinstance(q, PhraseQuery):
+            # multi-token analysis output -> consecutive singleton slots
+            return [[t] for t in q.terms]
+        if isinstance(q, MatchAllDocsQuery):
+            raise ParseException('bare "*" inside a phrase')
+        return [q]
+
+    def _atom_query(self, kind: str, m, field: str) -> Query | None:
+        if kind != "phrase":
+            return super()._atom_query(kind, m, field)
+        raw = m.group("phrase")
+        body = raw[1:raw.rindex('"')]
+        slop = int(float(m.group("slop"))) if m.group("slop") else 0
+        fld = self._norm_field(field)
+        slots: list[tuple] = []
+        plain = True
+        for em in self._ELEM.finditer(body):
+            if em.group(1) is not None:  # (alt alt ...) group
+                alts: list = []
+                for alt in em.group(1).split():
+                    entry = self._phrase_slot(alt, field)
+                    if entry is None:
+                        continue
+                    if isinstance(entry[0], list):
+                        raise ParseException(
+                            f"multi-token alternative in group: {alt!r}")
+                    alts.extend(entry)
+                if alts:
+                    slots.append(tuple(alts))
+                    plain = plain and len(alts) == 1 and isinstance(
+                        alts[0], str)
+            else:
+                entry = self._phrase_slot(em.group(0), field)
+                if entry is None:
+                    continue
+                if entry and isinstance(entry[0], list):
+                    slots.extend(tuple(e) for e in entry)  # analyzed run
+                else:
+                    slots.append(tuple(entry))
+                    plain = plain and isinstance(entry[0], str)
+        if not slots:
+            return None
+        if len(slots) == 1 and len(slots[0]) == 1:
+            e = slots[0][0]
+            return TermQuery(e, field=fld) if isinstance(e, str) else e
+        if plain:
+            return PhraseQuery(tuple(s[0] for s in slots), slop=slop,
+                               field=fld)
+        return ComplexPhraseQuery(tuple(slots), slop=slop, field=fld)
+
+
 def parse_query(s: str, default_field: str = "text",
                 default_operator: str = "OR", analyzer=None) -> Query:
     return QueryParser(default_field, analyzer, default_operator).parse(s)
+
+
+def parse_complex_phrase_query(s: str, default_field: str = "text",
+                               default_operator: str = "OR",
+                               analyzer=None) -> Query:
+    return ComplexPhraseQueryParser(default_field, analyzer,
+                                    default_operator).parse(s)

@@ -27,8 +27,10 @@ import numpy as np
 from . import bm25
 from .postings_io import lookup_postings
 from .query import (
+    MAX_CLAUSE_COUNT,
     BooleanQuery,
     BoostQuery,
+    ComplexPhraseQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FunctionScoreQuery,
@@ -214,6 +216,42 @@ class Searcher:
                 return TermQuery(q.terms[0], q.boost * boost)
             return SpanNearQuery(q.terms, q.slop, q.in_order,
                                  q.boost * boost)
+        if isinstance(q, ComplexPhraseQuery):
+            # expand per-slot sub-queries against the term dict, then
+            # lower (ComplexPhraseQueryParser.ComplexPhraseQuery.rewrite)
+            slots: list[tuple] = []
+            for alts in q.positions:
+                terms: list[str] = []
+                for a in alts:
+                    if isinstance(a, str):
+                        terms.append(a)
+                    else:
+                        terms.extend(self._expand(a))
+                if not terms:
+                    # a slot with no matching terms can never match
+                    return TermQuery(self._NO_MATCH, q.boost * boost)
+                slots.append(tuple(dict.fromkeys(terms)))
+            if q.slop == 0:
+                return self.rewrite(
+                    MultiPhraseQuery(tuple(slots), q.boost), boost)
+            if all(len(s) == 1 for s in slots):
+                return self.rewrite(
+                    PhraseQuery(tuple(s[0] for s in slots), q.boost,
+                                q.slop), boost)
+            # sloppy with alternatives: capped disjunction of variants
+            import itertools
+            n_var = 1
+            for s in slots:
+                n_var *= len(s)
+            if n_var > MAX_CLAUSE_COUNT:
+                raise ValueError(
+                    f"complex phrase expands to {n_var} variants "
+                    f"(> MAX_CLAUSE_COUNT={MAX_CLAUSE_COUNT})")
+            variants = tuple(
+                PhraseQuery(combo, 1.0, q.slop)
+                for combo in itertools.product(*slots))
+            return self.rewrite(
+                DisjunctionMaxQuery(variants, 0.0), q.boost * boost)
         if isinstance(q, FunctionScoreQuery):
             return FunctionScoreQuery(self.rewrite(q.inner), q.expression,
                                       q.boost * boost)
