@@ -399,6 +399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": lambda sf: text_analysis.more_like_this(
             _docp(sf), 42, max_query_terms=8, min_doc_freq=2, k=20),
         "suggest_prefix": lambda sf: suggest_completions(_docp(sf), "me", 10),
+        # FreeTextSuggester role: corpus bigram-LM next-word suggestions
+        "suggest_freetext": lambda sf: text_analysis.suggest_freetext(
+            _docp(sf), "data", "m", 10),
         "suggest_spell": lambda sf: suggest_corrections(_docp(sf), "merje", 5),
         "suggest_wordbreak": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -762,6 +765,21 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
             "SELECT doc_id FROM documents WHERE "
             f"' ' || text || ' ' LIKE '% {_TERM_A} merge %' OR "
             f"' ' || text || ' ' LIKE '% {_TERM_A} window %' ORDER BY doc_id"),
+        "suggest_freetext": f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split(text,' '),
+                                       x -> x <> '') AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS term,
+             unnest(range(1, len(toks)+1)) AS ord FROM tl),
+cand AS (SELECT term, count(*)::BIGINT AS ug FROM t
+         WHERE term LIKE 'm%' GROUP BY term),
+bg AS (SELECT b.term, count(*)::BIGINT AS n FROM t a
+       JOIN t b ON a.doc_id=b.doc_id AND b.ord=a.ord+1
+       WHERE a.term='data' AND b.term LIKE 'm%' GROUP BY b.term)
+SELECT c.term, coalesce(bg.n,0) AS bg_count, c.ug AS ug_count,
+       row_number() OVER (ORDER BY coalesce(bg.n,0) DESC, c.ug DESC,
+                          c.term) AS rank
+FROM cand c LEFT JOIN bg ON c.term=bg.term
+ORDER BY bg_count DESC, ug_count DESC, c.term LIMIT 10""",
         "complex_phrase_match": (
             "SELECT doc_id FROM documents WHERE regexp_matches("
             "' ' || text || ' ', ' data (mer|win)[^ ]* ') ORDER BY doc_id"),

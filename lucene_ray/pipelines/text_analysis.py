@@ -352,3 +352,75 @@ def grouped_topk_terms(path: str, k: int = 5,
             .aggregate(Sum("n", alias_name="n"))
             .groupby(group_col)
             .map_groups(topk, batch_format="pyarrow"))
+
+
+# --- free-text n-gram LM suggester ------------------------------------------
+
+
+def suggest_freetext(path: str, context: str, prefix: str,
+                     k: int = 10) -> "pa.Table":
+    """Next-word suggestions from a corpus bigram language model — the
+    ``suggest/analyzing/FreeTextSuggester.java`` role (n=2 "stupid
+    backoff" order: candidates seen after ``context`` rank first by
+    bigram count, backoff candidates by unigram count;
+    ``TestFreeTextSuggester.java``).
+
+    Integer ranking keys (bigram_count DESC, unigram_count DESC, term)
+    keep the DuckDB oracle value-exact. The corpus pass is a combiner:
+    each batch emits only (candidate, partial counts) rows for terms
+    matching ``prefix`` — the shuffle carries candidates, never the
+    corpus bigram space.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    class PartialCounts:
+        def __init__(self):
+            self.analyzer = StandardAnalyzer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..analysis.arrow_tokenize import _tokenize_batch_arrow
+            flat, didx = _tokenize_batch_arrow(batch["text"], self.analyzer)
+            empty = pa.table({"term": pa.array([], pa.large_string()),
+                              "bg": pa.array([], pa.int64()),
+                              "ug": pa.array([], pa.int64())})
+            if len(flat) == 0:
+                return empty
+            is_cand = pc.starts_with(flat, prefix).to_numpy(
+                zero_copy_only=False)
+            if not is_cand.any():
+                return empty
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nv = len(enc.dictionary)
+            # unigram partials over candidates
+            ug = np.bincount(codes[is_cand], minlength=nv).astype(np.int64)
+            # bigram partials: predecessor == context, same doc
+            bg = np.zeros(nv, dtype=np.int64)
+            if len(flat) > 1:
+                is_ctx = pc.equal(flat, context).to_numpy(zero_copy_only=False)
+                m = (is_ctx[:-1] & is_cand[1:] & (didx[:-1] == didx[1:]))
+                if m.any():
+                    bg = np.bincount(codes[1:][m], minlength=nv).astype(
+                        np.int64)
+            sel = np.flatnonzero((ug > 0) | (bg > 0))
+            return pa.table({
+                "term": enc.dictionary.take(pa.array(sel)).cast(
+                    pa.large_string()),
+                "bg": pa.array(bg[sel]),
+                "ug": pa.array(ug[sel]),
+            })
+
+    agg = (read_documents(path, columns=("doc_id", "text"))
+           .map_batches(cached_callable(PartialCounts), batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("bg", alias_name="bg_count"),
+                      Sum("ug", alias_name="ug_count")))
+    rows = agg.sort(["bg_count", "ug_count", "term"],
+                    descending=[True, True, False]).limit(k).to_pandas()
+    return pa.table({
+        "term": pa.array(rows["term"].tolist(), pa.string()),
+        "bg_count": pa.array(rows["bg_count"].astype("int64")),
+        "ug_count": pa.array(rows["ug_count"].astype("int64")),
+        "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+    })

@@ -44,3 +44,31 @@ def test_spell_correct_ranking(sugg_index):
     got = spell_correct(sugg_index, "mrege", k=3,
                         transpositions=False).to_pylist()
     assert got[0]["distance"] == 2  # plain Levenshtein needs 2
+
+
+def test_freetext_suggester(ray_session, tmp_path_factory):
+    """FreeTextSuggester role: bigram-LM next-word ranking with unigram
+    backoff (suggest/analyzing/FreeTextSuggester.java;
+    TestFreeTextSuggester.java shapes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.pipelines.text_analysis import suggest_freetext
+
+    texts = (["data merge now"] * 5          # data->merge x5
+             + ["data model here"] * 3      # data->model x3
+             + ["big merge job"] * 4        # merge unigrams, no data ctx
+             + ["data x metric"])           # metric unigram only
+    d = tmp_path_factory.mktemp("freetext")
+    path = str(d / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}), path)
+    got = suggest_freetext(path, "data", "m", k=10).to_pylist()
+    terms = [r["term"] for r in got]
+    # bigram hits first (merge 5 > model 3), then backoff by unigram
+    assert terms[:2] == ["merge", "model"]
+    assert got[0]["bg_count"] == 5 and got[0]["ug_count"] == 9
+    assert got[1]["bg_count"] == 3
+    # backoff candidate: metric (no data-bigram), unigram 1
+    assert ("metric", 0) in [(r["term"], r["bg_count"]) for r in got]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
