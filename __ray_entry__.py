@@ -222,6 +222,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase with per-position alternatives (MultiPhraseQuery.java)
         "multi_phrase_match": lambda sf: match_query_docs(
             _docp(sf), MultiPhraseQuery(((_TERM_A,), ("merge", "window")))),
+        # DrillSideways: per-dim counts under the other dims' drills
+        "drill_sideways": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["facet_drill_sideways"])
+            .facet_drill_sideways(_docp(sf), _TERM_A,
+                                  {"lang": "en", "source": "src3"}),
         # wildcards/groups inside quoted phrases
         # (queryparser/complexPhrase/ComplexPhraseQueryParser.java)
         "complex_phrase_match": lambda sf: __import__(
@@ -765,6 +771,14 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
             "SELECT doc_id FROM documents WHERE "
             f"' ' || text || ' ' LIKE '% {_TERM_A} merge %' OR "
             f"' ' || text || ' ' LIKE '% {_TERM_A} window %' ORDER BY doc_id"),
+        "drill_sideways": f"""
+SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS count
+FROM documents WHERE ' ' || text || ' ' LIKE '% {_TERM_A} %'
+  AND source = 'src3' GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS count
+FROM documents WHERE ' ' || text || ' ' LIKE '% {_TERM_A} %'
+  AND lang = 'en' GROUP BY source""",
         "suggest_freetext": f"""
 WITH tl AS (SELECT doc_id, list_filter(string_split(text,' '),
                                        x -> x <> '') AS toks FROM documents),

@@ -707,6 +707,17 @@ def facet_taxonomy_counts(doc_path: str, term: str) -> pa.Table:
     return taxonomy_facet_counts(s, TermQuery(term), ("source", "lang"))
 
 
+def facet_drill_sideways(doc_path: str, term: str,
+                         selections: dict[str, str]) -> pa.Table:
+    """DrillSideways panel (facet/DrillSideways.java): per drilled dim,
+    counts under the base query + every OTHER dim's selection."""
+    from ..search.facets import drill_sideways
+
+    s = Searcher(IndexReader(_facet_index(doc_path)),
+                 similarity="bm25_exact64")
+    return drill_sideways(s, TermQuery(term), selections)
+
+
 def suggest_infix(doc_path: str, fragment: str, k: int = 10) -> pa.Table:
     """Infix completion ranked by df (AnalyzingInfixSuggester role)."""
     from ..search.suggest import complete_infix

@@ -59,6 +59,50 @@ def drill_down(base: Query, col_terms: dict[str, str],
     return BooleanQuery(must=(base,), filter=filters)
 
 
+def drill_sideways(searcher: Searcher, base: Query,
+                   selections: dict[str, str]) -> pa.Table:
+    """DrillSideways analog (``facet/DrillSideways.java``; tests
+    ``TestDrillSideways.java``): for each drilled dimension, facet
+    counts over docs matching the base query plus every OTHER
+    dimension's selection — the "what would this dim's counts be if I
+    hadn't drilled on it" panel. One matching pass per segment; the
+    per-dim sideways masks are boolean combines over the same
+    doc_id-pushdown stored reads (no extra query evaluations).
+
+    Returns a flat (dim, value, count) table, per-dim FacetResult
+    ordering (count desc, value asc)."""
+    q = searcher.rewrite(base)
+    from .query import query_terms
+    searcher._prefetch(sorted(set(query_terms(q))))
+    cols = list(selections)
+    counts: dict[str, Counter] = {c: Counter() for c in cols}
+    for sr in searcher.reader.segments():
+        docs = searcher._match_docs(sr, q)
+        if len(docs) == 0:
+            continue
+        docs = np.sort(docs)
+        vals = {c: np.asarray(sr.stored(docs, c), dtype=object)
+                for c in cols}
+        masks = {c: vals[c] == selections[c] for c in cols}
+        for c in cols:
+            side = np.ones(len(docs), dtype=bool)
+            for o in cols:
+                if o != c:
+                    side &= masks[o]
+            counts[c].update(v for v in vals[c][side] if v is not None)
+    dim_col, val_col, n_col = [], [], []
+    for c in cols:
+        for v, n in sorted(counts[c].items(), key=lambda kv: (-kv[1], kv[0])):
+            dim_col.append(c)
+            val_col.append(v)
+            n_col.append(n)
+    return pa.table({
+        "dim": pa.array(dim_col, pa.string()),
+        "value": pa.array(val_col, pa.string()),
+        "count": pa.array(n_col, pa.int64()),
+    })
+
+
 def topk_by_field(reader, col: str, k: int = 10,
                   ascending: bool = True) -> "pa.Table":
     """Early-terminating sort-by-field top-k — the index-sort /

@@ -146,3 +146,41 @@ def test_taxonomy_facets(facet_index):
     for p, c in got.items():
         if "/" in p:
             assert got[p.rsplit("/", 1)[0]] >= c
+
+
+def test_drill_sideways(ray_session, tmp_path_factory):
+    """DrillSideways (facet/DrillSideways.java): each dim's counts apply
+    the OTHER dims' drills but not its own."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.index import build_index
+    from lucene_ray.search import IndexReader, Searcher, TermQuery
+    from lucene_ray.search.facets import drill_sideways
+
+    rows = [
+        # (lang, source, text)
+        ("en", "a", "data x"), ("en", "a", "data y"), ("en", "b", "data z"),
+        ("de", "a", "data w"), ("de", "b", "data v"), ("en", "a", "other"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "lang": pa.array([r[0] for r in rows]),
+        "source": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    d = tmp_path_factory.mktemp("dsw")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    idx = str(d / "idx")
+    build_index(path, idx, batch_size=3, stored_cols=("lang", "source"))
+    s = Searcher(IndexReader(idx))
+    got = drill_sideways(s, TermQuery("data"),
+                         {"lang": "en", "source": "a"}).to_pylist()
+    by = {(r["dim"], r["value"]): r["count"] for r in got}
+    # lang panel: data AND source=a -> en:2 (x,y), de:1 (w)
+    assert by[("lang", "en")] == 2 and by[("lang", "de")] == 1
+    # source panel: data AND lang=en -> a:2, b:1
+    assert by[("source", "a")] == 2 and by[("source", "b")] == 1
+    # FacetResult ordering within each dim: count desc, value asc
+    lang_rows = [r for r in got if r["dim"] == "lang"]
+    assert [r["value"] for r in lang_rows] == ["en", "de"]
