@@ -222,6 +222,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase with per-position alternatives (MultiPhraseQuery.java)
         "multi_phrase_match": lambda sf: match_query_docs(
             _docp(sf), MultiPhraseQuery(((_TERM_A,), ("merge", "window")))),
+        # QueryRescorer: two-pass rescoring (first-pass OR + phrase bump)
+        "rescored_query": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["rescored_topk"])
+            .rescored_topk(_docp(sf), _OR_TERMS, [_TERM_A, _TERM_B],
+                           2.0, 50, 20),
         # DrillSideways: per-dim counts under the other dims' drills
         "drill_sideways": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -771,6 +777,40 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
             "SELECT doc_id FROM documents WHERE "
             f"' ' || text || ' ' LIKE '% {_TERM_A} merge %' OR "
             f"' ' || text || ' ' LIKE '% {_TERM_A} window %' ORDER BY doc_id"),
+        "rescored_query": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+tp AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS ord
+       FROM (SELECT doc_id, list_filter(string_split(text,' '),
+                                        x -> x <> '') AS l FROM documents)),
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark','merge','window') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+first AS (SELECT pt.doc_id,
+          sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+              (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS s1
+          FROM pt JOIN dfs ON pt.term = dfs.term
+               JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+          GROUP BY pt.doc_id),
+top50 AS (SELECT doc_id, s1 FROM first ORDER BY s1 DESC, doc_id LIMIT 50),
+pdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('{_TERM_A}','{_TERM_B}') GROUP BY term),
+idf2 AS (SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS v
+         FROM pdf CROSS JOIN stats s),
+pf AS (SELECT a.doc_id, count(*) AS pf FROM tp a
+       JOIN tp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+       WHERE a.term = '{_TERM_A}' AND b.term = '{_TERM_B}'
+       GROUP BY a.doc_id),
+second AS (SELECT pf.doc_id,
+           i.v * pf.pf / (pf.pf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))
+               AS s2
+           FROM pf JOIN dl d ON pf.doc_id = d.doc_id
+                CROSS JOIN stats s CROSS JOIN idf2 i),
+rescored AS (SELECT t.doc_id, t.s1 + 2.0 * coalesce(se.s2, 0) AS score
+             FROM top50 t LEFT JOIN second se ON t.doc_id = se.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM rescored ORDER BY score DESC, doc_id LIMIT 20""",
         "drill_sideways": f"""
 SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS count
 FROM documents WHERE ' ' || text || ' ' LIKE '% {_TERM_A} %'

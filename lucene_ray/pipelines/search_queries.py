@@ -707,6 +707,24 @@ def facet_taxonomy_counts(doc_path: str, term: str) -> pa.Table:
     return taxonomy_facet_counts(s, TermQuery(term), ("source", "lang"))
 
 
+def rescored_topk(doc_path: str, terms: list[str], phrase: list[str],
+                  weight: float = 2.0, n_first: int = 50,
+                  k: int = 20) -> pa.Table:
+    """QueryRescorer round trip: first-pass BM25 OR top-``n_first``
+    (exact64), rescored with ``weight`` x the exact-phrase BM25 score,
+    final top-``k`` (doc_id, rank)."""
+    from ..search import PhraseQuery, or_query
+
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    first = s.search(or_query(terms), k=n_first)
+    td = s.rescore(first, PhraseQuery(tuple(phrase)), weight=weight, k=k)
+    return pa.table({
+        "doc_id": pa.array(td.doc_ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
+    })
+
+
 def facet_drill_sideways(doc_path: str, term: str,
                          selections: dict[str, str]) -> pa.Table:
     """DrillSideways panel (facet/DrillSideways.java): per drilled dim,

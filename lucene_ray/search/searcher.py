@@ -367,6 +367,29 @@ class Searcher:
                 collector.collect_segment(sr, docs, scores)
         return collector.result()
 
+    def rescore(self, top: "TopDocs", second_q: Query, weight: float = 1.0,
+                k: int | None = None) -> "TopDocs":
+        """Two-pass rescoring (``search/QueryRescorer.java``; tests
+        ``TestQueryRescorer.java``): new score = first-pass score +
+        ``weight`` * second-query score for first-pass hits the second
+        query matches (unchanged otherwise), re-ranked score desc /
+        docID asc. The second query is evaluated complete and joined to
+        the candidate set — only candidate docs contribute."""
+        if k is None:
+            k = len(top.doc_ids)
+        if len(top.doc_ids) == 0:
+            return top
+        cand = np.asarray(top.doc_ids, dtype=np.int64)
+        d2, s2 = self.eval_complete(second_q)
+        second = np.zeros(len(cand), dtype=np.float64)
+        if len(d2):
+            idx = np.searchsorted(d2, cand)
+            ok = idx < len(d2)
+            ok[ok] &= d2[idx[ok]] == cand[ok]
+            second[ok] = s2[idx[ok]]
+        new = np.asarray(top.scores, dtype=np.float64) + weight * second
+        return _top_k(cand, new, k)
+
     def eval_complete(self, q: Query):
         """COMPLETE (docs, scores float64) across all segments, unpruned
         — the building block cross-field/cross-index combiners use

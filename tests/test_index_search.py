@@ -248,3 +248,36 @@ def test_term_vectors(ray_session, tmp_path):
         got = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
         assert got == dict(want)
         assert tv["term"].to_pylist() == sorted(want)  # term-sorted
+
+
+def test_query_rescorer(ray_session, small_pages, tmp_path_factory):
+    """QueryRescorer (search/QueryRescorer.java): rescored = first +
+    weight*second on first-pass hits only; non-matching hits keep their
+    first-pass score; re-ranked score desc / docID asc."""
+    import numpy as np
+    from lucene_ray.index import build_index
+    from lucene_ray.search import (
+        IndexReader, PhraseQuery, Searcher, TermQuery, or_query,
+    )
+
+    _, paths = small_pages
+    out = str(tmp_path_factory.mktemp("rescore"))
+    build_index(paths, out, batch_size=1000, index_positions=True)
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    sr = s.reader.segment(s.reader.segment_infos[0].seg_id)
+    terms = sorted(sr.terms())[:3]
+    first = s.search(or_query(terms), k=40)
+    second_q = TermQuery(terms[0])
+    td = s.rescore(first, second_q, weight=3.0, k=20)
+    # brute: join complete second-pass scores onto the candidate set
+    d2, s2 = s.eval_complete(second_q)
+    lut = dict(zip(d2.tolist(), s2.tolist()))
+    want = sorted(
+        ((d, sc + 3.0 * lut.get(d, 0.0))
+         for d, sc in zip(first.doc_ids.tolist(), first.scores.tolist())),
+        key=lambda t: (-t[1], t[0]))[:20]
+    assert td.doc_ids.tolist() == [d for d, _ in want]
+    assert np.allclose(td.scores, [v for _, v in want], rtol=0, atol=0)
+    # weight 0 keeps first-pass order (already sorted the same way)
+    td0 = s.rescore(first, second_q, weight=0.0, k=10)
+    assert td0.doc_ids.tolist() == first.doc_ids[:10].tolist()
