@@ -222,6 +222,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase with per-position alternatives (MultiPhraseQuery.java)
         "multi_phrase_match": lambda sf: match_query_docs(
             _docp(sf), MultiPhraseQuery(((_TERM_A,), ("merge", "window")))),
+        # intervals module combinators (queries/intervals/Intervals.java)
+        "interval_containing": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["interval_query_docs"])
+            .interval_query_docs(_docp(sf), "containing"),
+        "interval_or": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["interval_query_docs"])
+            .interval_query_docs(_docp(sf), "or"),
         # QueryRescorer: two-pass rescoring (first-pass OR + phrase bump)
         "rescored_query": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -777,6 +786,26 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
             "SELECT doc_id FROM documents WHERE "
             f"' ' || text || ' ' LIKE '% {_TERM_A} merge %' OR "
             f"' ' || text || ' ' LIKE '% {_TERM_A} window %' ORDER BY doc_id"),
+        "interval_containing": """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text,' '),
+                                       x -> x <> '') AS toks FROM documents),
+tp AS (SELECT doc_id, unnest(toks) AS term,
+              unnest(range(1, len(toks)+1)) AS p FROM tl),
+apos AS (SELECT doc_id, p FROM tp WHERE term = 'data'),
+bpos AS (SELECT doc_id, p FROM tp WHERE term = 'merge'),
+kpos AS (SELECT doc_id, p FROM tp WHERE term = 'key'),
+pairs AS (SELECT a.doc_id, a.p AS pa, min(b.p) AS pb FROM apos a
+          JOIN bpos b ON a.doc_id = b.doc_id AND b.p > a.p
+          GROUP BY a.doc_id, a.p),
+minimal AS (SELECT doc_id, max(pa) AS pa, pb FROM pairs
+            GROUP BY doc_id, pb)
+SELECT DISTINCT m.doc_id FROM minimal m
+JOIN kpos k ON k.doc_id = m.doc_id AND k.p BETWEEN m.pa AND m.pb
+WHERE m.pb - m.pa - 1 <= 3 ORDER BY m.doc_id""",
+        "interval_or": (
+            "SELECT doc_id FROM documents WHERE "
+            "' ' || text || ' ' LIKE '% data merge %' OR "
+            "' ' || text || ' ' LIKE '% key order %' ORDER BY doc_id"),
         "rescored_query": f"""
 {_TOKS},
 {_DL},

@@ -707,6 +707,26 @@ def facet_taxonomy_counts(doc_path: str, term: str) -> pa.Table:
     return taxonomy_facet_counts(s, TermQuery(term), ("source", "lang"))
 
 
+def interval_query_docs(doc_path: str, kind: str) -> pa.Table:
+    """Intervals-module round trips (queries/intervals/Intervals.java
+    combinators) against the cached positional index."""
+    from ..search.intervals import (
+        Containing, Or, Ordered, Phrase, Term as ITerm, interval_match_docs,
+    )
+
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    sources = {
+        # data..merge (ordered, <=3 gaps) intervals CONTAINING 'key'
+        "containing": Containing(
+            Ordered((ITerm("data"), ITerm("merge")), max_gaps=3),
+            ITerm("key")),
+        # either exact phrase
+        "or": Or((Phrase(("data", "merge")), Phrase(("key", "order")))),
+    }
+    return interval_match_docs(s, sources[kind])
+
+
 def rescored_topk(doc_path: str, terms: list[str], phrase: list[str],
                   weight: float = 2.0, n_first: int = 50,
                   k: int = 20) -> pa.Table:
