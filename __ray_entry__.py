@@ -394,6 +394,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                [_TERM_A, _TERM_B, "window", "zzzzabsent"]),
         "highlight_top5": lambda sf: highlight_top(
             _docp(sf), "data", 5),  # rows-only (snippet strings)
+        # FastVectorHighlighter: snippets from term-vector offsets
+        "highlight_fvh_top5": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["highlight_fvh_top"])
+            .highlight_fvh_top(_docp(sf), "data", 5),  # rows-only
         # PII/pattern screening (vectorized Arrow regex kernels)
         "pattern_counts": lambda sf: text_analysis.pattern_counts(
             _docp(sf)),

@@ -89,7 +89,8 @@ class SegmentIndexer:
                  arrow_fast_path: bool = True, index_positions: bool = False,
                  analyzer=None, doc_value_cols: tuple = (),
                  postings_format: str = "for128",
-                 term_vectors: bool = False):
+                 term_vectors: bool = False,
+                 term_vector_offsets: bool = False):
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
@@ -113,7 +114,14 @@ class SegmentIndexer:
         self.postings_format = postings_format
         # TermVectorsFormat role: per-segment forward index
         # (doc_id, term, tf) sorted by doc for pushdown reads
-        self.term_vectors = term_vectors
+        # offsets-in-term-vectors (FieldType.setStoreTermVectorOffsets
+        # role, the FastVectorHighlighter source); needs the per-token
+        # offsets only the positional Python path produces
+        self.term_vector_offsets = term_vector_offsets
+        self.term_vectors = term_vectors or term_vector_offsets
+        if term_vector_offsets:
+            self.index_positions = True
+            self.arrow_fast_path = False
         self._seg_override: str | None = None  # ShardIndexer naming hook
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -146,14 +154,21 @@ class SegmentIndexer:
             texts = batch[self.text_col].to_pylist()
             if self.index_positions:
                 flat, pos_list, lens = [], [], []
+                off_s, off_e = ([], []) if self.term_vector_offsets else (None, None)
                 for text in texts:
                     toks = self.analyzer.tokens(text or "")
                     lens.append(len(toks))
                     for at in toks:
                         flat.append(at.term)
                         pos_list.append(at.position)
+                        if off_s is not None:
+                            off_s.append(at.start)
+                            off_e.append(at.end)
                 doc_lens = np.asarray(lens, dtype=np.int64)
                 positions = np.asarray(pos_list, dtype=np.int64)
+                if off_s is not None:
+                    tok_starts = np.asarray(off_s, dtype=np.int64)
+                    tok_ends = np.asarray(off_e, dtype=np.int64)
             else:
                 term_lists = self.analyzer.analyze_batch(texts)
                 doc_lens = np.fromiter((len(t) for t in term_lists),
@@ -259,17 +274,34 @@ class SegmentIndexer:
             # one row-group slice (written even when empty, so readers
             # can distinguish "no terms" from "not enabled")
             if len(codes):
-                tv = pa.table({
+                cols = {
                     "doc_id": pa.array(doc_ids[d_idx], pa.int64()),
                     "term": pa.array(uniques[t_codes].tolist(),
                                      pa.large_string()),
                     "tf": pa.array(tf, pa.int64()),
-                }).sort_by([("doc_id", "ascending"),
-                            ("term", "ascending")])
+                }
+                if self.term_vector_offsets:
+                    # per-(term,doc) occurrence slices (position-sorted
+                    # via the invert's lexsort) as list columns — the
+                    # withTermVectorOffsets/Positions payload
+                    occ_bnd = np.append(grp_starts, len(key_s)).astype(
+                        np.int32)
+                    for name, vals in (("positions", pos_s),
+                                       ("starts", tok_starts[order]),
+                                       ("ends", tok_ends[order])):
+                        cols[name] = pa.ListArray.from_arrays(
+                            pa.array(occ_bnd, pa.int32()),
+                            pa.array(vals, pa.int64()))
+                tv = pa.table(cols).sort_by([("doc_id", "ascending"),
+                                             ("term", "ascending")])
             else:
-                tv = pa.table({"doc_id": pa.array([], pa.int64()),
-                               "term": pa.array([], pa.large_string()),
-                               "tf": pa.array([], pa.int64())})
+                cols = {"doc_id": pa.array([], pa.int64()),
+                        "term": pa.array([], pa.large_string()),
+                        "tf": pa.array([], pa.int64())}
+                if self.term_vector_offsets:
+                    for name in ("positions", "starts", "ends"):
+                        cols[name] = pa.array([], pa.list_(pa.int64()))
+                tv = pa.table(cols)
             pq.write_table(tv, os.path.join(seg_dir, "tv.parquet"),
                            row_group_size=4096)
         # term-membership fingerprint: readers skip this segment's
@@ -309,6 +341,7 @@ def build_index(
     doc_value_cols: tuple = (),
     postings_format: str = "for128",
     term_vectors: bool = False,
+    term_vector_offsets: bool = False,
 ) -> IndexManifest:
     """Build an inverted index over a Parquet corpus / Dataset.
 
@@ -356,7 +389,8 @@ def build_index(
                      index_positions=index_positions, analyzer=analyzer,
                      doc_value_cols=doc_value_cols,
                      postings_format=postings_format,
-                     term_vectors=term_vectors)
+                     term_vectors=term_vectors,
+                     term_vector_offsets=term_vector_offsets)
     meta = ds.map_batches(
         SegmentIndexer,
         fn_constructor_kwargs=fn_kwargs,

@@ -441,6 +441,37 @@ def highlight_top(doc_path: str, term: str, k: int = 5) -> pa.Table:
     return highlight_topk(s, TermQuery(term), k=k)
 
 
+def highlight_fvh_top(doc_path: str, term: str, k: int = 5) -> pa.Table:
+    """FastVectorHighlighter round trip: BM25 top-k, then snippets from
+    the offsets-bearing term vectors (no query-time re-analysis)."""
+    from ..search.highlight import fast_vector_highlight
+
+    key = hashlib.md5(("fvh:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"fvhidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    stored_cols=("text",), term_vector_offsets=True)
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    td = s.search(TermQuery(term), k=k)
+    docs = td.doc_ids.tolist()
+    snips = []
+    for rank, d in enumerate(docs, 1):
+        text = None
+        for sr in s.reader.segments():
+            got = sr.stored(np.array([d]), "text")
+            if got and got[0] is not None:
+                text = got[0]
+                break
+        ps = fast_vector_highlight(s.reader, int(d), [term],
+                                   text=text or "", max_passages=1)
+        snips.append((d, rank, ps[0] if ps else ""))
+    return pa.table({
+        "doc_id": pa.array([x[0] for x in snips], pa.int64()),
+        "rank": pa.array([x[1] for x in snips], pa.int64()),
+        "snippet": pa.array([x[2] for x in snips], pa.string()),
+    })
+
+
 def suggest_completions(doc_path: str, prefix: str, k: int = 10) -> pa.Table:
     """Prefix completion ranked by df (AnalyzingSuggester role)."""
     from ..search.suggest import complete_prefix

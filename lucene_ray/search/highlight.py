@@ -29,6 +29,16 @@ def highlight_text(text: str, terms, *, analyzer=None,
     want = set(terms)
     hits = [(t.start, t.end, t.term) for t in analyzer.tokens(text or "")
             if t.term in want]
+    return _assemble_passages(text, hits, max_passages=max_passages,
+                              passage_len=passage_len, pre=pre, post=post)
+
+
+def _assemble_passages(text: str, hits, *, max_passages: int = 1,
+                       passage_len: int = 100, pre: str = "<b>",
+                       post: str = "</b>") -> list[str]:
+    """Passage selection + tag insertion over precomputed hit offsets
+    (shared by the analyze-at-query-time highlighter above and the
+    term-vector FastVectorHighlighter below)."""
     if not hits:
         return []
     # candidate passages: fixed windows anchored at each hit start
@@ -101,3 +111,26 @@ def highlight_topk(searcher: Searcher, q: Query, k: int = 10,
         "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
         "snippet": pa.array(snippets, pa.string()),
     })
+
+
+def fast_vector_highlight(reader, doc_id: int, terms, *, text: str,
+                          max_passages: int = 1, passage_len: int = 100,
+                          pre: str = "<b>", post: str = "</b>") -> list[str]:
+    """FastVectorHighlighter role (``lucene/highlighter/src/java/.../
+    vectorhighlight/FastVectorHighlighter.java``): hit offsets come from
+    the offsets-bearing TERM VECTOR (no re-analysis of the document at
+    query time — the property that makes FVH fast on huge docs); the
+    raw text is used only for passage slicing. Requires an index built
+    with ``term_vector_offsets=True``."""
+    tv = reader.term_vector_offsets(doc_id)
+    want = set(terms)
+    hits = []
+    for i in range(len(tv)):
+        term = tv.column("term")[i].as_py()
+        if term in want:
+            ss = tv.column("starts")[i].as_py()
+            es = tv.column("ends")[i].as_py()
+            hits.extend((s, e, term) for s, e in zip(ss, es))
+    hits.sort()
+    return _assemble_passages(text, hits, max_passages=max_passages,
+                              passage_len=passage_len, pre=pre, post=post)

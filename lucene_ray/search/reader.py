@@ -471,6 +471,23 @@ class SegmentReader:
                           filters=[("doc_id", "==", int(doc_id))])
         return t.sort_by([("term", "ascending")])
 
+    def term_vector_offsets(self, doc_id: int) -> pa.Table:
+        """(term, tf, positions, starts, ends) of one doc — the
+        withTermVectorOffsets payload FastVectorHighlighter consumes
+        (codecs/.../Lucene90TermVectorsFormat offsets flag). Requires a
+        build with ``term_vector_offsets=True``."""
+        tv_path = os.path.join(self._seg_dir, "tv.parquet")
+        if not os.path.isfile(tv_path):
+            raise ValueError("index built without term_vectors=True")
+        schema_names = pq.read_schema(tv_path).names
+        if "starts" not in schema_names:
+            raise ValueError("index built without term_vector_offsets=True")
+        t = pq.read_table(tv_path,
+                          columns=["term", "tf", "positions", "starts",
+                                   "ends"],
+                          filters=[("doc_id", "==", int(doc_id))])
+        return t.sort_by([("term", "ascending")])
+
     def stored(self, docs: np.ndarray, col: str):
         """Stored-field values for the given docIDs (lazy, predicate-
         pushdown read of only the needed column + row groups)."""
@@ -534,6 +551,20 @@ class IndexReader:
                     return t
         return pa.table({"term": pa.array([], pa.large_string()),
                          "tf": pa.array([], pa.int64())})
+
+    def term_vector_offsets(self, doc_id: int) -> pa.Table:
+        """Offsets-bearing term vector of one doc (FVH source)."""
+        for info in self.segment_infos:
+            if info.min_doc <= doc_id <= info.max_doc:
+                sr = self.segment(info.seg_id)
+                t = sr.term_vector_offsets(doc_id)
+                if len(t):
+                    return t
+        return pa.table({"term": pa.array([], pa.large_string()),
+                         "tf": pa.array([], pa.int64()),
+                         "positions": pa.array([], pa.list_(pa.int64())),
+                         "starts": pa.array([], pa.list_(pa.int64())),
+                         "ends": pa.array([], pa.list_(pa.int64()))})
 
     def segment(self, seg_id: str) -> SegmentReader:
         r = self._readers.get(seg_id)

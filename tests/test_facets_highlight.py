@@ -184,3 +184,46 @@ def test_drill_sideways(ray_session, tmp_path_factory):
     # FacetResult ordering within each dim: count desc, value asc
     lang_rows = [r for r in got if r["dim"] == "lang"]
     assert [r["value"] for r in lang_rows] == ["en", "de"]
+
+
+def test_fast_vector_highlighter(ray_session, tmp_path_factory):
+    """FVH (vectorhighlight/FastVectorHighlighter.java role): snippets
+    come from term-vector OFFSETS, no query-time re-analysis; output
+    identical to the analyze-at-query-time highlighter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.index import build_index
+    from lucene_ray.search import IndexReader
+    from lucene_ray.search.highlight import (
+        fast_vector_highlight, highlight_text,
+    )
+
+    texts = [
+        "The data engine merges data blocks while the merge runs.",
+        "Nothing relevant in this one at all.",
+        "Data! data, DATA everywhere and a merge to think.",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path_factory.mktemp("fvh")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    idx = str(d / "idx")
+    build_index(path, idx, batch_size=2, term_vector_offsets=True)
+    r = IndexReader(idx)
+
+    for doc_id, text in enumerate(texts):
+        a = fast_vector_highlight(r, doc_id, ["data", "merge"], text=text,
+                                  max_passages=2)
+        b = highlight_text(text, ["data", "merge"], max_passages=2)
+        assert a == b, (doc_id, a, b)
+    # offsets round-trip: tags wrap the original-case surface forms
+    snip = fast_vector_highlight(r, 2, ["data"], text=texts[2])[0]
+    assert "<b>Data</b>" in snip and "<b>DATA</b>" in snip
+    # tv carries offsets columns; tf matches surface occurrences
+    tv = r.term_vector_offsets(2)
+    row = {tv.column("term")[i].as_py(): i for i in range(len(tv))}
+    assert tv.column("tf")[row["data"]].as_py() == 3
+    assert len(tv.column("starts")[row["data"]].as_py()) == 3
