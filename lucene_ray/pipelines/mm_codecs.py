@@ -1,10 +1,11 @@
 """Real multimodal codecs in pure numpy — no external libraries.
 
-BMP (Windows V3, 24-bit BI_RGB) and WAV (RIFF PCM16 mono) are fully
-specified public formats simple enough to en/decode vectorized, which
+BMP (Windows V3, 24-bit BI_RGB), WAV (RIFF PCM16 mono), PNG (8-bit
+gray/RGB/RGBA), GIF (87a/89a LZW) and baseline JPEG (``mm_jpeg.py``)
+are implemented directly from their published specifications, which
 makes the multimodal pipeline stages REAL end-to-end in this container:
 encoded bytes go in, pixels/samples come out, features are computed
-from actual content (not digests). Formats beyond these remain
+from actual content (not digests). Anything beyond these remains
 import-gated (PIL/soundfile) as before.
 """
 
@@ -298,8 +299,8 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Magic-dispatched image decode (BMP, PNG or GIF) -> HxWx3 uint8
-    RGB."""
+    """Magic-dispatched image decode (BMP, PNG, GIF or baseline JPEG)
+    -> HxWx3 uint8 RGB."""
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
@@ -311,7 +312,11 @@ def decode_image(blob: bytes) -> np.ndarray:
         return img
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(blob)
-    raise ValueError("unrecognized image format (need BMP, PNG or GIF)")
+    if blob[:2] == b"\xff\xd8":
+        from .mm_jpeg import decode_jpeg
+        return decode_jpeg(blob)
+    raise ValueError(
+        "unrecognized image format (need BMP, PNG, GIF or JPEG)")
 
 
 # --- GIF (87a/89a, LZW) ----------------------------------------------------
