@@ -327,6 +327,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .feature_topk(_docp(sf), _OR_TERMS, "distance",
                           weight=2.0, pivot=150.0, origin=500.0),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
+        # ToChildBlockJoinQuery: parent-space range joins DOWN to kids
+        "blockjoin_children": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["blockjoin_child_keys"])
+            .blockjoin_child_keys(sf, 1, 400),
         "facet_lang_counts": lambda sf: facet_lang_counts(_docp(sf), "data"),
         # diversified top-k (misc DiversifiedTopDocsCollector): <=2/lang
         "diversified_bm25_or": lambda sf: diversified_or_topk(
@@ -1073,6 +1078,10 @@ FROM keyed WHERE rnk <= 2 ORDER BY score DESC, doc_id LIMIT 20""",
         "blockjoin_orders": (
             "SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem "
             "WHERE lower(l_returnflag) = 'r' ORDER BY 1"),
+        "blockjoin_children": (
+            "SELECT l.l_orderkey FROM lineitem l JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderkey BETWEEN 1 AND 400 ORDER BY 1"),
         "dv_update_range": (
             "SELECT doc_id FROM documents WHERE (CASE WHEN doc_id % 9 = 0 "
             "THEN 10000 + doc_id ELSE n_chars END) >= 10000 "

@@ -662,6 +662,30 @@ def blockjoin_order_keys(sf_dir: str, flag_term: str = "r") -> pa.Table:
     return pa.table({"o_orderkey": pa.array(sorted(keys), pa.int64())})
 
 
+def blockjoin_child_keys(sf_dir: str, lo: int, hi: int) -> pa.Table:
+    """ToChildBlockJoinQuery over the same orders/lineitem block index:
+    a parent-space query (orders with o_orderkey in [lo, hi]) joins DOWN
+    to every lineitem child; output one row per child (its order key)."""
+    from ..search.join import block_join_children
+    from ..search.query import NumericRangeQuery
+
+    # reuse the bj2 cached block index built by blockjoin_order_keys
+    blockjoin_order_keys(sf_dir)
+    key = hashlib.md5(("bj2:" + sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"bjidx-{key}")
+    s = Searcher(IndexReader(os.path.join(out, "idx")),
+                 similarity="bm25_exact64")
+    kids, _ = block_join_children(
+        s, NumericRangeQuery("o_orderkey", lo, hi), inherit_scores=False)
+    keys = []
+    for info in s.reader.segment_infos:
+        sr = s.reader.segment(info.seg_id)
+        inb = kids[(kids >= info.min_doc) & (kids <= info.max_doc)]
+        if len(inb):
+            keys.extend(sr.stored(inb, "block_key"))
+    return pa.table({"l_orderkey": pa.array(sorted(keys), pa.int64())})
+
+
 def _facet_index(doc_path: str) -> str:
     """The stored-cols index shared by facet/highlight/grouping queries."""
     key = hashlib.md5(("facet:" + doc_path).encode()).hexdigest()[:12]

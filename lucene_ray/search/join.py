@@ -84,6 +84,53 @@ def block_join_topk(searcher: Searcher, child_query: Query, k: int = 10,
     return _top_k(docs, scores, k)
 
 
+def block_join_children(searcher: Searcher, parent_query: Query,
+                        parent_col: str = "is_parent",
+                        inherit_scores: bool = True) -> tuple:
+    """ToChildBlockJoinQuery (``join/ToChildBlockJoinQuery.java``; tests
+    ``TestBlockJoin.java`` child-direction cases): a PARENT-space query
+    joins DOWN to every child of each matching parent; children inherit
+    the parent's score. Returns (child docIDs sorted, scores float32).
+
+    Children of parent ``p`` are exactly the docIDs strictly between the
+    previous parent and ``p`` (the children-first/parent-last block
+    contract), so the join is two searchsorteds over the resident
+    per-segment docID arrays — no postings re-read."""
+    pdocs, pscores = searcher.eval_complete(parent_query)
+    if len(pdocs) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    p_parts, d_parts = [], []
+    for sr in searcher.reader.segments():
+        got = sr.numeric_range_docs(parent_col, 1, 1)
+        if len(got):
+            p_parts.append(got)
+        d_parts.append(sr.live_doc_ids())
+    if not p_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    parents_all = np.sort(np.concatenate(p_parts)).astype(np.int64)
+    all_docs = np.sort(np.concatenate(d_parts)).astype(np.int64)
+    # keep only hits that are actual parents
+    ok = np.isin(pdocs, parents_all, assume_unique=True)
+    pdocs, pscores = pdocs[ok], pscores[ok]
+    if len(pdocs) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    idx = np.searchsorted(parents_all, pdocs)
+    prev = np.where(idx > 0, parents_all[np.maximum(idx - 1, 0)],
+                    np.int64(-1))
+    lo = np.searchsorted(all_docs, prev, side="right")
+    hi = np.searchsorted(all_docs, pdocs, side="left")
+    counts = hi - lo
+    keep = counts > 0
+    if not keep.any():
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    kids = np.concatenate([all_docs[l:h]
+                           for l, h in zip(lo[keep], hi[keep])])
+    sc = (np.repeat(pscores[keep], counts[keep]) if inherit_scores
+          else np.zeros(len(kids)))
+    order = np.argsort(kids, kind="stable")
+    return kids[order], sc[order].astype(np.float32)
+
+
 def build_block_index_stream(parents, children, out_dir, *,
                              parent_key: str, child_key: str,
                              parent_text_fn, child_text_fn,

@@ -116,3 +116,44 @@ def test_stream_builder_million_children(ray_session, tmp_path_factory):
         if len(inb):
             keys.extend(sr.stored(inb, "pkey"))
     assert sorted(keys) == pkeys[pkeys % 11 == 0].tolist()
+
+
+def test_to_child_block_join(ray_session, tmp_path_factory):
+    """ToChildBlockJoinQuery: parent hits join DOWN to all their
+    children; children inherit the parent score; parents never appear
+    in the child result."""
+    import numpy as np
+    import pyarrow as pa
+    from lucene_ray.search import IndexReader, Searcher
+    from lucene_ray.search.join import block_join_children, build_block_index
+    from lucene_ray.search.query import NumericRangeQuery
+
+    parents = pa.table({
+        "pkey": pa.array([10, 20, 30], pa.int64()),
+        "text": pa.array(["parent red", "parent blue", "parent red"]),
+    })
+    children = pa.table({
+        "ckey": pa.array([10, 10, 20, 30, 30, 30], pa.int64()),
+        "text": pa.array(["c1", "c2", "c3", "c4", "c5", "c6"]),
+    })
+    out = str(tmp_path_factory.mktemp("tocb"))
+    build_block_index(parents, children, out, parent_key="pkey",
+                      child_key="ckey", stored_parent=("pkey",),
+                      parent_text=lambda r: r["text"],
+                      child_text=lambda r: r["text"])
+    s = Searcher(IndexReader(f"{out}/idx"), similarity="bm25_exact64")
+    kids, scores = block_join_children(
+        s, NumericRangeQuery("pkey", 10, 20))
+    # block_key of each child row identifies its parent
+    got = []
+    for info in s.reader.segment_infos:
+        sr = s.reader.segment(info.seg_id)
+        inb = kids[(kids >= info.min_doc) & (kids <= info.max_doc)]
+        got.extend(sr.stored(inb, "block_key"))
+    assert sorted(got) == [10, 10, 20]
+    # parent-only selection: range matching no parents -> no children
+    kids2, _ = block_join_children(s, NumericRangeQuery("pkey", 99, 100))
+    assert len(kids2) == 0
+    # all parents -> every child, none of the parents
+    kids3, _ = block_join_children(s, NumericRangeQuery("pkey", 0, 99))
+    assert len(kids3) == 6
