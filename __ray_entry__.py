@@ -215,6 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                "lm_dirichlet", 20),
         "boolean_sim_and_or": lambda sf: sim_topk(
             _docp(sf), [_ANDOR_MUST, *_ANDOR_SHOULD], "and_or", "boolean", 20),
+        "lm_jm_or": lambda sf: sim_topk(_docp(sf), _OR_TERMS, "or",
+                                        "lm_jelinek_mercer", 20),
+        "axiomatic_or": lambda sf: sim_topk(_docp(sf), _OR_TERMS, "or",
+                                            "axiomatic_f2exp", 20),
         "phrase_match": lambda sf: match_query_docs(
             _docp(sf), PhraseQuery((_TERM_A, _TERM_B))),
         "phrase_slop_match": lambda sf: match_query_docs(
@@ -777,6 +781,42 @@ scored AS (
              ln(1 + pt.tf / (2000.0 * (tfs.ttf + 1.0) / (s.sum_dl + 1.0)))
              + ln(2000.0 / (d.dl + 2000.0)))) AS score
   FROM pt JOIN tfs ON pt.term = tfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+        "lm_jm_or": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+tfs AS (SELECT term, count(*) AS ttf FROM toks
+        WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+        GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (0.9 * pt.tf / greatest(d.dl, 1)) /
+                (0.1 * (tfs.ttf + 1.0) / (s.sum_dl + 1.0)))) AS score
+  FROM pt JOIN tfs ON pt.term = tfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+        "axiomatic_or": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(pow((s.n + 1.0) / dfs.df, 0.35) * pt.tf /
+             (pt.tf + 0.5 + 0.5 * d.dl / s.avgdl)) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
        JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
   GROUP BY pt.doc_id)
 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank

@@ -146,6 +146,16 @@ def run_stage_benchmarks(sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     similarity.knn_brute(embp, range(10), 10)
     out["knn_brute_sec"] = time.perf_counter() - t0
+
+    from lucene_ray.pipelines import webtext
+
+    t0 = time.perf_counter()
+    webtext.gopher_quality(docp).materialize()
+    out["gopher_quality_sec"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    webtext.contamination(docp, 8, 97).materialize()
+    out["contamination_sec"] = time.perf_counter() - t0
     return out
 
 

@@ -53,10 +53,13 @@ def sim_topk(doc_path: str, terms: list[str], kind: str, sim: str,
     Returns (doc_id, rank); ranks by float64 score desc, ties doc_id asc,
     so an ANSI-SQL oracle reproduces them exactly."""
     from ..search.similarities import (
-        BooleanSimilarity, ClassicSimilarity, LMDirichletSimilarity,
+        AxiomaticF2EXP, BooleanSimilarity, ClassicSimilarity,
+        LMDirichletSimilarity, LMJelinekMercerSimilarity,
     )
     sims = {"classic": ClassicSimilarity, "lm_dirichlet": LMDirichletSimilarity,
-            "boolean": BooleanSimilarity}
+            "boolean": BooleanSimilarity,
+            "lm_jelinek_mercer": LMJelinekMercerSimilarity,
+            "axiomatic_f2exp": AxiomaticF2EXP}
     s = Searcher(IndexReader(cached_index(doc_path)), similarity=sims[sim]())
     td = s.search(_query(kind, terms), k=k)
     ranks = np.arange(1, len(td.doc_ids) + 1, dtype=np.int64)

@@ -108,3 +108,47 @@ class BlendedBM25Similarity(Similarity):
         return boost * idf * tf / (
             tf + self.k1 * (1 - self.b + self.b
                             * dl.astype(np.float64) / avgdl))
+
+
+class LMJelinekMercerSimilarity(Similarity):
+    """Jelinek-Mercer-smoothed query-likelihood LM
+    (``similarities/LMJelinekMercerSimilarity.java:55-62``):
+    ``score = boost * ln(1 + ((1-lambda) * tf/dl) / (lambda * p))``
+    with collection probability ``p = (ttf+1)/(sum_ttf+1)``; default
+    ``lambda = 0.1`` (title-query setting of the Zhai-Lafferty study
+    the reference cites)."""
+
+    name = "lm_jelinek_mercer"
+
+    def __init__(self, lam: float = 0.1):
+        if not (0.0 < lam <= 1.0):
+            raise ValueError(f"illegal lambda value: {lam}")
+        self.lam = float(lam)
+
+    def term_score(self, freqs, dl, df, ttf, boost, doc_count, sum_ttf):
+        p = (ttf + 1.0) / (sum_ttf + 1.0)
+        tf = freqs.astype(np.float64)
+        d = np.maximum(dl.astype(np.float64), 1.0)
+        return boost * np.log1p((1.0 - self.lam) * (tf / d)
+                                / (self.lam * p))
+
+
+class AxiomaticF2EXP(Similarity):
+    """Axiomatic retrieval model F2EXP
+    (``similarities/AxiomaticF2EXP.java``, Fang-Zhai SIGIR'05):
+    ``score = boost * (N/df)^k * tf / (tf + s + s*dl/avgdl)`` with
+    defaults ``s=0.5, k=0.35``."""
+
+    name = "axiomatic_f2exp"
+
+    def __init__(self, s: float = 0.5, k: float = 0.35):
+        if not (0.0 <= s <= 1.0) or not (0.0 < k <= 1.0):
+            raise ValueError(f"illegal parameters s={s} k={k}")
+        self.s, self.k = float(s), float(k)
+
+    def term_score(self, freqs, dl, df, ttf, boost, doc_count, sum_ttf):
+        idf = (float(doc_count + 1) / max(df, 1)) ** self.k
+        avgdl = sum_ttf / float(max(doc_count, 1))
+        tf = freqs.astype(np.float64)
+        return boost * idf * tf / (
+            tf + self.s + self.s * dl.astype(np.float64) / avgdl)

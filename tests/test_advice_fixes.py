@@ -124,3 +124,45 @@ def test_docid_int32_overflow_rejected():
                            np.array([1, 1], dtype=np.int64),
                            np.array([1, 1], dtype=np.uint8),
                            np.array([0, 2], dtype=np.int64))
+
+
+class TestNewSimilarities:
+    """LMJelinekMercerSimilarity + AxiomaticF2EXP (similarities pkg)."""
+
+    def test_lm_jm_formula(self):
+        import numpy as np
+        from lucene_ray.search.similarities import LMJelinekMercerSimilarity
+        sim = LMJelinekMercerSimilarity(lam=0.1)
+        freqs = np.array([2, 0, 5])
+        dl = np.array([10, 10, 50])
+        got = sim.term_score(freqs, dl, df=3, ttf=9, boost=2.0,
+                             doc_count=100, sum_ttf=999)
+        p = 10.0 / 1000.0
+        want = 2.0 * np.log1p(0.9 * (freqs / dl) / (0.1 * p))
+        assert np.allclose(got, want)
+        assert got[1] == 0.0  # zero freq -> zero contribution
+
+    def test_lm_jm_param_validation(self):
+        import pytest
+        from lucene_ray.search.similarities import LMJelinekMercerSimilarity
+        with pytest.raises(ValueError):
+            LMJelinekMercerSimilarity(lam=0.0)
+        with pytest.raises(ValueError):
+            LMJelinekMercerSimilarity(lam=1.5)
+
+    def test_axiomatic_formula_and_monotonicity(self):
+        import numpy as np
+        from lucene_ray.search.similarities import AxiomaticF2EXP
+        sim = AxiomaticF2EXP()
+        freqs = np.array([1, 2, 8])
+        dl = np.array([20, 20, 20])
+        got = sim.term_score(freqs, dl, df=4, ttf=0, boost=1.0,
+                             doc_count=99, sum_ttf=1980)
+        idf = (100.0 / 4) ** 0.35
+        want = idf * freqs / (freqs + 0.5 + 0.5 * 20 / 20.0)
+        assert np.allclose(got, want)
+        assert got[0] < got[1] < got[2]  # tf-monotone
+        # rarer term scores higher at same tf/dl
+        rare = sim.term_score(np.array([2]), np.array([20]), df=1, ttf=0,
+                              boost=1.0, doc_count=99, sum_ttf=1980)
+        assert rare[0] > got[1]
