@@ -353,6 +353,122 @@ class NotContainedBy(IntervalsSource):
         return s[~_contained_in_some(s, self.big.intervals(pos))]
 
 
+@dataclass(frozen=True)
+class Before(IntervalsSource):
+    """Intervals.before: source intervals that END before some
+    reference interval STARTS (reference must match in the doc)."""
+    source: IntervalsSource = None
+    reference: IntervalsSource = None
+
+    def leaf_terms(self):
+        return self.source.leaf_terms() | self.reference.leaf_terms()
+
+    def candidate_docs(self, term_docs):
+        return _inter([self.source.candidate_docs(term_docs),
+                       self.reference.candidate_docs(term_docs)])
+
+    def intervals(self, pos):
+        s = self.source.intervals(pos)
+        r = self.reference.intervals(pos)
+        if len(s) == 0 or len(r) == 0:
+            return _EMPTY
+        return s[s[:, 1] < r[:, 0].max()]
+
+
+@dataclass(frozen=True)
+class After(IntervalsSource):
+    """Intervals.after: source intervals that START after some
+    reference interval ENDS."""
+    source: IntervalsSource = None
+    reference: IntervalsSource = None
+
+    def leaf_terms(self):
+        return self.source.leaf_terms() | self.reference.leaf_terms()
+
+    def candidate_docs(self, term_docs):
+        return _inter([self.source.candidate_docs(term_docs),
+                       self.reference.candidate_docs(term_docs)])
+
+    def intervals(self, pos):
+        s = self.source.intervals(pos)
+        r = self.reference.intervals(pos)
+        if len(s) == 0 or len(r) == 0:
+            return _EMPTY
+        return s[s[:, 0] > r[:, 1].min()]
+
+
+def _overlaps_some(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """mask over a: overlaps at least one b interval (minimal lists:
+    starts and ends both strictly increasing)."""
+    if len(b) == 0:
+        return np.zeros(len(a), dtype=bool)
+    # overlap with b[j] iff b.start[j] <= a.end and b.end[j] >= a.start
+    j_hi = np.searchsorted(b[:, 0], a[:, 1], side="right")  # starts <= a.end
+    j_lo = np.searchsorted(b[:, 1], a[:, 0], side="left")   # ends >= a.start
+    return j_lo < j_hi
+
+
+@dataclass(frozen=True)
+class Overlapping(IntervalsSource):
+    """Intervals.overlapping: source intervals overlapping some
+    reference interval."""
+    source: IntervalsSource = None
+    reference: IntervalsSource = None
+
+    def leaf_terms(self):
+        return self.source.leaf_terms() | self.reference.leaf_terms()
+
+    def candidate_docs(self, term_docs):
+        return _inter([self.source.candidate_docs(term_docs),
+                       self.reference.candidate_docs(term_docs)])
+
+    def intervals(self, pos):
+        s = self.source.intervals(pos)
+        return s[_overlaps_some(s, self.reference.intervals(pos))]
+
+
+@dataclass(frozen=True)
+class NonOverlapping(IntervalsSource):
+    """Intervals.nonOverlapping: source intervals overlapping NO
+    reference interval (reference may be absent entirely)."""
+    source: IntervalsSource = None
+    reference: IntervalsSource = None
+
+    def leaf_terms(self):
+        return self.source.leaf_terms() | self.reference.leaf_terms()
+
+    def candidate_docs(self, term_docs):
+        return self.source.candidate_docs(term_docs)
+
+    def intervals(self, pos):
+        s = self.source.intervals(pos)
+        return s[~_overlaps_some(s, self.reference.intervals(pos))]
+
+
+@dataclass(frozen=True)
+class Extend(IntervalsSource):
+    """Intervals.extend: widen each interval by (before, after)
+    positions, floored at 0 — the 'phrase near the start of a window'
+    building block."""
+    sub: IntervalsSource = None
+    before: int = 0
+    after: int = 0
+
+    def leaf_terms(self):
+        return self.sub.leaf_terms()
+
+    def candidate_docs(self, term_docs):
+        return self.sub.candidate_docs(term_docs)
+
+    def intervals(self, pos):
+        iv = self.sub.intervals(pos)
+        if len(iv) == 0:
+            return iv
+        out = np.stack([np.maximum(iv[:, 0] - self.before, 0),
+                        iv[:, 1] + self.after], axis=1)
+        return _minimalize(out)
+
+
 # --------------------------------------------------------------------------
 # evaluation against an index
 

@@ -169,3 +169,43 @@ class TestIndexIntegration:
             s, Or((Phrase(("plain", "text")), Phrase(("data", "key")))))
         # "data key" is adjacent in docs 1, 3, 4; "plain text" in 5
         assert t.column("doc_id").to_pylist() == [1, 3, 4, 5]
+
+
+class TestPositionalCombinators:
+    """before/after/overlapping/nonOverlapping/extend
+    (Intervals.java factory methods of the same names)."""
+
+    def test_before_after(self):
+        from lucene_ray.search.intervals import After, Before
+        s = Term("a")
+        r = Term("x")
+        p = _pos(a=[0, 5, 9], x=[4, 7])
+        assert Before(s, r).intervals(p).tolist() == [[0, 0], [5, 5]]
+        assert After(s, r).intervals(p).tolist() == [[5, 5], [9, 9]]
+        # reference absent -> nothing
+        assert len(Before(s, r).intervals(_pos(a=[1], x=[]))) == 0
+
+    def test_overlapping(self):
+        from lucene_ray.search.intervals import NonOverlapping, Overlapping
+        src = Ordered((Term("a"), Term("b")))  # intervals span a..b
+        p = _pos(a=[0, 10], b=[2, 12], x=[1, 20])
+        ov = Overlapping(src, Term("x")).intervals(p)
+        assert ov.tolist() == [[0, 2]]  # only the first span covers x@1
+        nov = NonOverlapping(src, Term("x")).intervals(p)
+        assert nov.tolist() == [[10, 12]]
+        # absent reference: everything survives nonOverlapping
+        all_ = NonOverlapping(src, Term("zz")).intervals(
+            _pos(a=[0], b=[2], zz=[]))
+        assert all_.tolist() == [[0, 2]]
+
+    def test_extend(self):
+        from lucene_ray.search.intervals import Extend
+        iv = Extend(Term("a"), before=2, after=1).intervals(_pos(a=[1, 9]))
+        assert iv.tolist() == [[0, 2], [7, 10]]
+
+    def test_extend_then_containing(self):
+        # "x within 2 positions around a" via extend+containing
+        from lucene_ray.search.intervals import Extend
+        src = Containing(Extend(Term("a"), 2, 2), Term("x"))
+        assert len(src.intervals(_pos(a=[5], x=[4]))) == 1
+        assert len(src.intervals(_pos(a=[5], x=[8]))) == 0
