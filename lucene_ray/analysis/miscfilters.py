@@ -184,3 +184,62 @@ class PatternReplaceCharFilter:
 
     def __call__(self, text: str) -> str:
         return self.re.sub(self.replacement, text) if text else text
+
+
+class FingerprintFilter:
+    """Collapse the whole token stream into ONE sorted-deduped
+    fingerprint token (``miscellaneous/FingerprintFilter.java`` — the
+    near-duplicate-detection normalization Solr popularized).
+    ``max_output_token_size`` guards pathological docs; streams longer
+    than it emit nothing, like the reference."""
+
+    def __init__(self, separator: str = " ",
+                 max_output_token_size: int = 1024):
+        self.separator = separator
+        self.max_output_token_size = max_output_token_size
+
+    def __call__(self, terms):
+        if not terms:
+            return []
+        fp = self.separator.join(sorted(set(terms)))
+        if len(fp) > self.max_output_token_size:
+            return []
+        return [fp]
+
+
+class NFKCNormalizationFilter:
+    """Unicode NFKC(-casefold) compatibility normalization — the
+    ``analysis/icu`` ICUNormalizer2Filter role (full-width forms,
+    ligatures, compatibility chars fold to canonical text) without the
+    ICU dependency (stdlib unicodedata)."""
+
+    def __init__(self, casefold: bool = False):
+        self.casefold = casefold
+
+    def __call__(self, terms):
+        out = []
+        for t in terms:
+            n = unicodedata.normalize("NFKC", t)
+            out.append(n.casefold() if self.casefold else n)
+        return out
+
+
+class CommonGramsFilter:
+    """Bigram common words with their neighbors alongside the unigrams
+    (``commongrams/CommonGramsFilter.java`` — the phrase-speedup trick
+    for stopword-heavy phrases): for each adjacent pair where either
+    side is a common word, also emit ``left_right``."""
+
+    SEPARATOR = "_"
+
+    def __init__(self, common_words):
+        self.common = frozenset(common_words)
+
+    def __call__(self, terms):
+        out = []
+        for i, t in enumerate(terms):
+            out.append(t)
+            if i + 1 < len(terms) and (t in self.common
+                                       or terms[i + 1] in self.common):
+                out.append(t + self.SEPARATOR + terms[i + 1])
+        return out

@@ -105,3 +105,29 @@ def test_chain_in_index_build(ray_session, tmp_path):
     s = Searcher(IndexReader(idx))
     assert s.search(TermQuery("hôtel"), k=5).doc_ids.tolist() == [0]
     assert s.count(TermQuery("l'hôtel")) == 0
+
+
+def test_fingerprint_filter():
+    from lucene_ray.analysis.miscfilters import FingerprintFilter
+    f = FingerprintFilter()
+    assert f(["b", "a", "b", "c"]) == ["a b c"]
+    assert f([]) == []
+    assert FingerprintFilter(max_output_token_size=3)(["abcd", "e"]) == []
+
+
+def test_nfkc_normalization():
+    from lucene_ray.analysis.miscfilters import NFKCNormalizationFilter
+    f = NFKCNormalizationFilter()
+    # full-width latin + ligature + compatibility char
+    assert f(["ﬁsh", "ＡＢＣ", "²"]) == ["fish", "ABC", "2"]
+    cf = NFKCNormalizationFilter(casefold=True)
+    assert cf(["ＡＢＣ", "ẞ"]) == ["abc", "ss"]
+
+
+def test_common_grams():
+    from lucene_ray.analysis.miscfilters import CommonGramsFilter
+    f = CommonGramsFilter({"the", "of"})
+    assert f(["rise", "of", "the", "machines"]) == [
+        "rise", "rise_of", "of", "of_the", "the", "the_machines",
+        "machines"]
+    assert f(["plain", "words"]) == ["plain", "words"]
