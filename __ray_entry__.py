@@ -247,6 +247,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["facet_drill_sideways"])
             .facet_drill_sideways(_docp(sf), _TERM_A,
                                   {"lang": "en", "source": "src3"}),
+        # XML query parser (queryparser/xml CoreParser)
+        "xml_parsed_query": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["xml_parsed_docs"])
+            .xml_parsed_docs(_docp(sf), """
+<BooleanQuery>
+  <Clause occurs="must"><TermQuery>data</TermQuery></Clause>
+  <Clause occurs="should"><PhraseQuery>key order</PhraseQuery></Clause>
+  <Clause occurs="mustNot"><PrefixQuery prefix="spar"/></Clause>
+</BooleanQuery>"""),
         # wildcards/groups inside quoted phrases
         # (queryparser/complexPhrase/ComplexPhraseQueryParser.java)
         "complex_phrase_match": lambda sf: __import__(
@@ -913,6 +923,11 @@ SELECT c.term, coalesce(bg.n,0) AS bg_count, c.ug AS ug_count,
                           c.term) AS rank
 FROM cand c LEFT JOIN bg ON c.term=bg.term
 ORDER BY bg_count DESC, ug_count DESC, c.term LIMIT 10""",
+        "xml_parsed_query": (
+            "SELECT doc_id FROM documents WHERE "
+            "' ' || text || ' ' LIKE '% data %' AND NOT "
+            "regexp_matches(' ' || text || ' ', ' spar[^ ]* ') "
+            "ORDER BY doc_id"),
         "complex_phrase_match": (
             "SELECT doc_id FROM documents WHERE regexp_matches("
             "' ' || text || ' ', ' data (mer|win)[^ ]* ') ORDER BY doc_id"),

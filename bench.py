@@ -334,11 +334,26 @@ def _measure_membw(nproc: int) -> float:
     return round(nproc * 3 * 0.4 / (sum(res) / len(res)), 2)
 
 
+def _quick_probe() -> float:
+    """Inline fresh-alloc copy bandwidth (GB/s) — a per-child host-
+    condition stamp. This sandbox's throughput is intermittently
+    throttled by ORDERS of magnitude (measured 0.03-44 GB/s within one
+    hour), so every scaling child records the window it ran in."""
+    import numpy as np
+    import time as _t
+    a = np.ones(25_000_000)
+    t0 = _t.time()
+    for _ in range(3):
+        a.copy()
+    return round(3 * 0.4 / (_t.time() - t0), 2)
+
+
 def _run_child(num_cpus: int, pool: int | None = None) -> dict:
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(num_cpus)
     if pool is not None:
         env["LUCENE_RAY_POOL"] = str(pool)
+    probe = _quick_probe()
     p = subprocess.run([sys.executable, __file__, "--_child"], env=env,
                        capture_output=True, text=True, timeout=3600)
     lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
@@ -346,7 +361,9 @@ def _run_child(num_cpus: int, pool: int | None = None) -> dict:
         sys.stderr.write(f"--_child ({num_cpus} cpus) produced no JSON; "
                          "stderr:\n" + p.stderr[-3000:] + "\n")
         raise RuntimeError(f"scaling child failed at {num_cpus} cpus")
-    return json.loads(lines[-1])
+    out = json.loads(lines[-1])
+    out["probe_gbps_before"] = probe
+    return out
 
 
 def main_scaling() -> dict:
@@ -388,6 +405,11 @@ def main_scaling() -> dict:
                     "build_sec_8cpu_pool4": lo8["value"],
                     "build_sec_8cpu": hi8["value"],
                     "build_sec_32cpu": hi32["value"]},
+        "probe_gbps_before_each_child": {
+            "hi8": hi8["probe_gbps_before"],
+            "hi32": hi32["probe_gbps_before"],
+            "lo2": lo2["probe_gbps_before"],
+            "lo8": lo8["probe_gbps_before"]},
     }
 
 

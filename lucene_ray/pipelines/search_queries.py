@@ -346,6 +346,17 @@ def parsed_query_docs(doc_path: str, expr: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
 
 
+def xml_parsed_docs(doc_path: str, xml: str) -> pa.Table:
+    """XML query parser round trip (queryparser/xml CoreParser role):
+    parse the XML query document and return matching doc ids."""
+    from ..search.xmlparser import parse_xml_query
+
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    docs = s.match_docs(parse_xml_query(xml, default_field="text"))
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def complex_phrase_match(doc_path: str, expr: str) -> pa.Table:
     """ComplexPhraseQueryParser round trip (queryparser/complexPhrase):
     wildcards/groups inside quoted phrases, lowered against the term

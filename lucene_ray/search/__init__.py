@@ -27,6 +27,7 @@ from .query import (
 )
 from .reader import IndexReader, SegmentReader
 from .searcher import Searcher, TopDocs, merge_top_docs
+from .xmlparser import XMLQueryParser, parse_xml_query
 
 __all__ = [
     "idf", "avg_field_length", "norm_inverse_cache", "score_freqs", "score64",
@@ -38,4 +39,5 @@ __all__ = [
     "FunctionScoreQuery",
     "and_query", "or_query", "parse_simple", "query_terms",
     "IndexReader", "SegmentReader", "Searcher", "TopDocs", "merge_top_docs",
+    "XMLQueryParser", "parse_xml_query",
 ]
