@@ -127,3 +127,64 @@ class KeywordAnalyzer:
     def tokens(self, text: str):
         from .analyzer import AnalyzedToken
         return ([AnalyzedToken(text, 0, 0, len(text))] if text else [])
+
+
+class WhitespaceAnalyzer:
+    """Split on Unicode whitespace, no case folding
+    (``analysis/core/WhitespaceAnalyzer.java`` /
+    ``WhitespaceTokenizer.java``)."""
+
+    def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self.max_token_length = max_token_length
+        self.stop_words = frozenset()
+
+    def __call__(self, text: str) -> list[str]:
+        return [t for t in (text or "").split()
+                if len(t) <= self.max_token_length]
+
+    def analyze_batch(self, texts) -> list[list[str]]:
+        return [self(t) if t is not None else [] for t in texts]
+
+
+class SimpleAnalyzer:
+    """Maximal letter runs, lowercased — LetterTokenizer + LowerCase
+    (``analysis/core/SimpleAnalyzer.java``)."""
+
+    def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self.max_token_length = max_token_length
+        self.stop_words = frozenset()
+
+    def __call__(self, text: str) -> list[str]:
+        out = []
+        cur = []
+        for ch in (text or ""):
+            if ch.isalpha():
+                cur.append(ch)
+            elif cur:
+                out.append("".join(cur))
+                cur = []
+        if cur:
+            out.append("".join(cur))
+        return [java_lowercase(t) for t in out
+                if len(t) <= self.max_token_length]
+
+    def analyze_batch(self, texts) -> list[list[str]]:
+        return [self(t) if t is not None else [] for t in texts]
+
+
+class StopAnalyzer:
+    """SimpleAnalyzer + stop filter
+    (``analysis/core/StopAnalyzer.java``; the reference takes the stop
+    set as a constructor argument since 9.x)."""
+
+    def __init__(self, stop_words,
+                 max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self._inner = SimpleAnalyzer(max_token_length)
+        self.stop_words = frozenset(stop_words)
+        self.max_token_length = max_token_length
+
+    def __call__(self, text: str) -> list[str]:
+        return [t for t in self._inner(text) if t not in self.stop_words]
+
+    def analyze_batch(self, texts) -> list[list[str]]:
+        return [self(t) if t is not None else [] for t in texts]

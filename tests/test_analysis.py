@@ -363,3 +363,24 @@ def test_datetools_roundtrip_and_order():
     east = datetime(2024, 1, 1, 1, 30,
                     tzinfo=timezone(timedelta(hours=5)))
     assert date_to_string(east, "hour") == "2023123120"
+
+
+class TestCoreAnalyzers:
+    """WhitespaceAnalyzer / SimpleAnalyzer / StopAnalyzer
+    (analysis/core package)."""
+
+    def test_whitespace_preserves_case_and_punct(self):
+        from lucene_ray.analysis.analyzer import WhitespaceAnalyzer
+        a = WhitespaceAnalyzer()
+        assert a("Foo BAR's  x-1 ") == ["Foo", "BAR's", "x-1"]
+        assert a("") == [] and a(None or "") == []
+
+    def test_simple_letter_runs(self):
+        from lucene_ray.analysis.analyzer import SimpleAnalyzer
+        a = SimpleAnalyzer()
+        assert a("Foo2Bar don't x-1") == ["foo", "bar", "don", "t", "x"]
+
+    def test_stop_analyzer(self):
+        from lucene_ray.analysis.analyzer import StopAnalyzer
+        a = StopAnalyzer({"the", "a"})
+        assert a("The a Fox") == ["fox"]
