@@ -439,6 +439,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_8gram": lambda sf: __import__(
             "lucene_ray.pipelines.webtext", fromlist=["contamination"])
             .contamination(_docp(sf), 8, 97),
+        # FingerprintFilter dedup flow: bag-of-words identity clusters
+        "fingerprint_clusters": lambda sf: __import__(
+            "lucene_ray.pipelines.webtext",
+            fromlist=["fingerprint_clusters"])
+            .fingerprint_clusters(_docp(sf)),
+        # unigram-surprisal quality signal: top-20 most atypical docs
+        "surprisal_top20": lambda sf: __import__(
+            "lucene_ray.pipelines.webtext", fromlist=["surprisal_topk"])
+            .surprisal_topk(_docp(sf), 20),
         # MoreLikeThis (queries/mlt/MoreLikeThis.java): tf*idf term
         # selection from a source doc -> OR query, exact64 scores
         "more_like_this": lambda sf: text_analysis.more_like_this(
@@ -620,6 +629,21 @@ SELECT doc_id,
   len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_urls,
   len(regexp_extract_all(text, '[aeiou]{2,}'))::BIGINT AS n_vowel_runs
 FROM documents""",
+        "fingerprint_clusters": """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text,' '),
+                                       x -> x <> '') AS toks FROM documents)
+SELECT array_to_string(list_sort(list_distinct(toks)), ' ') AS fp,
+       count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc
+FROM tl GROUP BY fp""",
+        "surprisal_top20": f"""
+{_TOKS},
+tt AS (SELECT term, count(*) AS ttf FROM toks GROUP BY term),
+tot AS (SELECT sum(ttf) * 1.0 AS s FROM tt),
+ds AS (SELECT t.doc_id, -sum(ln(tt.ttf / tot.s)) / count(*) AS surp
+       FROM toks t JOIN tt ON t.term = tt.term CROSS JOIN tot
+       GROUP BY t.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY surp DESC, doc_id) AS rank
+FROM ds ORDER BY surp DESC, doc_id LIMIT 20""",
         "gopher_quality": f"""
 WITH tl AS (SELECT doc_id, list_filter(string_split(text,' '),
                                        x -> x <> '') AS toks FROM documents),

@@ -312,3 +312,112 @@ def contamination(path: str, width: int = 8,
     return _read_docs(path).map_batches(
         ContaminationScreen, batch_format="pyarrow",
         fn_constructor_args=(ref, width), concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# fingerprint clustering (FingerprintFilter-based near-dup grouping)
+
+
+class _Fingerprint:
+    """(doc_id, text) -> (doc_id, fp): sorted-deduped whitespace terms
+    joined by one space (``miscellaneous/FingerprintFilter.java``
+    normalization — the Solr SignatureUpdateProcessor dedup flow)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        flat, didx, n_words = _split_words(batch["text"])
+        n = len(batch)
+        fps = [""] * n
+        if len(flat):
+            terms = flat.to_pylist()
+            buckets: dict[int, set] = {}
+            for t, d in zip(terms, didx):
+                buckets.setdefault(int(d), set()).add(t)
+            for d, s in buckets.items():
+                fps[d] = " ".join(sorted(s))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fp": pa.array(fps, pa.string()),
+        })
+
+
+def fingerprint_clusters(path: str) -> ray.data.Dataset:
+    """(fp, n_docs, min_doc): docs grouped by their token fingerprint —
+    exact near-dup clusters under bag-of-words identity (word order and
+    repetition ignored). The groupby moves only (fp, doc_id) pairs."""
+    from ray.data.aggregate import Count, Min
+
+    return (_read_docs(path).map_batches(_Fingerprint,
+                                         batch_format="pyarrow",
+                                         concurrency=(1, 8))
+            .groupby("fp")
+            .aggregate(Count(alias_name="n_docs"),
+                       Min("doc_id", alias_name="min_doc")))
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal (language-model quality signal)
+
+
+def surprisal_topk(path: str, k: int = 20) -> "pa.Table":
+    """Top-k docs by mean unigram surprisal ``-mean(ln p(term))`` with
+    ``p = ttf/sum_ttf`` from the corpus itself — the classic cheap
+    LM-quality signal (high surprisal = rare-word-heavy / atypical
+    docs). Two passes, both combiner-shaped: a (term, ttf) aggregate,
+    then a per-doc dot product against the broadcast log-prob table.
+    Returns (doc_id, rank) — float ranking, integer output columns."""
+    from ray.data.aggregate import Sum
+
+    tt = (_read_docs(path).map_batches(_TermCounts, batch_format="pyarrow",
+                                       concurrency=(1, 8))
+          .groupby("term").aggregate(Sum("n", alias_name="ttf")))
+    rows = tt.take_all()
+    terms = np.array([r["term"] for r in rows])
+    ttf = np.array([r["ttf"] for r in rows], dtype=np.float64)
+    order = np.argsort(terms)
+    terms, ttf = terms[order], ttf[order]
+    logp = np.log(ttf / ttf.sum())
+    ref = ray.put((terms, logp))
+
+    class Score:
+        def __init__(self):
+            self.terms, self.logp = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, didx, n_words = _split_words(batch["text"])
+            n = len(batch)
+            tot = np.zeros(n, dtype=np.float64)
+            if len(flat):
+                idx = np.searchsorted(self.terms, np.asarray(
+                    flat.to_pylist(), dtype=object))
+                np.add.at(tot, didx, self.logp[np.minimum(
+                    idx, len(self.terms) - 1)])
+            mean_s = np.where(n_words > 0, -tot / np.maximum(n_words, 1),
+                              0.0)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "surprisal": pa.array(mean_s),
+            })
+
+    got = (_read_docs(path).map_batches(Score, batch_format="pyarrow",
+                                        concurrency=(1, 8))
+           .sort(["surprisal", "doc_id"], descending=[True, False])
+           .limit(k).to_pandas())
+    return pa.table({
+        "doc_id": pa.array(got["doc_id"].astype("int64")),
+        "rank": pa.array(np.arange(1, len(got) + 1, dtype=np.int64)),
+    })
+
+
+class _TermCounts:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        flat, _, _ = _split_words(batch["text"])
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary.cast(pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})

@@ -141,3 +141,30 @@ class TestGopherPipeline:
         assert len(df) == 500
         # the flag must split the corpus (not constant)
         assert 0.1 < df.gopher_pass.mean() < 0.95
+
+
+class TestFingerprintClusters:
+    def test_bag_of_words_identity(self, ray_session, tmp_path_factory):
+        import pyarrow.parquet as pq
+        texts = ["b a a b", "a b", "b a", "c d", "totally different"]
+        d = tmp_path_factory.mktemp("fpc")
+        path = str(d / "docs.parquet")
+        pq.write_table(_tbl(texts), path)
+        out = webtext.fingerprint_clusters(path).to_pandas()
+        by = {r.fp: (r.n_docs, r.min_doc) for r in out.itertuples()}
+        # word order and repetition collapse: docs 0,1,2 share "a b"
+        assert by["a b"] == (3, 0)
+        assert by["c d"] == (1, 3)
+
+
+class TestSurprisal:
+    def test_rare_word_docs_rank_first(self, ray_session, tmp_path_factory):
+        import pyarrow.parquet as pq
+        texts = (["common words here"] * 8
+                 + ["common words zzyzx"])   # one rare token
+        d = tmp_path_factory.mktemp("surp")
+        path = str(d / "docs.parquet")
+        pq.write_table(_tbl(texts), path)
+        out = webtext.surprisal_topk(path, k=3).to_pylist()
+        assert out[0]["doc_id"] == 8  # the rare-word doc is most atypical
+        assert [r["rank"] for r in out] == [1, 2, 3]
