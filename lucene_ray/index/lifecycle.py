@@ -1,0 +1,158 @@
+"""Index lifecycle APIs: NRT refresh, addIndexes, snapshot/rollback.
+
+Reference roles:
+
+* :class:`SearcherManager` — ``search/SearcherManager.java`` +
+  ``index/DirectoryReader.openIfChanged``: hold a point-in-time
+  searcher, swap it only when a newer manifest generation exists
+  (near-real-time reopen; readers already pin a generation, so an open
+  searcher is never affected by later commits).
+* :func:`add_indexes` — ``IndexWriter.addIndexes(Directory...)``
+  (``index/IndexWriter.java:2971``): graft every segment of the source
+  indexes into the target as a NEW generation, without touching
+  payload bytes (segment directories are immutable; only the manifest
+  and the per-segment directory names move). Doc-id ranges must stay
+  disjoint — docIDs are the caller's primary key here (same contract
+  as create_or_append builds).
+* :func:`snapshots` / :func:`rollback` — SnapshotDeletionPolicy /
+  ``IndexWriter.rollback``: every committed generation remains on disk
+  (manifests are never deleted by this engine), so any of them can be
+  listed, opened read-only, or promoted back to the head by writing a
+  NEW generation with the old segment set (history is append-only —
+  a rollback is itself a commit, like the reference's two-phase
+  semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from .manifest import (
+    IndexManifest,
+    SegmentInfo,
+    latest_generation,
+    read_manifest,
+    write_manifest,
+)
+
+
+class SearcherManager:
+    """NRT reopen: ``acquire()`` returns the current Searcher;
+    ``maybe_refresh()`` swaps in a new one iff a newer generation was
+    committed. Old searchers stay valid (their generation's files are
+    immutable)."""
+
+    def __init__(self, index_dir: str, similarity: str = "lucene"):
+        self.index_dir = index_dir
+        self.similarity = similarity
+        self._gen = latest_generation(index_dir)
+        self._searcher = self._open(self._gen)
+
+    def _open(self, gen: int):
+        from ..search import IndexReader, Searcher
+        return Searcher(IndexReader(self.index_dir, generation=gen),
+                        similarity=self.similarity)
+
+    @property
+    def generation(self) -> int:
+        return self._gen
+
+    def acquire(self):
+        return self._searcher
+
+    def maybe_refresh(self) -> bool:
+        """True iff a newer generation was opened (openIfChanged)."""
+        gen = latest_generation(self.index_dir)
+        if gen <= self._gen:
+            return False
+        self._searcher = self._open(gen)
+        self._gen = gen
+        return True
+
+
+def add_indexes(target_dir: str, *source_dirs: str,
+                copy: bool = True) -> IndexManifest:
+    """Graft the source indexes' segments into ``target_dir`` as one
+    new generation (IndexWriter.addIndexes). Segment payloads are
+    copied directory-by-directory (or hard-linked when ``copy=False``
+    and the filesystem allows); manifests merge; doc-id ranges of all
+    participating segments must be pairwise disjoint."""
+    tgt = read_manifest(target_dir)
+    seen = [(s.min_doc, s.max_doc) for s in tgt.segments]
+    new_segs: list[SegmentInfo] = list(tgt.segments)
+    add_docs = 0
+    add_len = 0
+    add_fdc = 0
+    for src_dir in source_dirs:
+        src = read_manifest(src_dir)
+        if src.field != tgt.field:
+            raise ValueError(
+                f"field mismatch: {src.field!r} vs {tgt.field!r}")
+        for s in src.segments:
+            for lo, hi in seen:
+                if not (s.max_doc < lo or s.min_doc > hi):
+                    raise ValueError(
+                        f"doc range [{s.min_doc},{s.max_doc}] of segment "
+                        f"{s.seg_id} overlaps an existing segment")
+            seen.append((s.min_doc, s.max_doc))
+            src_seg = os.path.join(src_dir, "segments", s.seg_id)
+            dst_seg = os.path.join(target_dir, "segments", s.seg_id)
+            if not os.path.isdir(dst_seg):
+                if copy:
+                    shutil.copytree(src_seg, dst_seg)
+                else:
+                    os.makedirs(os.path.dirname(dst_seg), exist_ok=True)
+                    os.symlink(os.path.abspath(src_seg), dst_seg)
+            new_segs.append(s)
+            add_docs += s.num_docs
+            add_len += s.sum_doc_len
+            add_fdc += getattr(s, "field_doc_count", s.num_docs)
+    m = IndexManifest(
+        generation=tgt.generation + 1,
+        num_docs=tgt.num_docs + add_docs,
+        sum_doc_len=tgt.sum_doc_len + add_len,
+        field=tgt.field,
+        stop_words=tgt.stop_words,
+        segments=sorted(new_segs, key=lambda s: (s.min_doc, s.seg_id)),
+        field_doc_count=tgt.field_doc_count + add_fdc,
+    )
+    write_manifest(target_dir, m)
+    return m
+
+
+def snapshots(index_dir: str) -> list[int]:
+    """All committed generations, oldest first (SnapshotDeletionPolicy
+    listing — this engine never deletes manifests, so every commit is
+    a snapshot)."""
+    gens = []
+    for name in os.listdir(index_dir):
+        if name.startswith("manifest_") and name.endswith(".json"):
+            try:
+                gens.append(int(name[len("manifest_"):-len(".json")]))
+            except ValueError:
+                pass
+    return sorted(gens)
+
+
+def rollback(index_dir: str, generation: int) -> IndexManifest:
+    """Promote an older snapshot back to the head by committing a NEW
+    generation with that snapshot's exact segment set (history stays
+    append-only; nothing is deleted). Readers opened after this see
+    the old state; readers pinned to intermediate generations keep
+    working."""
+    if generation not in snapshots(index_dir):
+        raise ValueError(f"no committed generation {generation}")
+    old = read_manifest(index_dir, generation)
+    head = latest_generation(index_dir)
+    m = IndexManifest(
+        generation=head + 1,
+        num_docs=old.num_docs,
+        sum_doc_len=old.sum_doc_len,
+        field=old.field,
+        stop_words=old.stop_words,
+        segments=old.segments,
+        field_doc_count=old.field_doc_count,
+    )
+    write_manifest(index_dir, m)
+    return m
