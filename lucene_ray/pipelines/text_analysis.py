@@ -194,10 +194,42 @@ class LangId:
         return best if best_rate > 0.02 else "unknown"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batch-vectorized detect(): CJK-fraction via an Arrow RE2
+        count over the 200-char sample, marker hit-rates as one
+        ``is_in`` + bincount per language over the flat token stream —
+        one Python pass per BATCH, not per row (equivalence to the
+        scalar ``detect`` is pytest-gated)."""
+        import pyarrow.compute as pc
+        from ..analysis.arrow_tokenize import _tokenize_batch_arrow
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        n = len(text)
+        sample = pc.utf8_slice_codeunits(text, 0, 200)
+        cjk = pc.count_substring_regex(
+            sample, "[\u4E00-\u9FFF]").to_numpy(zero_copy_only=False)
+        slen = pc.utf8_length(sample).to_numpy(zero_copy_only=False)
+        is_zh = cjk > slen * 0.2
+        flat, didx = _tokenize_batch_arrow(text, self.analyzer)
+        n_tok = np.bincount(didx, minlength=n).astype(np.int64)
+        langs = list(_LANG_MARKERS)
+        rates = np.zeros((n, len(langs)))
+        if len(flat):
+            denom = np.maximum(n_tok, 1)
+            for j, lang in enumerate(langs):
+                hit = pc.is_in(flat, value_set=pa.array(
+                    sorted(_LANG_MARKERS[lang]), type=flat.type))                     .to_numpy(zero_copy_only=False)
+                cnt = np.zeros(n, dtype=np.int64)
+                np.add.at(cnt, didx[hit], 1)
+                rates[:, j] = cnt / denom
+        best = np.argmax(rates, axis=1)  # first max == dict order, like
+        best_rate = rates[np.arange(n), best]  # the scalar loop's ">"
+        out = np.array(langs, dtype=object)[best]
+        out[(best_rate <= 0.02) | (n_tok == 0)] = "unknown"
+        out[is_zh] = "zh"
+        empty = np.asarray(pc.equal(text, ""))
+        out[empty] = "unknown"
         return pa.table({
             "doc_id": batch["doc_id"],
-            "lang_pred": pa.array([self.detect(t or "")
-                                   for t in batch["text"].to_pylist()], pa.string()),
+            "lang_pred": pa.array(out.tolist(), pa.string()),
         })
 
 

@@ -229,3 +229,25 @@ def test_pattern_counts_planted(ray_session, tmp_path_factory):
     assert rows[0]["n_emails"] == 2 and rows[0]["n_urls"] == 0
     assert rows[1]["n_urls"] == 2 and rows[1]["n_emails"] == 0
     assert rows[2]["n_emails"] == 0 and rows[2]["n_urls"] == 0
+
+
+def test_langid_vectorized_equals_scalar():
+    """The batch-vectorized LangId path must reproduce the scalar
+    detect() exactly (incl. ties, thresholds, CJK, empty/None)."""
+    import pyarrow as pa
+    from lucene_ray.pipelines.text_analysis import LangId
+    li = LangId()
+    texts = [
+        "the cat and the dog is in that house with it for sure",
+        "der hund und die katze ist nicht ein tier mit",
+        "le chat et la maison est pas une pour dans les",
+        "el perro y la casa es no una para con los",
+        "随机的中文文本在这里继续出现很多汉字直到超过百分之二十",
+        "", None, "zz qq xx vv", "word " * 300,
+        "the the the", "mixed der the und and ist is",
+        "la la la",  # fr/es marker tie -> first in dict order wins
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    vec = li(t).column("lang_pred").to_pylist()
+    assert vec == [li.detect(x or "") for x in texts]
