@@ -247,6 +247,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["facet_drill_sideways"])
             .facet_drill_sideways(_docp(sf), _TERM_A,
                                   {"lang": "en", "source": "src3"}),
+        # DocValuesStats (misc module): numeric dv aggregate over a
+        # query's match set, integer accumulators
+        "dv_stats_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries", fromlist=["dv_stats"])
+            .dv_stats(_docp(sf), _TERM_A, "n_chars"),
         # XML query parser (queryparser/xml CoreParser)
         "xml_parsed_query": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -947,6 +952,10 @@ SELECT c.term, coalesce(bg.n,0) AS bg_count, c.ug AS ug_count,
                           c.term) AS rank
 FROM cand c LEFT JOIN bg ON c.term=bg.term
 ORDER BY bg_count DESC, ug_count DESC, c.term LIMIT 10""",
+        "dv_stats_match": f"""
+SELECT count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS sum,
+       min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max
+FROM documents WHERE ' ' || text || ' ' LIKE '% {_TERM_A} %'""",
         "xml_parsed_query": (
             "SELECT doc_id FROM documents WHERE "
             "' ' || text || ' ' LIKE '% data %' AND NOT "

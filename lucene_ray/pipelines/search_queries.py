@@ -700,6 +700,36 @@ def blockjoin_child_keys(sf_dir: str, lo: int, hi: int) -> pa.Table:
     return pa.table({"l_orderkey": pa.array(sorted(keys), pa.int64())})
 
 
+def dv_stats(doc_path: str, term: str, col: str) -> pa.Table:
+    """DocValuesStats role (``lucene/misc/src/java/.../document/
+    DocValuesStats.java`` + ``DocValuesStatsCollector``; tests
+    ``TestDocValuesStatsCollector.java``): aggregate a numeric
+    doc-values column over the docs matching a query. Integer
+    accumulators (count, sum, min, max) so the oracle compares exactly;
+    mean/variance derive from them client-side."""
+    # the dv-bearing index shared with topk_by_numeric_field
+    key = hashlib.md5(("num2:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"numidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048, doc_value_cols=(col,))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    import numpy as np
+    docs = s.match_docs(TermQuery(term))
+    vals = s.doc_values(docs, col)
+    vals = vals[~np.isnan(vals)].astype(np.int64)
+    if len(vals) == 0:
+        return pa.table({"count": pa.array([0], pa.int64()),
+                         "sum": pa.array([0], pa.int64()),
+                         "min": pa.array([0], pa.int64()),
+                         "max": pa.array([0], pa.int64())})
+    return pa.table({
+        "count": pa.array([len(vals)], pa.int64()),
+        "sum": pa.array([int(vals.sum())], pa.int64()),
+        "min": pa.array([int(vals.min())], pa.int64()),
+        "max": pa.array([int(vals.max())], pa.int64()),
+    })
+
+
 def _facet_index(doc_path: str) -> str:
     """The stored-cols index shared by facet/highlight/grouping queries."""
     key = hashlib.md5(("facet:" + doc_path).encode()).hexdigest()[:12]
