@@ -802,8 +802,8 @@ scored AS (
   FROM pt JOIN dfs ON pt.term = dfs.term
        JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
   GROUP BY pt.doc_id)
-SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+SELECT doc_id, row_number() OVER (ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id) AS rank
+FROM scored ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id LIMIT 20""",
         "lm_dirichlet_or": f"""
 {_TOKS},
 {_DL},
@@ -822,8 +822,8 @@ scored AS (
   FROM pt JOIN tfs ON pt.term = tfs.term
        JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
   GROUP BY pt.doc_id)
-SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+SELECT doc_id, row_number() OVER (ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id) AS rank
+FROM scored ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id LIMIT 20""",
         "lm_jm_or": f"""
 {_TOKS},
 {_DL},
@@ -841,8 +841,8 @@ scored AS (
   FROM pt JOIN tfs ON pt.term = tfs.term
        JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
   GROUP BY pt.doc_id)
-SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+SELECT doc_id, row_number() OVER (ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id) AS rank
+FROM scored ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id LIMIT 20""",
         "axiomatic_or": f"""
 {_TOKS},
 {_DL},
@@ -858,16 +858,16 @@ scored AS (
   FROM pt JOIN dfs ON pt.term = dfs.term
        JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
   GROUP BY pt.doc_id)
-SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+SELECT doc_id, row_number() OVER (ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id) AS rank
+FROM scored ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id LIMIT 20""",
         "boolean_sim_and_or": f"""
 {_TOKS},
 pt AS (SELECT DISTINCT doc_id, term FROM toks
        WHERE term IN ({', '.join(repr(t) for t in [_ANDOR_MUST, *_ANDOR_SHOULD])})),
 scored AS (SELECT doc_id, count(*) * 1.0 AS score FROM pt GROUP BY doc_id
            HAVING count(CASE WHEN term = '{_ANDOR_MUST}' THEN 1 END) = 1)
-SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+SELECT doc_id, row_number() OVER (ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id) AS rank
+FROM scored ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id LIMIT 20""",
         "phrase_match": (
             "SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE "
             f"'% {_TERM_A} {_TERM_B} %' ORDER BY doc_id"),

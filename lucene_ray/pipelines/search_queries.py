@@ -46,12 +46,27 @@ def _query(kind: str, terms: list[str]):
     raise ValueError(kind)
 
 
+def _quantized_rank_table(docs, scores, k: int) -> pa.Table:
+    """Rank by the quantized integer key floor(score*1e9), ties by
+    doc_id — the SQL oracle ranks by the identical key, so one-ULP
+    summation-order differences (numpy accumulates in clause order,
+    SQL sum() in arbitrary order) can never flip a rank: true ties
+    land on the same grid point and break by doc_id on both sides."""
+    key = np.floor(scores * 1e9).astype(np.int64)
+    order = np.lexsort((docs, -key))[:k]
+    return pa.table({
+        "doc_id": pa.array(docs[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+    })
+
+
 def sim_topk(doc_path: str, terms: list[str], kind: str, sim: str,
              k: int = 20) -> pa.Table:
     """Top-k under a pluggable Similarity (similarities module role —
-    ClassicSimilarity / LMDirichletSimilarity / BooleanSimilarity).
-    Returns (doc_id, rank); ranks by float64 score desc, ties doc_id asc,
-    so an ANSI-SQL oracle reproduces them exactly."""
+    Classic / LMDirichlet / LMJelinekMercer / AxiomaticF2EXP / Boolean).
+    Returns (doc_id, rank) ranked by the quantized key
+    floor(score*1e9) desc, ties doc_id asc (see
+    ``_quantized_rank_table`` — ULP-proof against SQL sum order)."""
     from ..search.similarities import (
         AxiomaticF2EXP, BooleanSimilarity, ClassicSimilarity,
         LMDirichletSimilarity, LMJelinekMercerSimilarity,
@@ -61,10 +76,8 @@ def sim_topk(doc_path: str, terms: list[str], kind: str, sim: str,
             "lm_jelinek_mercer": LMJelinekMercerSimilarity,
             "axiomatic_f2exp": AxiomaticF2EXP}
     s = Searcher(IndexReader(cached_index(doc_path)), similarity=sims[sim]())
-    td = s.search(_query(kind, terms), k=k)
-    ranks = np.arange(1, len(td.doc_ids) + 1, dtype=np.int64)
-    return pa.table({"doc_id": pa.array(td.doc_ids, pa.int64()),
-                     "rank": pa.array(ranks, pa.int64())})
+    docs, scores = s.eval_complete(_query(kind, terms))
+    return _quantized_rank_table(docs, scores, k)
 
 
 def bm25_topk(doc_path: str, terms: list[str], kind: str = "term",
