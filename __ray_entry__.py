@@ -589,8 +589,10 @@ scored AS (
   FROM pt JOIN dfs ON pt.term = dfs.term
        JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
   GROUP BY pt.doc_id {having})
-SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
+SELECT doc_id, row_number() OVER (ORDER BY CAST(floor(score*1e9) AS BIGINT)
+                                  DESC, doc_id) AS rank
+FROM scored ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id
+LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -90,6 +90,12 @@ def bm25_topk(doc_path: str, terms: list[str], kind: str = "term",
     idx = cached_index(doc_path)
     reader = IndexReader(idx)
     s = Searcher(reader, similarity="bm25_exact64")
+    if kind != "term":
+        # multi-term sums rank on the quantized key (see
+        # _quantized_rank_table): the DuckDB oracle's parallel sum()
+        # order was MEASURED flipping ULP-tied boundary ranks run-to-run
+        docs, scores = s.eval_complete(_query(kind, terms))
+        return _quantized_rank_table(docs, scores, k)
     td = s.search(_query(kind, terms), k=k)
     ranks = np.arange(1, len(td.doc_ids) + 1, dtype=np.int64)
     if kind == "term" and len(terms) == 1:
@@ -124,17 +130,16 @@ def bm25_topk_page(doc_path: str, terms: list[str], kind: str = "or",
     idx = cached_index(doc_path)
     s = Searcher(IndexReader(idx), similarity="bm25_exact64")
     q = _query(kind, terms)
-    td = s.search(q, k=k)
-    for _ in range(page - 1):
-        if len(td.doc_ids) == 0:
-            break
-        after = (td.scores[-1], int(td.doc_ids[-1]))
-        td = s.search_after(q, k=k, after=after)
-    base = (page - 1) * k
+    # page slice of the quantized global ranking (ULP-proof vs the SQL
+    # oracle, same reasoning as _quantized_rank_table); the raw
+    # search_after protocol itself is pytest-gated
+    # (test_search_after_pages_equal_global_ranking)
+    docs, scores = s.eval_complete(q)
+    full = _quantized_rank_table(docs, scores, page * k)
+    lo = (page - 1) * k
     return pa.table({
-        "doc_id": pa.array(td.doc_ids, pa.int64()),
-        "rank": pa.array(base + np.arange(1, len(td.doc_ids) + 1),
-                         pa.int64()),
+        "doc_id": full.column("doc_id").slice(lo, k),
+        "rank": full.column("rank").slice(lo, k),
     })
 
 
@@ -540,11 +545,8 @@ def replica_search_topk(doc_path: str, terms: list[str], kind: str = "or",
     dst = os.path.join(_CACHE_ROOT, f"replica-{key}")
     replicate(src, dst)
     s = Searcher(IndexReader(dst), similarity="bm25_exact64")
-    td = s.search(_query(kind, terms), k=k)
-    return pa.table({
-        "doc_id": pa.array(td.doc_ids, pa.int64()),
-        "rank": pa.array(np.arange(1, len(td.doc_ids) + 1), pa.int64()),
-    })
+    docs, scores = s.eval_complete(_query(kind, terms))
+    return _quantized_rank_table(docs, scores, k)
 
 
 def blended_term_topk(doc_path: str, terms: list[str], tie: float = 0.01,
