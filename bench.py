@@ -283,8 +283,43 @@ def run_merge_bench(index_dir: str) -> float:
 def main_single(num_cpus: int, *, build_only: bool = False) -> dict:
     _init_ray(num_cpus)
     corpus = bench_corpus(SCALING_DOCS if build_only else None)
-    idx_dir = f"/tmp/lucene_ray_bench/idx-{num_cpus}-{time.time_ns()}"
-    build_sec, n_docs = run_index_build(corpus, idx_dir)
+    if build_only:
+        import shutil
+        idx_dir = f"/tmp/lucene_ray_bench/idx-{num_cpus}-{time.time_ns()}"
+        build_sec, n_docs = run_index_build(corpus, idx_dir)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        return {
+            "metric": "index_build_sec",
+            "value": round(build_sec, 3),
+            "unit": "sec",
+            "sf": SF_DIR,
+            "num_cpus": num_cpus,
+            "bench_docs": n_docs,
+            "docs_per_sec": round(n_docs / build_sec, 1),
+        }
+    # self-adjudicating build number: THIS sandbox's host throughput
+    # swings by orders of magnitude between minutes (probe-documented
+    # in BASELINE.md), so the default bench runs the build 3x with a
+    # host-bandwidth probe stamped before each run and reports the
+    # median (plus all three runs + probes, so a throttled window is
+    # visible in the artifact itself rather than adjudicated later)
+    import shutil
+    runs = []
+    keep_dir = None
+    for i in range(3):
+        probe = _quick_probe()
+        idx_dir = f"/tmp/lucene_ray_bench/idx-{num_cpus}-{time.time_ns()}"
+        sec, n_docs = run_index_build(corpus, idx_dir)
+        runs.append({"sec": round(sec, 3), "probe_gbps": probe,
+                     "docs_per_sec": round(n_docs / sec, 1)})
+        if keep_dir is None or sec <= min(r["sec"] for r in runs):
+            if keep_dir is not None:
+                shutil.rmtree(keep_dir, ignore_errors=True)
+            keep_dir = idx_dir
+        else:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+    idx_dir = keep_dir
+    build_sec = statistics.median(r["sec"] for r in runs)
     result = {
         "metric": "index_build_sec",
         "value": round(build_sec, 3),
@@ -293,11 +328,10 @@ def main_single(num_cpus: int, *, build_only: bool = False) -> dict:
         "num_cpus": num_cpus,
         "bench_docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 1),
+        "build_runs": runs,
+        "probe_gbps_median": statistics.median(
+            r["probe_gbps"] for r in runs),
     }
-    if build_only:
-        import shutil
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        return result
     queries = {"index_build_sec": round(build_sec, 3)}
     queries["merge_sec"] = round(run_merge_bench(idx_dir), 3)
     queries.update({k: round(v, 3) for k, v in run_queries(idx_dir).items()})
@@ -306,7 +340,7 @@ def main_single(num_cpus: int, *, build_only: bool = False) -> dict:
     queries.update(run_sessionize_bench())
     result["queries"] = queries
     result["query_p50_ms"] = queries["query_p50_ms"]
-    import shutil
+    result["probe_gbps_after"] = _quick_probe()
     shutil.rmtree(idx_dir, ignore_errors=True)
     return result
 

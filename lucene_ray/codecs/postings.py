@@ -47,6 +47,13 @@ class PackedPostings(NamedTuple):
     chunk_doc_counts: np.ndarray  # int32[nchunks], docs per chunk
     positions: bytes = b""  # packed position deltas (reset per posting)
     chunk_occ_counts: np.ndarray = np.empty(0, np.int64)  # occurrences/chunk
+    # pack-time per-block byte lengths (incl. the header byte) of the
+    # docs/freqs streams — lets readers compute every block's byte
+    # offset with one cumsum instead of a per-block header scan
+    # (Lucene90SkipWriter stores the analogous file pointers at write
+    # time). Empty = unknown (legacy data) -> header-scan fallback.
+    docs_bb: np.ndarray = np.empty(0, np.int32)
+    freqs_bb: np.ndarray = np.empty(0, np.int32)
 
 
 # --- bit packing -----------------------------------------------------------
@@ -90,10 +97,17 @@ def _unpack_block(buf: memoryview, pos: int, n: int) -> tuple[np.ndarray, int]:
 
 def _pack_values(vals: np.ndarray, fmt: str = "for128") -> bytes:
     """Pack an array in BLOCK_SIZE blocks, each at its own width."""
+    return _pack_values_bb(vals, fmt)[0]
+
+
+def _pack_values_bb(vals: np.ndarray,
+                    fmt: str = "for128") -> tuple[bytes, np.ndarray]:
+    """(packed bytes, per-block byte lengths incl. header)."""
     out = []
     for i in range(0, len(vals), BLOCK_SIZE):
         out.append(_pack_block(vals[i:i + BLOCK_SIZE], fmt))
-    return b"".join(out)
+    return b"".join(out), np.fromiter((len(b) for b in out),
+                                      dtype=np.int32, count=len(out))
 
 
 def _block_sizes(chunk_doc_counts) -> list[int]:
@@ -127,14 +141,37 @@ def _scan_block_offsets(buf: bytes, sizes) -> tuple[np.ndarray, np.ndarray]:
     return offs, widths
 
 
+def stream_layout(p: "PackedPostings",
+                  stream: str) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_offsets int64[n+1], widths int64[n]) of the ``docs`` or
+    ``freqs`` stream. O(blocks) vectorized when pack-time byte lengths
+    are present (one cumsum + one header gather); header-scan fallback
+    for legacy packings."""
+    buf = p.docs if stream == "docs" else p.freqs
+    bb = p.docs_bb if stream == "docs" else p.freqs_bb
+    sizes = np.asarray(_block_sizes(p.chunk_doc_counts), dtype=np.int64)
+    n = len(sizes)
+    if len(bb) == n and n > 0:
+        offs = np.empty(n + 1, dtype=np.int64)
+        offs[0] = 0
+        np.cumsum(np.asarray(bb, dtype=np.int64), out=offs[1:])
+        hdr = np.frombuffer(buf, dtype=np.uint8)[offs[:-1]].astype(np.int64)
+        widths = np.where(hdr > 32, -1, hdr)
+        return offs, widths
+    return _scan_block_offsets(buf, sizes)
+
+
 def _unpack_values(buf: bytes, sizes: list[int],
-                   sel: np.ndarray | None = None) -> np.ndarray:
+                   sel: np.ndarray | None = None,
+                   layout: tuple[np.ndarray, np.ndarray] | None = None
+                   ) -> np.ndarray:
     """Decode blocks (all, or the selected subset in index order),
     concatenated. Full 128-value blocks are decoded per-width in single
     unpackbits/packbits calls — ~20x less Python overhead than a
     per-block loop."""
     sizes_arr = np.asarray(sizes, dtype=np.int64)
-    offs, widths = _scan_block_offsets(buf, sizes_arr)
+    offs, widths = layout if layout is not None \
+        else _scan_block_offsets(buf, sizes_arr)
     if sel is None:
         sel = np.arange(len(sizes_arr))
     else:
@@ -261,11 +298,16 @@ def pack_postings(doc_ids: np.ndarray, freqs: np.ndarray,
     block_last = doc_ids[np.minimum(
         np.arange(1, nblocks + 1) * BLOCK_SIZE - 1, len(doc_ids) - 1)].astype(np.int32)
     imp_f, imp_n, imp_off = compute_impacts(freqs, np.asarray(norms))
+    docs_buf, docs_bb = _pack_values_bb(deltas, postings_format)
+    freqs_buf, freqs_bb = _pack_values_bb(freqs.astype(np.uint32),
+                                          postings_format)
     return PackedPostings(
         doc_count=len(doc_ids),
         ttf=int(freqs.sum()),
-        docs=_pack_values(deltas, postings_format),
-        freqs=_pack_values(freqs.astype(np.uint32), postings_format),
+        docs=docs_buf,
+        freqs=freqs_buf,
+        docs_bb=docs_bb,
+        freqs_bb=freqs_bb,
         block_last_docs=block_last,
         imp_freqs=imp_f,
         imp_norms=imp_n,
@@ -277,8 +319,10 @@ def pack_postings(doc_ids: np.ndarray, freqs: np.ndarray,
 def unpack_postings(p: PackedPostings) -> tuple[np.ndarray, np.ndarray]:
     """Decode a (possibly multi-chunk) posting -> (doc_ids int64, freqs int32)."""
     sizes = _block_sizes(p.chunk_doc_counts)
-    deltas = _unpack_values(p.docs, sizes).astype(np.int64)
-    freqs = _unpack_values(p.freqs, sizes).astype(np.int32)
+    deltas = _unpack_values(p.docs, sizes,
+                            layout=stream_layout(p, "docs")).astype(np.int64)
+    freqs = _unpack_values(p.freqs, sizes,
+                           layout=stream_layout(p, "freqs")).astype(np.int32)
     # per-chunk cumsum: each chunk's first delta is absolute
     counts = np.asarray(p.chunk_doc_counts, dtype=np.int64)
     docs = np.cumsum(deltas)
@@ -330,6 +374,15 @@ def concat_postings(chunks: list[PackedPostings]) -> PackedPostings:
         imp_norms=np.concatenate([c.imp_norms for c in chunks]),
         imp_offsets=np.concatenate(off_parts).astype(np.int32),
         chunk_doc_counts=np.concatenate([c.chunk_doc_counts for c in chunks]),
+        # block byte lengths concatenate directly (they are per-block,
+        # not cumulative); drop to the scan fallback if any chunk lacks
+        # them (legacy data)
+        docs_bb=(np.concatenate([c.docs_bb for c in chunks])
+                 if all(len(c.docs_bb) for c in chunks)
+                 else np.empty(0, np.int32)),
+        freqs_bb=(np.concatenate([c.freqs_bb for c in chunks])
+                  if all(len(c.freqs_bb) for c in chunks)
+                  else np.empty(0, np.int32)),
     )
 
 
@@ -486,6 +539,7 @@ def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
         "ttf": ttfs.tolist(),
         "doc_count": counts.tolist(),
         "docs": [], "freqs": [], "block_last_docs": [],
+        "docs_bb": [], "freqs_bb": [],
         "imp_freqs": [], "imp_norms": [], "imp_offsets": [],
         "chunk_doc_counts": [np.array([c], dtype=np.int32) for c in counts],
         "positions": [b""] * n_out,
@@ -493,11 +547,17 @@ def pack_postings_many(doc_ids: np.ndarray, freqs: np.ndarray,
     }
     fo32 = fo.astype(np.int32)
     no32 = no.astype(np.int32)
+    docs_bl = np.fromiter((len(b) for b in docs_blocks),
+                          dtype=np.int32, count=total_blocks)
+    freqs_bl = np.fromiter((len(b) for b in freqs_blocks),
+                           dtype=np.int32, count=total_blocks)
     for j in range(n_terms):
         b0, b1 = bcs[j], bcs[j + 1]
         out["docs"].append(b"".join(docs_blocks[b0:b1]))
         out["freqs"].append(b"".join(freqs_blocks[b0:b1]))
         out["block_last_docs"].append(block_last[b0:b1])
+        out["docs_bb"].append(docs_bl[b0:b1])
+        out["freqs_bb"].append(freqs_bl[b0:b1])
         o0, o1 = off[b0], off[b1]
         out["imp_freqs"].append(fo32[o0:o1])
         out["imp_norms"].append(no32[o0:o1])
@@ -521,8 +581,10 @@ def decode_selected_blocks(p: PackedPostings,
         bases[0] = 0
         bases[1:] = blast[:-1]
         bases[chunk_first] = 0
-    deltas = _unpack_values(p.docs, sizes, sel=sel).astype(np.int64)
-    freqs = _unpack_values(p.freqs, sizes, sel=sel).astype(np.int32)
+    deltas = _unpack_values(p.docs, sizes, sel=sel,
+                            layout=stream_layout(p, "docs")).astype(np.int64)
+    freqs = _unpack_values(p.freqs, sizes, sel=sel,
+                           layout=stream_layout(p, "freqs")).astype(np.int32)
     sel_sizes = sizes[sel]
     boffs = np.concatenate([[0], np.cumsum(sel_sizes)])
     gcs = np.cumsum(deltas)

@@ -60,6 +60,8 @@ POSTINGS_SCHEMA = pa.schema([
     ("docs", pa.large_binary()),
     ("freqs", pa.large_binary()),
     ("block_last_docs", pa.large_list(pa.int32())),
+    ("docs_bb", pa.large_list(pa.int32())),   # per-block byte lengths
+    ("freqs_bb", pa.large_list(pa.int32())),  # (skip-pointer analog)
     ("imp_freqs", pa.large_list(pa.int32())),
     ("imp_norms", pa.large_list(pa.int32())),
     ("imp_offsets", pa.large_list(pa.int32())),

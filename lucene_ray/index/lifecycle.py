@@ -102,8 +102,15 @@ def add_indexes(target_dir: str, *source_dirs: str,
                 if copy:
                     shutil.copytree(src_seg, dst_seg)
                 else:
-                    os.makedirs(os.path.dirname(dst_seg), exist_ok=True)
-                    os.symlink(os.path.abspath(src_seg), dst_seg)
+                    # hard-link per file (copytree with os.link) so the
+                    # grafted target survives deletion/moves of the
+                    # source index; falls back to copy across devices
+                    def _link(s, d):
+                        try:
+                            os.link(s, d)
+                        except OSError:
+                            shutil.copy2(s, d)
+                    shutil.copytree(src_seg, dst_seg, copy_function=_link)
             new_segs.append(s)
             add_docs += s.num_docs
             add_len += s.sum_doc_len

@@ -80,6 +80,8 @@ def _row_to_packed(r: dict) -> PackedPostings:
         positions=r.get("positions") or b"",
         chunk_occ_counts=np.asarray(r.get("chunk_occ_counts") or [],
                                     dtype=np.int64),
+        docs_bb=np.asarray(r.get("docs_bb") or [], dtype=np.int32),
+        freqs_bb=np.asarray(r.get("freqs_bb") or [], dtype=np.int32),
     )
 
 
@@ -91,6 +93,8 @@ def _packed_to_cols(term: str, p: PackedPostings, rows: dict) -> None:
     rows["docs"].append(p.docs)
     rows["freqs"].append(p.freqs)
     rows["block_last_docs"].append(np.asarray(p.block_last_docs, dtype=np.int32))
+    rows["docs_bb"].append(np.asarray(p.docs_bb, dtype=np.int32))
+    rows["freqs_bb"].append(np.asarray(p.freqs_bb, dtype=np.int32))
     rows["imp_freqs"].append(np.asarray(p.imp_freqs, dtype=np.int32))
     rows["imp_norms"].append(np.asarray(p.imp_norms).astype(np.int32))
     rows["imp_offsets"].append(np.asarray(p.imp_offsets, dtype=np.int32))
@@ -100,7 +104,8 @@ def _packed_to_cols(term: str, p: PackedPostings, rows: dict) -> None:
 
 
 _MERGED_COLS = ("term", "df", "ttf", "doc_count", "docs", "freqs",
-                "block_last_docs", "imp_freqs", "imp_norms", "imp_offsets",
+                "block_last_docs", "docs_bb", "freqs_bb",
+                "imp_freqs", "imp_norms", "imp_offsets",
                 "chunk_doc_counts", "positions", "chunk_occ_counts")
 
 
@@ -184,6 +189,10 @@ def _merge_bucket(group: pa.Table, norms_data, repack: bool,
     any per-file bookkeeping. ``with_okey`` keeps each term's first okey
     (partial rows must stay orderable for the second salted level)."""
     group = group.sort_by([("term", "ascending"), ("okey", "ascending")])
+    for c in ("docs_bb", "freqs_bb"):  # legacy segments lack these
+        if c not in group.column_names:
+            group = group.append_column(
+                c, pa.array([[]] * len(group), pa.large_list(pa.int32())))
     rows = group.select(list(_MERGED_COLS) + ["okey"]).to_pylist()
     out = {k: [] for k in _MERGED_COLS}
     okeys = []

@@ -80,22 +80,66 @@ class _ClassTermCounts:
         })
 
 
-def train_naive_bayes(doc_path: str, class_col: str = "lang") -> NBModel:
-    """One map-combine + one (cls, term) groupby over the corpus."""
-    from ray.data.aggregate import Count, Sum
+class _VocabFilter:
+    """Keep only (cls, term, tf) rows whose term is in the broadcast
+    kept-vocabulary (resolved once per actor)."""
+
+    def __init__(self, vocab_ref):
+        self.vocab = ray.get(vocab_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or len(self.vocab) == 0:
+            return batch.slice(0, 0)
+        t = np.asarray(batch["term"].to_pylist(), dtype=object)
+        i = np.minimum(np.searchsorted(self.vocab, t),
+                       len(self.vocab) - 1)
+        return batch.filter(pa.array(self.vocab[i] == t))
+
+
+def train_naive_bayes(doc_path: str, class_col: str = "lang",
+                      top_v: int = 1_000_000) -> NBModel:
+    """One map-combine + one (cls, term) groupby over the corpus.
+
+    Driver memory is bounded by ``top_v``: the model keeps only the
+    ``top_v`` highest-ttf terms (web-scale corpora have 10^8+ distinct
+    terms; the driver never concatenates the full (cls, term) table).
+    The smoothing denominator still uses the FULL distinct-vocabulary
+    size and the FULL per-class token totals (computed as distributed
+    aggregates), so the model is EXACT whenever the true vocabulary
+    fits in ``top_v`` — always true at test scale; dropped tail terms
+    degrade gracefully to the OOV smoothing floor at inference."""
+    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(doc_path,
                                columns=["doc_id", "text", class_col])
     ct = (ds.map_batches(_ClassTermCounts(class_col),
                          batch_format="pyarrow")
-            .groupby(["cls", "term"]).aggregate(Sum("tf")))
-    t = ct.to_arrow_refs()
-    tbl = pa.concat_tables([ray.get(r) for r in t])
+            .groupby(["cls", "term"]).aggregate(Sum("tf"))
+            .materialize())
+    # full-vocab statistics as distributed aggregates (never at driver)
+    term_totals = (ct.groupby("term")
+                   .aggregate(Sum("sum(tf)", alias_name="ttf"))
+                   .materialize())
+    v_full = term_totals.count()  # |V| for the smoothing denominator
+    cls_tot = {r["cls"]: float(r["tot"]) for r in
+               ct.groupby("cls").aggregate(
+                   Sum("sum(tf)", alias_name="tot")).take_all()}
+    classes = sorted(cls_tot)
+    # vocab cap: top_v terms by corpus ttf (bounded take_all)
+    kept = (term_totals.sort("ttf", descending=True).limit(top_v)
+            .select_columns(["term"]).take_all())
+    vocab = np.unique(np.asarray([r["term"] for r in kept], dtype=object))
+    vref = ray.put(vocab)
+    # (cls, term, tf) restricted to the kept vocab: <= C * top_v rows
+    refs = (ct.map_batches(_VocabFilter, batch_format="pyarrow",
+                           fn_constructor_args=(vref,),
+                           concurrency=(1, 8))
+            .to_arrow_refs())
+    tbl = pa.concat_tables([ray.get(r) for r in refs],
+                           promote_options="default")
     cls_arr = np.asarray(tbl["cls"].to_pylist(), dtype=object)
     term_arr = np.asarray(tbl["term"].to_pylist(), dtype=object)
     tf_arr = tbl["sum(tf)"].to_numpy()
-    classes = sorted(set(cls_arr.tolist()))
-    vocab = np.unique(term_arr)
     C, V = len(classes), len(vocab)
     tfm = np.zeros((C, V), dtype=np.float64)
     ci = {c: i for i, c in enumerate(classes)}
@@ -109,8 +153,9 @@ def train_naive_bayes(doc_path: str, class_col: str = "lang") -> NBModel:
     prior = np.zeros(C, dtype=np.float64)
     for _, r in pri.iterrows():
         prior[ci[str(r[class_col])]] = r["count()"] / n_total
+    tot = np.array([cls_tot[c] for c in classes], dtype=np.float64)
     return NBModel(classes, vocab, np.log(prior),
-                   np.log1p(tfm), np.log(tfm.sum(axis=1) + V))
+                   np.log1p(tfm), np.log(tot + v_full))
 
 
 class _NBClassify:

@@ -362,7 +362,10 @@ def _block_coefs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     b = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
     d = np.einsum("ij,xyjk,lk->xyil", _DCT, b, _DCT)
     z = d.reshape(ph // 8, pw // 8, 64)[:, :, _ZIGZAG]
-    return np.round(z / q[None, None, :]).astype(np.int64)
+    # q is in natural (row-major) order; z is zigzag-ordered, so the
+    # divisor for zigzag slot k is q[_ZIGZAG[k]] (T.81 B.2.4.1 stores
+    # and applies DQT entries in zigzag order)
+    return np.round(z / q[_ZIGZAG][None, None, :]).astype(np.int64)
 
 
 def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
@@ -454,8 +457,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
             + struct.pack(">HH", 1, 1) + b"\x00\x00")
     for tq, tbl in ((0, ql), (1, qc)):
+        # DQT bytes are zigzag-ordered per T.81 B.2.4.1
         out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
-                + bytes(tbl.astype(np.uint8)))
+                + bytes(tbl.astype(np.uint8)[_ZIGZAG]))
     ysamp = 0x22 if sub else 0x11
     out += (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
             + struct.pack(">HH", h, w) + b"\x03"

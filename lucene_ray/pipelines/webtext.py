@@ -359,39 +359,54 @@ def fingerprint_clusters(path: str) -> ray.data.Dataset:
 # unigram surprisal (language-model quality signal)
 
 
-def surprisal_topk(path: str, k: int = 20) -> "pa.Table":
+def surprisal_topk(path: str, k: int = 20,
+                   top_v: int = 1_000_000) -> "pa.Table":
     """Top-k docs by mean unigram surprisal ``-mean(ln p(term))`` with
     ``p = ttf/sum_ttf`` from the corpus itself — the classic cheap
     LM-quality signal (high surprisal = rare-word-heavy / atypical
     docs). Two passes, both combiner-shaped: a (term, ttf) aggregate,
     then a per-doc dot product against the broadcast log-prob table.
-    Returns (doc_id, rank) — float ranking, integer output columns."""
+    Returns (doc_id, rank) — float ranking, integer output columns.
+
+    Driver memory is bounded: only the ``top_v`` highest-ttf terms are
+    pulled to the driver and broadcast (a web-scale corpus has 10^8+
+    distinct terms; the driver never holds them all). Terms outside
+    the table get an OOV floor = the log-prob of the rarest kept term,
+    which is EXACT whenever the true vocabulary fits in ``top_v``
+    (always true at test scale)."""
     from ray.data.aggregate import Sum
 
     tt = (_read_docs(path).map_batches(_TermCounts, batch_format="pyarrow",
                                        concurrency=(1, 8))
-          .groupby("term").aggregate(Sum("n", alias_name="ttf")))
-    rows = tt.take_all()
+          .groupby("term").aggregate(Sum("n", alias_name="ttf"))
+          .materialize())
+    # total mass over ALL terms (distributed aggregate, no driver vocab)
+    sum_ttf = float(tt.sum("ttf"))
+    rows = (tt.sort("ttf", descending=True).limit(top_v)
+            .take_all())  # bounded: <= top_v rows at the driver
     terms = np.array([r["term"] for r in rows])
     ttf = np.array([r["ttf"] for r in rows], dtype=np.float64)
     order = np.argsort(terms)
     terms, ttf = terms[order], ttf[order]
-    logp = np.log(ttf / ttf.sum())
-    ref = ray.put((terms, logp))
+    logp = np.log(ttf / sum_ttf)
+    oov_logp = float(logp.min()) if len(logp) else 0.0
+    ref = ray.put((terms, logp, oov_logp))
 
     class Score:
         def __init__(self):
-            self.terms, self.logp = ray.get(ref)
+            self.terms, self.logp, self.oov = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             flat, didx, n_words = _split_words(batch["text"])
             n = len(batch)
             tot = np.zeros(n, dtype=np.float64)
             if len(flat):
-                idx = np.searchsorted(self.terms, np.asarray(
-                    flat.to_pylist(), dtype=object))
-                np.add.at(tot, didx, self.logp[np.minimum(
-                    idx, len(self.terms) - 1)])
+                toks = np.asarray(flat.to_pylist(), dtype=object)
+                idx = np.searchsorted(self.terms, toks)
+                idx_c = np.minimum(idx, len(self.terms) - 1)
+                lp = np.where(self.terms[idx_c] == toks,
+                              self.logp[idx_c], self.oov)
+                np.add.at(tot, didx, lp)
             mean_s = np.where(n_words > 0, -tot / np.maximum(n_words, 1),
                               0.0)
             return pa.table({

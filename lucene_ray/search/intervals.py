@@ -248,9 +248,25 @@ class Or(IntervalsSource):
 
 @dataclass(frozen=True)
 class MaxGaps(IntervalsSource):
-    """Intervals.maxgaps wrapper (filter form, for pre-built sources)."""
+    """Intervals.maxgaps wrapper (filter form, for pre-built sources).
+
+    Over ``Ordered``/``Unordered`` subs the constraint is pushed into
+    the sub's native ``max_gaps`` field (which tracks true inner
+    content lengths per occurrence — exact Intervals.maxgaps
+    semantics). For genuinely opaque sources (no per-occurrence inner
+    length available) a WIDTH-BASED APPROXIMATION is applied: gaps are
+    estimated as ``width - min(width over the doc)``, which can admit
+    an interval whose every occurrence has gaps when inner lengths
+    differ across occurrences."""
     sub: IntervalsSource = None
     max_gaps: int = 0
+
+    def __post_init__(self):
+        if isinstance(self.sub, (Ordered, Unordered)):
+            from dataclasses import replace
+            g = self.max_gaps if self.sub.max_gaps < 0 else min(
+                self.sub.max_gaps, self.max_gaps)
+            object.__setattr__(self, "sub", replace(self.sub, max_gaps=g))
 
     def leaf_terms(self):
         return self.sub.leaf_terms()
@@ -259,6 +275,10 @@ class MaxGaps(IntervalsSource):
         return self.sub.candidate_docs(term_docs)
 
     def intervals(self, pos):
+        if isinstance(self.sub, (Ordered, Unordered)):
+            # exact: the sub enforces max_gaps against true inner
+            # lengths (pushed in __post_init__)
+            return self.sub.intervals(pos)
         # width-based analog for opaque subs: gaps = width - min width
         iv = self.sub.intervals(pos)
         if len(iv) == 0:

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..codecs.postings import BLOCK_SIZE, PackedPostings, _block_sizes, _unpack_block
+from ..codecs.postings import (BLOCK_SIZE, PackedPostings, _block_sizes,
+                               _unpack_block, stream_layout)
 
 
 def block_layout(p: PackedPostings):
@@ -22,20 +23,13 @@ def block_layout(p: PackedPostings):
     base_docs[b]  = docID base to add to block b's delta-cumsum
                     (0 at a chunk start — its first delta is absolute).
     doc_starts[b] = index of block b's first posting in the flat list.
+
+    Offsets come from the pack-time per-block byte lengths (one cumsum)
+    when present; legacy packings fall back to a header scan inside
+    ``stream_layout``.
     """
     sizes = np.asarray(_block_sizes(p.chunk_doc_counts), dtype=np.int64)
     nblocks = len(sizes)
-
-    def offsets(buf: bytes) -> np.ndarray:
-        offs = np.empty(nblocks + 1, dtype=np.int64)
-        offs[0] = 0
-        pos = 0
-        mv = memoryview(buf)
-        for i in range(nblocks):
-            w = mv[pos]
-            pos += 1 + (int(sizes[i]) * w + 7) // 8
-            offs[i + 1] = pos
-        return offs
 
     # chunk-start flags
     counts = np.asarray(p.chunk_doc_counts, dtype=np.int64)
@@ -51,7 +45,9 @@ def block_layout(p: PackedPostings):
     base_docs[is_chunk_start] = 0
 
     doc_starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    return sizes, offsets(p.docs), offsets(p.freqs), base_docs, doc_starts
+    doffs, _ = stream_layout(p, "docs")
+    foffs, _ = stream_layout(p, "freqs")
+    return sizes, doffs, foffs, base_docs, doc_starts
 
 
 def decode_block(p: PackedPostings, b: int, layout) -> tuple[np.ndarray, np.ndarray]:
@@ -72,7 +68,7 @@ def lookup_postings(p: PackedPostings, targets: np.ndarray,
     target (binary search on block_last_docs = the skip data); all
     needed blocks are decoded in one batched width-grouped pass.
     """
-    from ..codecs.postings import _block_sizes, _unpack_values
+    from ..codecs.postings import _block_sizes, _unpack_values, stream_layout
 
     blast = np.asarray(p.block_last_docs, dtype=np.int64)
     bidx = np.searchsorted(blast, targets)
@@ -92,8 +88,10 @@ def lookup_postings(p: PackedPostings, targets: np.ndarray,
     bases[1:] = blast[:-1]
     bases[chunk_first] = 0
 
-    deltas = _unpack_values(p.docs, sizes, sel=need).astype(np.int64)
-    freqs = _unpack_values(p.freqs, sizes, sel=need).astype(np.int32)
+    deltas = _unpack_values(p.docs, sizes, sel=need,
+                            layout=stream_layout(p, "docs")).astype(np.int64)
+    freqs = _unpack_values(p.freqs, sizes, sel=need,
+                           layout=stream_layout(p, "freqs")).astype(np.int32)
     sel_sizes = sizes[need]
     boffs = np.concatenate([[0], np.cumsum(sel_sizes)])
     # segmented cumsum: global cumsum minus per-block carry, plus bases

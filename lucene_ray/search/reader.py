@@ -29,7 +29,8 @@ from ..codecs.postings import PackedPostings
 from ..index.manifest import IndexManifest, read_manifest
 
 _POSTINGS_COLS = ["term", "df", "doc_count", "ttf", "docs", "freqs",
-                  "block_last_docs", "imp_freqs", "imp_norms", "imp_offsets",
+                  "block_last_docs", "docs_bb", "freqs_bb",
+                  "imp_freqs", "imp_norms", "imp_offsets",
                   "chunk_doc_counts", "positions", "chunk_occ_counts"]
 
 
@@ -187,6 +188,12 @@ def _row_to_postings(t: pa.Table, i: int) -> PackedPostings:
         chunk_occ_counts=np.asarray(
             t.column("chunk_occ_counts")[i].as_py() or [],
             dtype=np.int64) if has_pos else np.empty(0, np.int64),
+        docs_bb=(np.asarray(t.column("docs_bb")[i].as_py() or [],
+                            dtype=np.int32)
+                 if "docs_bb" in t.column_names else np.empty(0, np.int32)),
+        freqs_bb=(np.asarray(t.column("freqs_bb")[i].as_py() or [],
+                             dtype=np.int32)
+                  if "freqs_bb" in t.column_names else np.empty(0, np.int32)),
     )
 
 

@@ -238,7 +238,10 @@ class Searcher:
                 return self.rewrite(
                     PhraseQuery(tuple(s[0] for s in slots), q.boost,
                                 q.slop), boost)
-            # sloppy with alternatives: capped disjunction of variants
+            # sloppy with alternatives: capped disjunction of ORDERED
+            # span variants (ComplexPhraseQueryParser.java:335 builds
+            # SpanNearQuery with inOrder=true by default, so "a b*"~2
+            # must NOT match reversed-order docs)
             import itertools
             n_var = 1
             for s in slots:
@@ -248,7 +251,7 @@ class Searcher:
                     f"complex phrase expands to {n_var} variants "
                     f"(> MAX_CLAUSE_COUNT={MAX_CLAUSE_COUNT})")
             variants = tuple(
-                PhraseQuery(combo, 1.0, q.slop)
+                SpanNearQuery(combo, q.slop, True, 1.0)
                 for combo in itertools.product(*slots))
             return self.rewrite(
                 DisjunctionMaxQuery(variants, 0.0), q.boost * boost)

@@ -181,8 +181,16 @@ class XMLQueryParser:
             q = self._build(subs[0])
             if q is None:
                 continue
-            {"must": must, "should": should, "mustNot": must_not,
-             "filter": filt}.get(occurs, should).append(q)
+            buckets = {"must": must, "should": should,
+                       "mustNot": must_not, "filter": filt}
+            if occurs not in buckets:
+                # CoreParser raises ParserException for unknown values;
+                # silently demoting e.g. 'MUST' to should would flip a
+                # required clause to optional
+                raise XMLParseError(
+                    f"unrecognised occurs value {occurs!r} "
+                    "(expected must|should|mustNot|filter)")
+            buckets[occurs].append(q)
         msm = int(el.get("minimumNumberShouldMatch", "0"))
         if not (must or should or must_not or filt):
             return None

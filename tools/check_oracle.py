@@ -28,7 +28,16 @@ def to_pandas(result) -> pd.DataFrame:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    # sort by scalar columns only — array-valued columns (e.g.
+    # image_grid_features / audio_band_spectra feature vectors) are
+    # unorderable and would crash sort_values
+    import numpy as np
+    sortable = [c for c in df.columns
+                if not len(df) or not isinstance(
+                    df[c].iloc[0], (list, tuple, np.ndarray, dict))]
+    if sortable:
+        df = df.sort_values(sortable, kind="mergesort")
+    return df.reset_index(drop=True)
 
 
 def main(sf_dir: str) -> int:
