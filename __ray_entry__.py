@@ -324,6 +324,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .geo_distance_match(sf, 10.0, 20.0, 2_000_000.0),
         "topk_shortest_docs": lambda sf: topk_by_numeric_field(
             _docp(sf), "n_chars", 20, ascending=True),
+        # TRUE index sort (IndexWriterConfig.setIndexSort / Sorter.java):
+        # the index is built in (n_chars, doc_id) docID order; top-k
+        # reads only the first row group(s) (pruning asserted inside)
+        "topk_shortest_sorted": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["topk_sorted_index"])
+            .topk_sorted_index(_docp(sf), "n_chars", 20, ascending=True),
         # FunctionScoreQuery + expressions module (queries/function/
         # FunctionScoreQuery.java, expressions/js/JavascriptCompiler.java):
         # BM25 re-scored by a compiled arithmetic expression over a
@@ -462,6 +469,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_freetext": lambda sf: text_analysis.suggest_freetext(
             _docp(sf), "data", "m", 10),
         "suggest_spell": lambda sf: suggest_corrections(_docp(sf), "merje", 5),
+        # FuzzySuggester (suggest/analyzing/FuzzySuggester.java:60):
+        # analyzed completion with edits allowed in the consumed prefix
+        "suggest_fuzzy": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["suggest_fuzzy_completions"])
+            .suggest_fuzzy_completions(_docp(sf), "daat", 10),
         "suggest_wordbreak": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
             fromlist=["suggest_word_breaks"])
@@ -575,7 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classifiers + reverse search + grouping/facets/joins
         "classify_nb", "classify_knn", "monitor_matches",
         "grouped_search", "facet_lang_counts", "join_util_max",
-        "blockjoin_orders", "topk_shortest_docs",
+        "blockjoin_orders", "topk_shortest_sorted",
     ]
     out = {name: q.pop(name) for name in _FIRST if name in q}
     out.update(q)
@@ -1157,6 +1170,14 @@ SELECT term, levenshtein(term, 'merje') AS distance, df FROM dict
 WHERE term LIKE 'm%' AND abs(length(term) - 5) <= 2
   AND levenshtein(term, 'merje') <= 2
 ORDER BY distance, df DESC, term LIMIT 5""",
+        "suggest_fuzzy": f"""
+{_TOKS},
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df FROM dict
+WHERE substr(term, 1, 1) = 'd'
+  AND list_min(list_transform(generate_series(1, length(term)),
+        g -> levenshtein('daat', substr(term, 1, g)))) <= 1
+ORDER BY df DESC, term LIMIT 10""",
         "suggest_wordbreak": f"""
 {_TOKS},
 dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
@@ -1349,6 +1370,9 @@ SELECT d.doc_id, row_number() OVER (ORDER BY v.jscore DESC, d.doc_id) AS rank
 FROM documents d JOIN vals v ON d.lang = v.lang
 ORDER BY v.jscore DESC, d.doc_id LIMIT 50""",
         "topk_shortest_docs": (
+            "SELECT n_chars, doc_id FROM documents "
+            "ORDER BY n_chars, doc_id LIMIT 20"),
+        "topk_shortest_sorted": (
             "SELECT n_chars, doc_id FROM documents "
             "ORDER BY n_chars, doc_id LIMIT 20"),
         "numeric_range_match": f"""

@@ -511,6 +511,16 @@ def suggest_completions(doc_path: str, prefix: str, k: int = 10) -> pa.Table:
     return complete_prefix(IndexReader(idx), prefix, k)
 
 
+def suggest_fuzzy_completions(doc_path: str, query: str,
+                              k: int = 10) -> pa.Table:
+    """FuzzySuggester role: analyzed-query completion with a fuzzy
+    consumed-prefix match (defaults maxEdits=1, nonFuzzyPrefix=1,
+    minFuzzyLength=3 — FuzzySuggester.java:60)."""
+    from ..search.suggest import suggest_fuzzy
+    idx = cached_index(doc_path)
+    return suggest_fuzzy(IndexReader(idx), query, k)
+
+
 def suggest_corrections(doc_path: str, word: str, k: int = 5) -> pa.Table:
     """Did-you-mean (DirectSpellChecker role); plain Levenshtein so the
     DuckDB oracle (levenshtein) reproduces the ranking."""
@@ -530,6 +540,32 @@ def topk_by_numeric_field(doc_path: str, col: str, k: int = 20,
     if not os.path.exists(os.path.join(out, "manifest_0.json")):
         build_index(doc_path, out, batch_size=2048, doc_value_cols=(col,))
     return topk_by_field(IndexReader(out), col, k, ascending)
+
+
+def topk_sorted_index(doc_path: str, col: str, k: int = 20,
+                      ascending: bool = True) -> pa.Table:
+    """True index sort (IndexWriterConfig.setIndexSort analog,
+    ``IndexWriterConfig.java:475`` / ``index/Sorter.java``): the index
+    is BUILT in (col, doc_id) order, so top-k-by-field reads only the
+    first row group(s) — early termination by construction. The scan
+    counters are asserted (pruning proof) before returning."""
+    from ..index.sorted import build_sorted_index, sorted_topk
+
+    key = hashlib.md5(
+        f"srt1:{doc_path}:{col}:{ascending}".encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"srtidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_sorted_index(doc_path, out, col, ascending=ascending,
+                           batch_size=2048)
+    t, stats = sorted_topk(out, k)
+    # early-termination proof: a 20-row answer must not touch more
+    # than the first segment (2048 docs/segment at this build size)
+    assert stats["files_opened"] <= max(1, -(-k // 2048)), stats
+    assert stats["rows_read"] <= 2048 * stats["files_opened"], stats
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        col: t.column(col),
+    })
 
 
 def replica_search_topk(doc_path: str, terms: list[str], kind: str = "or",

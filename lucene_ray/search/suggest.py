@@ -60,6 +60,60 @@ def spell_correct(reader: IndexReader, word: str, k: int = 5,
     })
 
 
+def _min_prefix_lev(q: str, t: str) -> int:
+    """min over prefixes p of t of levenshtein(q, p) — one DP over
+    (q x t), answer = min of the final row. This is FuzzySuggester's
+    automaton acceptance test in DP form: a completion matches if SOME
+    consumed prefix of it is within max_edits of the query."""
+    nq, nt = len(q), len(t)
+    prev = list(range(nt + 1))
+    for i in range(1, nq + 1):
+        cur = [i] + [0] * nt
+        qi = q[i - 1]
+        for j in range(1, nt + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (qi != t[j - 1]))
+        prev = cur
+    return min(prev)
+
+
+def suggest_fuzzy(reader: IndexReader, query: str, k: int = 10,
+                  max_edits: int = 1, non_fuzzy_prefix: int = 1,
+                  min_fuzzy_length: int = 3) -> pa.Table:
+    """AnalyzingSuggester + FuzzySuggester role
+    (``lucene/suggest/src/java/org/apache/lucene/search/suggest/
+    analyzing/AnalyzingSuggester.java:100``, ``FuzzySuggester.java:60``):
+    completions of the ANALYZED query allowing up to ``max_edits``
+    edits against the consumed prefix of each candidate, with the
+    reference's defaults — the first ``non_fuzzy_prefix`` chars exact,
+    and queries shorter than ``min_fuzzy_length`` fall back to exact
+    prefix completion. Ranked by weight (df desc, term asc).
+
+    Uses plain Levenshtein (no transpositions) so the DuckDB oracle
+    (min over generate_series prefixes) reproduces the match set."""
+    from ..analysis.analyzer import StandardAnalyzer
+
+    toks = StandardAnalyzer(stop_words=frozenset())(query)
+    q = toks[0] if toks else query.lower()
+    if len(q) < min_fuzzy_length:
+        return complete_prefix(reader, q, k)
+    pfx = q[:non_fuzzy_prefix]
+    vocab = reader.vocab(pfx, _prefix_upper(pfx)) if pfx \
+        else reader.vocab(None, None)
+    cands = []
+    for t in vocab:
+        if pfx and not t.startswith(pfx):
+            continue
+        if _min_prefix_lev(q, t) <= max_edits:
+            cands.append(t)
+    stats = reader.term_stats(cands)
+    ranked = sorted(cands, key=lambda t: (-stats[t][0], t))[:k]
+    return pa.table({
+        "term": pa.array(ranked, pa.string()),
+        "df": pa.array([stats[t][0] for t in ranked], pa.int64()),
+    })
+
+
 def complete_infix(reader: IndexReader, fragment: str,
                    k: int = 10) -> pa.Table:
     """Infix completion — the AnalyzingInfixSuggester role
