@@ -146,6 +146,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.write_table(synth_audio_table(32), p)
         return audio_spectrograms(p, batch_size=16)
 
+    def _japanese_term_stats(sf):
+        # kuromoji-role Viterbi segmentation end-to-end: deterministic
+        # synthetic Japanese pages -> build_index(analyzer=Japanese
+        # Analyzer) -> global (term, df, ttf); rows-only (SQL cannot
+        # segment Japanese) but fully deterministic and hash-stable
+        import os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from lucene_ray.analysis.japanese import JapaneseAnalyzer
+        from lucene_ray.index import build_index
+        from lucene_ray.index.manifest import read_manifest
+        p = "/tmp/lucene_ray_cache/ja_docs.parquet"
+        if not os.path.exists(p):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            base = ["私は東京都に住む", "関西国際空港に行きました",
+                    "日本語を勉強しました", "今日の天気は雨です",
+                    "学生が寿司を食べる", "猫と犬が住む駅",
+                    "彼は大阪の大学に行く", "京都府の電車を見る"]
+            texts = [base[i % len(base)] + base[(i * 3 + 1) % len(base)]
+                     for i in range(256)]
+            pq.write_table(pa.table({
+                "doc_id": pa.array(range(256), pa.int64()),
+                "text": pa.array(texts, pa.string())}), p)
+        idx = "/tmp/lucene_ray_cache/ja_idx"
+        if not os.path.exists(os.path.join(idx, "manifest_0.json")):
+            build_index(p, idx, analyzer=JapaneseAnalyzer(),
+                        batch_size=64)
+        gen = read_manifest(idx).generation
+        return pq.read_table(
+            os.path.join(idx, "global", f"term_stats_gen{gen}")) \
+            .sort_by([("term", "ascending")])
+
     def _monitor_matches(sf):
         from lucene_ray.search import BooleanQuery, PhraseQuery, TermQuery
         from lucene_ray.search.monitor import (Monitor, MonitorQuery,
@@ -558,6 +590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TermFilteredPresearcher.java): registered queries matched
         # against the streaming documents table
         "monitor_matches": _monitor_matches,
+        # kuromoji role (analysis/ja/JapaneseTokenizer.java:58): Viterbi
+        # lattice segmentation drives a full index build; rows-only
+        "japanese_term_stats": _japanese_term_stats,
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3), so order the surface so the flagship
