@@ -409,6 +409,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_match": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
             fromlist=["geo_polygon_match"]).geo_polygon_match(sf),
+        # indexed SHAPES (LatLonShape.java:79): per-customer kite
+        # polygons tessellated into triangles; point query = bbox-pruned
+        # triangle candidates + exact crossing-number ring confirm
+        "geo_polygon_shape": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["geo_polygon_shape"])
+            .geo_polygon_shape(sf, -17866.5, 6763.5),
         # SimpleQueryParser (queryparser/simple): lenient syntax
         "simple_parsed_query": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -1499,6 +1506,26 @@ WHERE (20.0041 - 10.0019) * (lat - -20.0053) - (30.0011 - -20.0053) * (lon - 10.
   AND (-60.0071 - -80.0013) * (lat - 10.0043) - (-30.0037 - 10.0043) * (lon - -80.0013) >= 0
   AND (10.0019 - -60.0071) * (lat - -30.0037) - (-20.0053 - -30.0037) * (lon - -60.0071) >= 0
 ORDER BY c_custkey""",
+        "geo_polygon_shape": """
+WITH c AS (SELECT c_custkey AS k,
+    ((c_custkey * 7919) % 18000 - 9000)::DOUBLE AS clat,
+    ((c_custkey * 104729) % 36000 - 18000)::DOUBLE AS clon,
+    (500 + (c_custkey % 37) * 20)::DOUBLE AS r0,
+    (500 + ((c_custkey * 3) % 29) * 20)::DOUBLE AS r1,
+    (500 + ((c_custkey * 5) % 41) * 20)::DOUBLE AS r2,
+    (500 + ((c_custkey * 7) % 23) * 20)::DOUBLE AS r3
+  FROM customer),
+e AS (
+  SELECT k, clon AS x1, clat + r0 AS y1, clon + r1 AS x2, clat AS y2
+    FROM c
+  UNION ALL SELECT k, clon + r1, clat, clon, clat - r2 FROM c
+  UNION ALL SELECT k, clon, clat - r2, clon - r3, clat FROM c
+  UNION ALL SELECT k, clon - r3, clat, clon, clat + r0 FROM c),
+x AS (SELECT k, count(*) AS nc FROM e
+  WHERE ((y1 > 6763.5) <> (y2 > 6763.5))
+    AND -17866.5 < (x2 - x1) * (6763.5 - y1) / (y2 - y1) + x1
+  GROUP BY k)
+SELECT k AS c_custkey FROM x WHERE nc % 2 = 1 ORDER BY c_custkey""",
         "geo_box_match": """
 WITH geo AS (SELECT c_custkey,
                     ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,

