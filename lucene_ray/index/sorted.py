@@ -97,6 +97,65 @@ def read_index_sort(index_dir: str) -> dict | None:
         return json.load(f)
 
 
+def sorted_search(index_dir: str, query, k: int,
+                  searcher=None) -> tuple[pa.Table, dict]:
+    """Filtered sort-by-field top-k with early termination
+    (TopFieldCollector.create(sort == indexSort) semantics): segments
+    are visited in docID (== field) order and evaluation STOPS as soon
+    as k matching docs are collected — later segments are never
+    opened. Returns ``(table(id_col, field), scan_stats)``.
+
+    The per-segment match uses the standard boolean machinery
+    (term / boolean queries — the common filtered-sort shape)."""
+    from ..search import IndexReader, Searcher
+
+    sort = read_index_sort(index_dir)
+    if sort is None:
+        raise ValueError(f"{index_dir} has no index sort recorded")
+    s = searcher or Searcher(IndexReader(index_dir))
+    m = read_manifest(index_dir)
+    segs = sorted(m.segments, key=lambda x: x.min_doc)
+    want_cols = [f"orig_{sort['id_col']}", sort["field"]]
+    stats = {"segments_opened": 0, "total_segments": len(segs)}
+    prep = s._prepare(s.rewrite(query))
+    if prep[0] != "bool":
+        raise TypeError("sorted_search supports term/boolean queries")
+    plan = prep[1]
+    hits: list[int] = []
+    for info in segs:
+        if len(hits) >= k:
+            break
+        stats["segments_opened"] += 1
+        sr = s.reader.segment(info.seg_id)
+        docs, _ = s._match_and_score(sr, plan, scoring=False)
+        if docs is None or len(docs) == 0:
+            continue
+        hits.extend(np.sort(np.asarray(docs))[:k - len(hits)].tolist())
+    if not hits:
+        t = pa.table({c: [] for c in want_cols})
+    else:
+        # stored-field read for exactly the hit docs (pushdown by
+        # docID range: hits are contiguous-ish in the first segments)
+        parts = []
+        hit_arr = np.asarray(hits, dtype=np.int64)
+        for info in segs[:stats["segments_opened"]]:
+            sel = hit_arr[(hit_arr >= info.min_doc)
+                          & (hit_arr <= info.max_doc)]
+            if not len(sel):
+                continue
+            dt = pq.ParquetFile(os.path.join(
+                index_dir, "segments", info.seg_id, "docs.parquet")) \
+                .read(columns=["doc_id"] + want_cols)
+            ids = dt.column("doc_id").to_numpy()
+            pos = np.searchsorted(ids, sel)
+            parts.append(dt.take(pa.array(pos)).select(want_cols))
+        t = pa.concat_tables(parts)
+    t = t.rename_columns(
+        [sort["id_col"] if c == f"orig_{sort['id_col']}" else c
+         for c in t.column_names])
+    return t, stats
+
+
 def sorted_topk(index_dir: str, k: int,
                 columns: tuple = ()) -> tuple[pa.Table, dict]:
     """Top-k by the recorded index sort: because docID order == field
