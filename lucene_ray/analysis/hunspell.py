@@ -242,9 +242,6 @@ class HunspellStemmer:
                 if not self._affix_usable(r):
                     continue
                 yield r, stem
-            if L == 0:
-                # zero-affix rules live under the "" key, handled above
-                continue
 
     def _pfx_candidates(self, word: str):
         for L in self._pfx_lens:

@@ -1,0 +1,69 @@
+"""Driver-memory bounds for the corpus-LM ops (VERDICT r3 items 2-3):
+surprisal_topk and train_naive_bayes must never pull the full
+vocabulary to the driver — both cap at top_v terms (with OOV floors /
+full-|V| smoothing kept exact via distributed aggregates)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("boundcorpus")
+    rng = np.random.default_rng(7)
+    # Zipf-ish vocab of ~2000 terms over 600 docs, 2 "languages"
+    vocab = np.array([f"t{i:04d}" for i in range(2000)])
+    probs = 1.0 / np.arange(1, 2001)
+    probs /= probs.sum()
+    texts, langs = [], []
+    for i in range(600):
+        n = rng.integers(20, 60)
+        texts.append(" ".join(rng.choice(vocab, n, p=probs)))
+        langs.append("aa" if i % 2 == 0 else "bb")
+    p = os.path.join(d, "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(600, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }), p)
+    return p
+
+
+def test_nb_vocab_capped_but_smoothing_exact(corpus):
+    from lucene_ray.pipelines.classify import train_naive_bayes
+    full = train_naive_bayes(corpus, "lang")
+    capped = train_naive_bayes(corpus, "lang", top_v=300)
+    # the driver-side model holds at most top_v terms
+    assert len(capped.vocab) <= 300
+    assert len(full.vocab) > 300
+    # smoothing denominator still uses the FULL |V| and FULL class
+    # token totals -> identical to the uncapped model's
+    np.testing.assert_allclose(capped.log_denom, full.log_denom)
+    np.testing.assert_allclose(capped.log_prior, full.log_prior)
+    # kept terms carry identical weights
+    pos = np.searchsorted(full.vocab, capped.vocab)
+    np.testing.assert_allclose(capped.log_tf1,
+                               full.log_tf1[:, pos])
+
+
+def test_nb_exact_when_vocab_fits(corpus):
+    from lucene_ray.pipelines.classify import train_naive_bayes
+    full = train_naive_bayes(corpus, "lang")
+    wide = train_naive_bayes(corpus, "lang", top_v=10_000)
+    np.testing.assert_array_equal(full.vocab, wide.vocab)
+    np.testing.assert_allclose(full.log_tf1, wide.log_tf1)
+
+
+def test_surprisal_capped_still_ranks(corpus):
+    from lucene_ray.pipelines.webtext import surprisal_topk
+    full = surprisal_topk(corpus, 10)
+    capped = surprisal_topk(corpus, 10, top_v=150)
+    assert full.num_rows == 10 and capped.num_rows == 10
+    # exact when the vocab fits
+    wide = surprisal_topk(corpus, 10, top_v=1_000_000)
+    assert full.column("doc_id").to_pylist() == \
+        wide.column("doc_id").to_pylist()
