@@ -180,6 +180,125 @@ def _drop_docs(p: PackedPostings, deleted: np.ndarray,
     return out
 
 
+def _col(group: pa.Table, name: str) -> pa.Array:
+    a = group.column(name)
+    if isinstance(a, pa.ChunkedArray):
+        a = (a.chunk(0) if a.num_chunks == 1
+             else pa.concat_arrays(a.chunks))
+    return a
+
+
+def _bin_bufs(arr: pa.Array) -> tuple[np.ndarray, "pa.Buffer"]:
+    """(value offsets int64[n+1], data buffer) of a large_binary array
+    with offset 0 (post-combine_chunks)."""
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[:len(arr) + 1]
+    return offs, bufs[2] if bufs[2] is not None else pa.py_buffer(b"")
+
+
+def _list_parts(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    return (arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
+            arr.values)
+
+
+def _merge_bucket_vec(group: pa.Table,
+                      with_okey: bool) -> pa.Table | None:
+    """Vectorized merge of a whole (term, okey)-sorted bucket: every
+    per-term payload (packed docs/freqs/positions bytes, block lists,
+    impacts) is a CONTIGUOUS slice of the sorted column buffers, so the
+    merged columns are rebuilt zero-copy from new offsets — no per-row
+    Python objects at all (the ordered-concat fast path of
+    ``concat_postings``, applied to 10k terms at once). Returns None
+    when any term's chunks have overlapping doc ranges (the decode+
+    repack fallback path handles those)."""
+    import pyarrow.compute as pc
+    n = group.num_rows
+    terms = _col(group, "term")
+    neq = pc.not_equal(terms.slice(1), terms.slice(0, n - 1)) \
+        .to_numpy(zero_copy_only=False)
+    starts = np.concatenate([[0], np.nonzero(neq)[0] + 1]).astype(np.int64)
+    ends = np.concatenate([starts[1:], [n]])
+    nt = len(starts)
+    bounds = np.append(starts, n)
+
+    # doc-order validation: each row's first block_last must exceed the
+    # previous row's last block_last within the same term
+    blo, blv_arr = _list_parts(_col(group, "block_last_docs"))
+    blv = blv_arr.to_numpy(zero_copy_only=False)
+    row_first = blv[blo[:-1]]
+    row_last = blv[blo[1:] - 1]
+    ok = np.ones(n, dtype=bool)
+    ok[1:] = row_first[1:] > row_last[:-1]
+    ok[starts] = True
+    if not ok.all():
+        return None  # at least one overlapping term -> slow path
+
+    out: dict = {}
+    out["term"] = terms.take(pa.array(starts))
+    df_np = _col(group, "df").to_numpy()
+    ttf_np = _col(group, "ttf").to_numpy()
+    out["df"] = pa.array(np.add.reduceat(df_np, starts), pa.int64())
+    out["ttf"] = pa.array(np.add.reduceat(ttf_np, starts), pa.int64())
+    out["doc_count"] = out["df"]
+
+    for name in ("docs", "freqs", "positions"):
+        arr = _col(group, name)
+        offs, data = _bin_bufs(arr)
+        new_offs = offs[bounds]
+        out[name] = pa.Array.from_buffers(
+            pa.large_binary(), nt,
+            [None, pa.py_buffer(new_offs.tobytes()), data])
+
+    bb_ok = True
+    for name, vt in (("block_last_docs", pa.int32()),
+                     ("imp_freqs", pa.int32()),
+                     ("imp_norms", pa.int32()),
+                     ("chunk_doc_counts", pa.int32()),
+                     ("chunk_occ_counts", pa.int64()),
+                     ("docs_bb", pa.int32()),
+                     ("freqs_bb", pa.int32())):
+        offs, vals = _list_parts(_col(group, name))
+        if name in ("docs_bb", "freqs_bb"):
+            # legacy rows lack pack-time lengths; a term mixing them
+            # would produce a wrong-length concat — emit empty instead
+            lens = offs[1:] - offs[:-1]
+            bl_lens = blo[1:] - blo[:-1]
+            if not (lens == bl_lens).all():
+                bb_ok = False
+            if not bb_ok:
+                out[name] = pa.array([[]] * nt, pa.large_list(vt))
+                continue
+        out[name] = pa.LargeListArray.from_arrays(
+            pa.array(offs[bounds], pa.int64()),
+            vals.cast(vt) if vals.type != vt else vals)
+
+    # imp_offsets rebase: merged = [0] ++ cumsum(within-row diffs)
+    io_offs, io_vals_arr = _list_parts(_col(group, "imp_offsets"))
+    io_vals = io_vals_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    d = np.diff(io_vals)
+    valid = np.ones(len(d), dtype=bool)
+    valid[io_offs[1:-1] - 1] = False  # diffs crossing row boundaries
+    parts_vals = []
+    parts_offs = np.empty(nt + 1, dtype=np.int64)
+    parts_offs[0] = 0
+    for i in range(nt):
+        lo, hi = io_offs[starts[i]], io_offs[ends[i]]
+        dd = d[lo:hi - 1][valid[lo:hi - 1]]
+        merged = np.concatenate([[0], np.cumsum(dd)]).astype(np.int32)
+        parts_vals.append(merged)
+        parts_offs[i + 1] = parts_offs[i] + len(merged)
+    out["imp_offsets"] = pa.LargeListArray.from_arrays(
+        pa.array(parts_offs, pa.int64()),
+        pa.array(np.concatenate(parts_vals), pa.int32()))
+
+    t = pa.Table.from_pydict({k: out[k] for k in _MERGED_COLS},
+                             schema=POSTINGS_SCHEMA)
+    if with_okey:
+        okey_np = _col(group, "okey").to_numpy()
+        t = t.append_column("okey", pa.array(okey_np[starts], pa.int64()))
+    return t
+
+
 def _merge_bucket(group: pa.Table, norms_data, repack: bool,
                   with_okey: bool = False, deleted: np.ndarray | None = None) -> pa.Table:
     """Merge a whole bucket of terms -> merged posting rows (one/term).
@@ -187,8 +306,23 @@ def _merge_bucket(group: pa.Table, norms_data, repack: bool,
     Chunk order within a term comes from the data itself: ``okey`` =
     first block's last docID, which orders doc-disjoint chunks without
     any per-file bookkeeping. ``with_okey`` keeps each term's first okey
-    (partial rows must stay orderable for the second salted level)."""
+    (partial rows must stay orderable for the second salted level).
+
+    The common case (no tombstones, no repack, doc-disjoint chunks)
+    takes the fully vectorized zero-copy path above; tombstoned /
+    repack / overlapping buckets take the per-term object path."""
     group = group.sort_by([("term", "ascending"), ("okey", "ascending")])
+    if (deleted is None or len(deleted) == 0) and not repack \
+            and group.num_rows > 0:
+        for c in ("docs_bb", "freqs_bb"):
+            if c not in group.column_names:
+                group = group.append_column(
+                    c, pa.array([[]] * len(group),
+                                pa.large_list(pa.int32())))
+        g2 = group.combine_chunks()
+        t = _merge_bucket_vec(g2, with_okey)
+        if t is not None:
+            return t
     for c in ("docs_bb", "freqs_bb"):  # legacy segments lack these
         if c not in group.column_names:
             group = group.append_column(
