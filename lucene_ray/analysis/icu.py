@@ -86,6 +86,44 @@ _RANGES = [
 ]
 
 
+class ScriptRoutingAnalyzer:
+    """ICUTokenizer's per-script delegation, composed end-to-end:
+    text splits into script runs, each run goes to its script's
+    analyzer — HAN → the smartcn-role lattice, HIRAGANA/KATAKANA →
+    the kuromoji-role lattice, HANGUL → the nori-role lattice,
+    everything else → StandardAnalyzer + ICU folding. The Lucene
+    equivalent is wiring ICUTokenizer's per-script break iterators;
+    here each run reuses the language modules directly."""
+
+    def __init__(self, stop_words=frozenset()):
+        from .analyzer import StandardAnalyzer
+        from .chinese import ChineseAnalyzer
+        from .japanese import JapaneseAnalyzer
+        from .korean import KoreanAnalyzer
+        self._zh = ChineseAnalyzer()
+        self._ja = JapaneseAnalyzer()
+        self._ko = KoreanAnalyzer()
+        self._std = StandardAnalyzer(stop_words=stop_words)
+        self._fold = ICUFoldingFilter()
+
+    def __call__(self, text: str) -> list[str]:
+        out: list[str] = []
+        for a, b, script in script_runs(text or ""):
+            run = text[a:b]
+            if script == "HAN":
+                out.extend(self._zh(run))
+            elif script in ("HIRAGANA", "KATAKANA"):
+                out.extend(self._ja(run))
+            elif script == "HANGUL":
+                out.extend(self._ko(run))
+            else:
+                out.extend(self._fold(self._std(run)))
+        return out
+
+    def analyze_batch(self, texts) -> list[list[str]]:
+        return [self(t) for t in texts]
+
+
 def script_runs(text: str) -> list[tuple[int, int, str]]:
     """Maximal same-script runs as (start, end, script). COMMON
     characters (digits, punctuation, spaces) extend the active run

@@ -41,3 +41,16 @@ def test_script_runs():
 def test_script_runs_empty_and_common_only():
     assert script_runs("") == []
     assert script_runs("123 456") == [(0, 7, "COMMON")]
+
+
+def test_script_routing_analyzer():
+    from lucene_ray.analysis.icu import ScriptRoutingAnalyzer
+    a = ScriptRoutingAnalyzer()
+    got = a("Café 北京大学 서울에 すもももももも")
+    # latin folded; Han via the zh lattice; Hangul via ko (josa
+    # dropped); kana via ja (particles dropped)
+    assert "cafe" in got
+    assert "北京" in got and "大学" in got
+    assert "서울" in got and "에" not in got
+    assert "すもも" in got and "もも" in got
+    assert a("") == []
