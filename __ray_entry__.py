@@ -528,6 +528,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_update": lambda sf: dedup_update_live_docs(_docp(sf)),
         # --- dedup family (training-data ops) ---
         "dedup_exact": lambda sf: dedup.exact_dedup(_docp(sf)),
+        # exact word-3-gram Jaccard for fixed candidate pairs (the
+        # near-dup verify stage; doc_id-pushdown reads, never a corpus
+        # pass) — SQL reproduces the gram sets and the f64 division
+        "jaccard_pairs": lambda sf: dedup.jaccard_verify(
+            _docp(sf), [(2 * i, 2 * i + 1) for i in range(10)]),
         "dedup_first_per_group": lambda sf: dedup.first_per_group(_docp(sf)),
         "minhash_candidates": lambda sf: dedup.minhash_lsh_candidates(
             _docp(sf)),  # rows-only
@@ -615,8 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_match", "wildcard_match", "range_match", "fuzzy_match",
         "incremental_build", "dedup_update",
         # dedup family
-        "dedup_exact", "dedup_first_per_group", "minhash_keepers",
-        "minhash_candidates", "simhash_table", "embedding_neardup",
+        "dedup_exact", "dedup_first_per_group", "jaccard_pairs",
+        "minhash_keepers", "simhash_table", "embedding_neardup",
         "fingerprint_clusters",
         # similarity search / ANN
         "knn_top10", "knn_ivf_top10", "knn_hnsw_top10", "knn_sq_top10",
@@ -1441,6 +1446,35 @@ WHERE term = 'data'
 ORDER BY doc_id""",
         "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
+        "jaccard_pairs": """
+WITH pairs(doc_a, doc_b) AS (VALUES
+  (0,1),(2,3),(4,5),(6,7),(8,9),(10,11),(12,13),(14,15),(16,17),(18,19)),
+w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS ws FROM documents
+      WHERE doc_id IN (SELECT doc_a FROM pairs
+                       UNION SELECT doc_b FROM pairs)),
+toks AS (SELECT doc_id, unnest(ws) AS term,
+                generate_subscripts(ws, 1) AS pos FROM w),
+grams AS (SELECT DISTINCT doc_id,
+    term || ' ' || lead(term, 1) OVER win || ' '
+         || lead(term, 2) OVER win AS g
+  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+gs AS (SELECT doc_id, g FROM grams WHERE g IS NOT NULL),
+cnt AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN gs a ON a.doc_id = p.doc_a
+               JOIN gs b ON b.doc_id = p.doc_b AND a.g = b.g
+  GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a, p.doc_b,
+       CASE WHEN ca.n + cb.n - coalesce(i.i, 0) = 0 THEN 0.0
+            ELSE coalesce(i.i, 0) * 1.0 /
+                 (ca.n + cb.n - coalesce(i.i, 0)) END AS jaccard
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+ORDER BY p.doc_a""",
         "dedup_first_per_group": ("SELECT lang, source, min(doc_id) AS doc_id "
                                   "FROM documents GROUP BY lang, source"),
         "embedding_neardup": """
