@@ -103,3 +103,75 @@ def _vint_decode(payload, n: int) -> np.ndarray:
 
 
 register_postings_format("vint", 65, _vint_encode, _vint_decode)
+
+
+# --- built-in alternative: PFOR (patched FOR, PForUtil role) ---------------
+# Lucene's actual Lucene90 postings block codec (``codecs/lucene90/
+# PForUtil.java:29``): values are bit-packed at the width of the
+# (n - up to 7 exceptions)-th largest value; the few largest values
+# ("exceptions") store their overflow bits patched back at decode.
+# Payload: [base_width u8][n_exc u8][packed base bits]
+#          [n_exc x (pos u8, hi u32le)]
+
+_MAX_EXCEPTIONS = 7
+
+
+def _pfor_encode(vals: np.ndarray) -> bytes:
+    v = vals.astype(np.uint32)
+    n = len(v)
+    if n == 0:
+        return b"\x00\x00"
+    # choose the exception count that minimizes payload bytes
+    order = np.argsort(v, kind="stable")
+    best = None
+    for ne in range(min(_MAX_EXCEPTIONS, n - 1) + 1):
+        base_max = int(v[order[n - 1 - ne]])
+        w = base_max.bit_length()
+        size = 2 + (n * w + 7) // 8 + ne * 5
+        if best is None or size < best[0]:
+            best = (size, ne, w)
+    _, ne, w = best
+    exc_idx = np.sort(order[n - ne:]) if ne else np.empty(0, np.int64)
+    base = v.copy()
+    hi = np.zeros(ne, dtype=np.uint32)
+    if ne:
+        mask = np.uint32((1 << w) - 1) if w else np.uint32(0)
+        hi = v[exc_idx] >> np.uint32(w)
+        base[exc_idx] = v[exc_idx] & mask
+    if w:
+        bits = np.unpackbits(base.astype(">u4").view(np.uint8)
+                             .reshape(n, 4), axis=1)
+        packed = np.packbits(bits[:, 32 - w:]).tobytes()
+    else:
+        packed = b""
+    exc = b"".join(bytes([int(p)]) + struct.pack("<I", int(h))
+                   for p, h in zip(exc_idx, hi))
+    return bytes([w, ne]) + packed + exc
+
+
+def _pfor_decode(payload: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, np.uint32)
+    w = payload[0]
+    ne = payload[1]
+    if w:
+        nbytes = (n * w + 7) // 8
+        bits = np.unpackbits(np.frombuffer(payload, np.uint8,
+                                           count=nbytes, offset=2),
+                             count=n * w).reshape(n, w)
+        full = np.zeros((n, 32), dtype=np.uint8)
+        full[:, 32 - w:] = bits
+        vals = np.packbits(full, axis=1).view(">u4").reshape(n) \
+            .astype(np.uint32)
+    else:
+        nbytes = 0
+        vals = np.zeros(n, dtype=np.uint32)
+    off = 2 + nbytes
+    for i in range(ne):
+        p = payload[off + i * 5]
+        hi = struct.unpack_from("<I", payload, off + i * 5 + 1)[0]
+        vals[p] |= np.uint32(hi) << np.uint32(w)
+    return vals
+
+
+register_postings_format("pfor", 67, _pfor_encode, _pfor_decode)

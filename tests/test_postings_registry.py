@@ -25,7 +25,7 @@ def _rand_posting(seed, fmt):
                                       postings_format=fmt)
 
 
-@pytest.mark.parametrize("fmt", ["for128", "vint"])
+@pytest.mark.parametrize("fmt", ["for128", "vint", "pfor"])
 def test_roundtrip(fmt):
     docs, freqs, p = _rand_posting(1, fmt)
     d, f = unpack_postings(p)
@@ -45,6 +45,26 @@ def test_cross_format_chunk_concat():
     d, f = unpack_postings(c)
     assert (d == np.concatenate([d1, d2])).all()
     assert (f == np.concatenate([f1, f2])).all()
+
+
+def test_pfor_exceptions_roundtrip_and_size():
+    """PForUtil role (codecs/lucene90/PForUtil.java:29): up to 7
+    outliers stored patched; an outlier-heavy block packs near the
+    small values' width instead of the max's."""
+    import numpy as np
+    from lucene_ray.codecs.registry import _pfor_decode, _pfor_encode
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        n = int(rng.integers(1, 129))
+        v = rng.integers(0, 60, n).astype(np.uint32)
+        k = int(rng.integers(0, min(9, n)))
+        if k:
+            v[rng.choice(n, k, replace=False)] = rng.integers(0, 2**31, k)
+        np.testing.assert_array_equal(_pfor_decode(_pfor_encode(v), n), v)
+    v = rng.integers(0, 30, 128).astype(np.uint32)
+    v[5] = 2**30
+    plain_for = 1 + (128 * 31 + 7) // 8
+    assert len(_pfor_encode(v)) < plain_for / 3
 
 
 def test_custom_format_registration():
@@ -81,14 +101,20 @@ def test_end_to_end_vint_index_equals_for128(ray_session,
                 batch_size=512)
     build_index(str(d / "docs.parquet"), str(d / "idx_vint"),
                 batch_size=512, postings_format="vint")
+    build_index(str(d / "docs.parquet"), str(d / "idx_pfor"),
+                batch_size=512, postings_format="pfor")
     s1 = Searcher(IndexReader(str(d / "idx_for")))
     s2 = Searcher(IndexReader(str(d / "idx_vint")))
+    s3 = Searcher(IndexReader(str(d / "idx_pfor")))
     for q in (TermQuery("w1"),
               BooleanQuery(must=(TermQuery("w2"), TermQuery("w3"))),
               BooleanQuery(should=(TermQuery("w4"), TermQuery("w5")))):
         td1, td2 = s1.search(q, 20), s2.search(q, 20)
+        td3 = s3.search(q, 20)
         assert td1.doc_ids.tolist() == td2.doc_ids.tolist()
+        assert td1.doc_ids.tolist() == td3.doc_ids.tolist()
         assert np.allclose(td1.scores, td2.scores)
+        assert np.allclose(td1.scores, td3.scores)
 
 
 def test_per_field_formats(ray_session, tmp_path_factory):
