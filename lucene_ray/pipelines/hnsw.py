@@ -104,6 +104,14 @@ class _HnswGraph:
         self._vis_epoch = 0
 
     # --- primitives -----------------------------------------------------
+    def _m32(self) -> np.ndarray:
+        # similarity comparisons in float32: half the gather/einsum
+        # traffic; selection is threshold-free (relative comparisons),
+        # still fully deterministic
+        if not hasattr(self, "_mat32"):
+            self._mat32 = self.mat.astype(np.float32)
+        return self._mat32
+
     def _sims(self, q: np.ndarray, nodes: np.ndarray) -> np.ndarray:
         return self.mat[nodes] @ q
 
@@ -235,23 +243,18 @@ class _HnswGraph:
             i += w
             wave = min(2 * wave, 512)
 
-    def _batch_search_layer(self, qids: np.ndarray, eps_sims: np.ndarray,
+    def _batch_search_layer(self, Q: np.ndarray, eps_sims: np.ndarray,
                             eps_ids: np.ndarray, ef: int,
                             level: int) -> tuple[np.ndarray, np.ndarray]:
         """ef-bounded beam at one layer for a WAVE of queries at once.
 
-        ``eps_ids``/``eps_sims``: (W, E) entry candidates per query
-        (-1 padded). Returns (sims, ids) of shape (W, ef), sim-desc,
-        -1 padded. All per-iteration work is one batched gather + one
-        einsum + one argpartition over the wave — no per-node heaps."""
-        W = len(qids)
-        if not hasattr(self, "_mat32"):
-            # build-time similarity comparisons in float32: half the
-            # gather/einsum traffic; graph selection is threshold-free
-            # (relative comparisons), still fully deterministic
-            self._mat32 = self.mat.astype(np.float32)
-        mat32 = self._mat32
-        Q = mat32[qids]                                     # (W, d)
+        ``Q``: (W, d) float32 query block. ``eps_ids``/``eps_sims``:
+        (W, E) entry candidates per query (-1 padded). Returns
+        (sims, ids) of shape (W, ef), sim-desc, -1 padded. All
+        per-iteration work is one batched gather + one einsum + one
+        argpartition over the wave — no per-node heaps."""
+        W = len(Q)
+        mat32 = self._m32()
         nbr = self.nbrs[level]
         cnt = self.ncnt[level]
         cap = nbr.shape[1]
@@ -300,6 +303,15 @@ class _HnswGraph:
             ns_l = np.where(ns_valid, ns, 0)
             seen = visited[a_rows[:, None], ns_l]
             fresh = ns_valid & ~seen
+            # two expansion nodes of one row may share a neighbor in
+            # the SAME iteration — keep one copy or the beam fills
+            # with duplicates (recall collapse)
+            order = np.argsort(ns_l, axis=1, kind="stable")
+            sn = np.take_along_axis(ns_l, order, axis=1)
+            sf = np.take_along_axis(fresh, order, axis=1)
+            dup = np.zeros_like(sf)
+            dup[:, 1:] = (sn[:, 1:] == sn[:, :-1]) & sf[:, 1:] & sf[:, :-1]
+            np.put_along_axis(fresh, order, sf & ~dup, axis=1)
             visited[a_rows[:, None], ns_l] |= ns_valid
             nsims = np.einsum("acd,ad->ac", mat32[ns_l],
                               Q[active])                    # (A, B*cap)
@@ -323,22 +335,20 @@ class _HnswGraph:
         return (np.take_along_axis(beam_sims, order, axis=1),
                 np.take_along_axis(beam_ids, order, axis=1))
 
-    def _insert_wave(self, ids: np.ndarray) -> None:
-        """Insert a wave: batched greedy descent + batched beams against
-        the frozen pre-wave graph, then deterministic in-order link
-        application (+ one in-wave candidate pass so wave-mates can
-        still become neighbors)."""
-        W = len(ids)
-        lvls = self.levels[ids].astype(np.int64)
-        Q = self.mat[ids]
-        # snapshot: every search in this wave runs against the graph as
-        # frozen at wave start (a wave-mate may raise entry_level later)
-        entry_level0 = self.entry_level
-        # greedy descent from the global entry through levels > lvl_i
+    def _batch_descent(self, Q32: np.ndarray, from_level: int,
+                       stop_at: np.ndarray | None = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """Greedy descent from the entry node through upper levels for
+        a whole query block. ``stop_at[i]``: the level at which query i
+        stops descending (its own insertion level; None = descend to 1
+        for all — the search path)."""
+        W = len(Q32)
+        mat32 = self._m32()
         cur = np.full(W, self.entry, dtype=np.int64)
-        cur_sim = np.einsum("wd,wd->w", self.mat[cur], Q)
-        for lc in range(entry_level0, 0, -1):
-            active = lvls < lc
+        cur_sim = np.einsum("wd,wd->w", mat32[cur], Q32)
+        for lc in range(from_level, 0, -1):
+            active = np.ones(W, dtype=bool) if stop_at is None \
+                else stop_at < lc
             if not active.any():
                 continue
             nbr, cnt = self.nbrs[lc], self.ncnt[lc]
@@ -351,7 +361,7 @@ class _HnswGraph:
                 ns_valid = (np.arange(cap)[None, :]
                             < cnt[cur[a]][:, None]) & (ns >= 0)
                 ns_l = np.where(ns_valid, ns, 0)
-                nsims = np.einsum("acd,ad->ac", self.mat[ns_l], Q[a])
+                nsims = np.einsum("acd,ad->ac", mat32[ns_l], Q32[a])
                 nsims = np.where(ns_valid, nsims, -np.inf)
                 best = np.argmax(nsims, axis=1)
                 bsim = nsims[np.arange(len(a)), best]
@@ -362,13 +372,62 @@ class _HnswGraph:
                 cur[upd] = ns_l[improve, best[improve]]
                 cur_sim[upd] = bsim[improve]
                 active[a[~improve]] = False
+        return cur, cur_sim
+
+    def search_batch(self, Q: np.ndarray, k: int,
+                     ef: int) -> list[list[tuple[float, int]]]:
+        """Batched query search: all queries' beams advance together
+        as matrix ops (the wave machinery applied at query time).
+        Returned sims are float64 rescores of the final candidates, so
+        results order exactly like the scalar ``search`` path."""
+        n = len(self.mat)
+        nq = len(Q)
+        if n == 0 or nq == 0:
+            return [[] for _ in range(nq)]
+        Q = _normalize64(np.asarray(Q, dtype=np.float64))
+        if ef >= n:
+            sims = Q @ self.mat.T                    # (nq, n) exact
+            out = []
+            for i in range(nq):
+                order = np.lexsort((np.arange(n), -sims[i]))[:max(k, 1)]
+                out.append([(float(sims[i, j]), int(j)) for j in order])
+            return out
+        Q32 = Q.astype(np.float32)
+        cur, cur_sim = self._batch_descent(Q32, self.entry_level)
+        sims32, bids = self._batch_search_layer(
+            Q32, cur_sim[:, None], cur[:, None], max(ef, k), 0)
+        out = []
+        for i in range(nq):
+            ids = bids[i][bids[i] >= 0]
+            if not len(ids):
+                out.append([])
+                continue
+            s64 = self.mat[ids] @ Q[i]               # exact rescore
+            order = np.lexsort((ids, -s64))[:k]
+            out.append([(float(s64[j]), int(ids[j])) for j in order])
+        return out
+
+    def _insert_wave(self, ids: np.ndarray) -> None:
+        """Insert a wave: batched greedy descent + batched beams against
+        the frozen pre-wave graph, then deterministic in-order link
+        application (+ one in-wave candidate pass so wave-mates can
+        still become neighbors)."""
+        W = len(ids)
+        lvls = self.levels[ids].astype(np.int64)
+        Q = self.mat[ids]
+        Q32 = self._m32()[ids]
+        # snapshot: every search in this wave runs against the graph as
+        # frozen at wave start (a wave-mate may raise entry_level later)
+        entry_level0 = self.entry_level
+        # greedy descent from the global entry through levels > lvl_i
+        cur, cur_sim = self._batch_descent(Q32, entry_level0, stop_at=lvls)
         # beam per level from each node's own top level down to 0
         ep_ids = cur[:, None]
         ep_sims = cur_sim[:, None]
         cand_per_level: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for lc in range(min(int(lvls.max()), entry_level0), -1, -1):
             sims, bids = self._batch_search_layer(
-                ids, ep_sims, ep_ids, self.efc, lc)
+                Q32, ep_sims, ep_ids, self.efc, lc)
             cand_per_level[lc] = (sims, bids)
             ep_ids, ep_sims = bids, sims
         # in-wave candidates: wave-mates are invisible to the frozen-
@@ -572,8 +631,9 @@ def hnsw_search(out_dir: str, qids: np.ndarray, qmat: np.ndarray,
         outs = []
         for seg in batch["segment"].to_pylist():
             vec_ids, g = _load_segment(os.path.join(out_dir, seg))
-            for qi in range(len(q_ids)):
-                hits = g.search(q_mat[qi], k + 1, ef)
+            # batched beams: all queries advance together as matrix ops
+            res = g.search_batch(q_mat, k + 1, ef)
+            for qi, hits in enumerate(res):
                 if not hits:
                     continue
                 outs.append(pa.table({
