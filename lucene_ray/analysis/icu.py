@@ -107,12 +107,27 @@ class ScriptRoutingAnalyzer:
         self._fold = ICUFoldingFilter()
 
     def __call__(self, text: str) -> list[str]:
+        # coalesce adjacent HAN/kana runs: interleaved kanji+kana IS
+        # Japanese (ICU's break rules treat the Japanese orthography as
+        # one context); a kana-free HAN stretch routes to Chinese
+        runs = script_runs(text or "")
+        merged: list[tuple[int, int, str]] = []
+        for a, b, script in runs:
+            if merged and script in ("HAN", "HIRAGANA", "KATAKANA") \
+                    and merged[-1][2] in ("HAN", "HIRAGANA", "KATAKANA",
+                                          "CJK"):
+                pa_, _, ps = merged[-1]
+                has_kana = bool({script, ps} & {"HIRAGANA", "KATAKANA"}) \
+                    or ps == "CJK"
+                merged[-1] = (pa_, b, "CJK" if has_kana else "HAN")
+            else:
+                merged.append((a, b, script))
         out: list[str] = []
-        for a, b, script in script_runs(text or ""):
+        for a, b, script in merged:
             run = text[a:b]
             if script == "HAN":
                 out.extend(self._zh(run))
-            elif script in ("HIRAGANA", "KATAKANA"):
+            elif script in ("HIRAGANA", "KATAKANA", "CJK"):
                 out.extend(self._ja(run))
             elif script == "HANGUL":
                 out.extend(self._ko(run))

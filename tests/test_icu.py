@@ -54,3 +54,28 @@ def test_script_routing_analyzer():
     assert "서울" in got and "에" not in got
     assert "すもも" in got and "もも" in got
     assert a("") == []
+
+
+def test_script_routing_end_to_end(ray_session, tmp_path):
+    """Multilingual corpus indexed through the routing analyzer: one
+    index answers term queries in four scripts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.analysis.icu import ScriptRoutingAnalyzer
+    from lucene_ray.index import build_index
+    from lucene_ray.search import IndexReader, Searcher, TermQuery
+    sents = ["Café society in Paris", "我们在北京大学学习中文",
+             "私は東京都に住む", "학생은 한국어를 공부했다",
+             "mixed 北京 and tokyo texts"]
+    p = str(tmp_path / "ml.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(sents), dtype=np.int64)),
+        "text": pa.array(sents, pa.string())}), p)
+    out = str(tmp_path / "mlidx")
+    build_index(p, out, analyzer=ScriptRoutingAnalyzer(), batch_size=4)
+    s = Searcher(IndexReader(out))
+    assert s.search(TermQuery("cafe"), 5).doc_ids.tolist() == [0]
+    assert sorted(s.search(TermQuery("北京"), 5).doc_ids.tolist()) == [1, 4]
+    assert s.search(TermQuery("東京"), 5).doc_ids.tolist() == [2]
+    assert s.search(TermQuery("한국어"), 5).doc_ids.tolist() == [3]
