@@ -533,6 +533,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pass) — SQL reproduces the gram sets and the f64 division
         "jaccard_pairs": lambda sf: dedup.jaccard_verify(
             _docp(sf), [(2 * i, 2 * i + 1) for i in range(10)]),
+        # winnowing fingerprints (Schleimer et al. 2003, the MOSS
+        # algorithm): k-gram md5 hashes -> per-window minima; limited
+        # to the first 50 docs so the oracle compare stays small
+        "winnow_fps": lambda sf: dedup.winnowing_fingerprints(_docp(sf))
+            .filter(expr="doc_id < 50"),
         "dedup_first_per_group": lambda sf: dedup.first_per_group(_docp(sf)),
         "minhash_candidates": lambda sf: dedup.minhash_lsh_candidates(
             _docp(sf)),  # rows-only
@@ -621,7 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_build", "dedup_update",
         # dedup family
         "dedup_exact", "dedup_first_per_group", "jaccard_pairs",
-        "minhash_keepers", "simhash_table", "embedding_neardup",
+        "minhash_keepers", "winnow_fps", "embedding_neardup",
         "fingerprint_clusters",
         # similarity search / ANN
         "knn_top10", "knn_ivf_top10", "knn_hnsw_top10", "knn_sq_top10",
@@ -1446,6 +1451,30 @@ WHERE term = 'data'
 ORDER BY doc_id""",
         "dedup_exact": ("SELECT min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
+        "winnow_fps": """
+WITH w AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents WHERE doc_id < 50),
+toks AS (SELECT doc_id, unnest(ws) AS term,
+                generate_subscripts(ws, 1) AS pos FROM w),
+grams AS (SELECT doc_id, pos,
+        term || ' ' || lead(term, 1) OVER win || ' '
+             || lead(term, 2) OVER win || ' '
+             || lead(term, 3) OVER win || ' '
+             || lead(term, 4) OVER win AS g
+    FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+h AS (SELECT doc_id, pos,
+        ('0x' || substr(md5(g), 1, 8))::UBIGINT::BIGINT AS hv
+    FROM grams WHERE g IS NOT NULL),
+mins AS (SELECT doc_id,
+        min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        pos,
+        count(*) OVER (PARTITION BY doc_id) AS n
+    FROM h),
+sel AS (SELECT DISTINCT doc_id, fp FROM mins
+        WHERE pos <= n - 3 OR (n < 4 AND pos = 1))
+SELECT doc_id, fp FROM sel ORDER BY doc_id, fp""",
         "jaccard_pairs": """
 WITH pairs(doc_a, doc_b) AS (VALUES
   (0,1),(2,3),(4,5),(6,7),(8,9),(10,11),(12,13),(14,15),(16,17),(18,19)),

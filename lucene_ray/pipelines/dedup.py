@@ -324,6 +324,51 @@ def minhash_dedup_keepers(path: str, num_perm=64, bands=16, shingle_k=3,
         batch_format="pyarrow")
 
 
+class _Winnow:
+    """Per-doc winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    word k-gram, slide a w-window over the hash sequence, keep each
+    window's MINIMUM. The selected-value SET is what both engines
+    compare (robust winnowing's rightmost-tie positional rule selects
+    the same value set). md5-prefix hashes keep the oracle bit-exact
+    (same trick as the sampling rule)."""
+
+    def __init__(self, k: int, w: int):
+        self.k, self.w = k, w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+        out_doc, out_fp = [], []
+        ids = batch["doc_id"].to_pylist()
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            ws = [x for x in (text or "").split(" ") if x]
+            n = len(ws) - self.k + 1
+            if n <= 0:
+                continue
+            grams = [" ".join(ws[i:i + self.k]) for i in range(n)]
+            h = np.array([int(_h.md5(g.encode()).hexdigest()[:8], 16)
+                          for g in grams], dtype=np.int64)
+            if len(h) >= self.w:
+                win = np.lib.stride_tricks.sliding_window_view(h, self.w)
+                fps = np.unique(win.min(axis=1))
+            else:
+                fps = np.unique(h.min(keepdims=True))
+            out_doc.extend([did] * len(fps))
+            out_fp.extend(fps.tolist())
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "fp": pa.array(out_fp, pa.int64())})
+
+
+def winnowing_fingerprints(path: str, k: int = 5,
+                           w: int = 4) -> ray.data.Dataset:
+    """(doc_id, fp) distinct winnowing fingerprints per document —
+    the substring-level near-dup signal (two docs sharing a >=k+w-1
+    word run share a fingerprint, the winnowing guarantee)."""
+    return (read_documents(path)
+            .map_batches(_Winnow, fn_constructor_args=(k, w),
+                         batch_format="pyarrow", concurrency=(1, 8)))
+
+
 def jaccard_verify(path: str, pairs: list[tuple[int, int]],
                    shingle_k=3) -> ray.data.Dataset:
     """Exact n-gram Jaccard for candidate pairs. The involved docs are

@@ -67,3 +67,31 @@ def test_surprisal_capped_still_ranks(corpus):
     wide = surprisal_topk(corpus, 10, top_v=1_000_000)
     assert full.column("doc_id").to_pylist() == \
         wide.column("doc_id").to_pylist()
+
+
+def test_winnowing_guarantee(corpus, ray_session):
+    """Schleimer et al. guarantee: two docs sharing a word run of
+    length >= k + w - 1 share at least one fingerprint."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.pipelines.dedup import winnowing_fingerprints
+    d = os.path.dirname(corpus)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "x1 x2 x3 " + shared + " y1 y2",
+            "z9 z8 " + shared + " q7 q6 q5",
+            "totally different words with no overlap at all here",
+        ], pa.string()),
+    })
+    p = os.path.join(d, "winnow.parquet")
+    pq.write_table(t, p)
+    rows = winnowing_fingerprints(p, k=5, w=4).take_all()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared 8-word run must share a fingerprint"
+    assert not (fps[0] & fps[2])
+    assert not (fps[1] & fps[2])
