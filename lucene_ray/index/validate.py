@@ -126,4 +126,33 @@ def validate_index(index_dir: str, generation: int | None = None) -> list[str]:
         errors.append("manifest sum_doc_len != sum of segments")
     if tot_fdc != m.field_doc_count:
         errors.append("manifest field_doc_count != sum of segments")
+
+    # index sort (CheckIndex.testSort role): when the index records a
+    # sort, stored rows must actually be ordered by (field, orig id)
+    # within and ACROSS segments in docID order
+    from .sorted import read_index_sort
+    srt = read_index_sort(index_dir)
+    if srt is not None:
+        field, asc = srt["field"], srt["ascending"]
+        oid = f"orig_{srt['id_col']}"
+        prev_key = None
+        for s in sorted(m.segments, key=lambda x: x.min_doc):
+            seg_dir = os.path.join(index_dir, "segments", s.seg_id)
+            d = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
+                              columns=[field, oid])
+            v = d.column(field).to_numpy()
+            o = d.column(oid).to_numpy()
+            if not asc:
+                v = -v
+            key_ok = (v[1:] > v[:-1]) | ((v[1:] == v[:-1])
+                                         & (o[1:] > o[:-1]))
+            if len(v) > 1 and not key_ok.all():
+                errors.append(f"{s.seg_id}: violates recorded index "
+                              f"sort on {field}")
+            if prev_key is not None and len(v) and \
+                    (v[0], o[0]) < prev_key:
+                errors.append(f"{s.seg_id}: sort order breaks at "
+                              "segment boundary")
+            if len(v):
+                prev_key = (v[-1], o[-1])
     return errors

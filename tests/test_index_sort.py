@@ -122,3 +122,23 @@ def test_search_over_sorted_index(sorted_idx):
     m = read_manifest(sorted_idx)
     total = sum(seg.num_docs for seg in m.segments)
     assert total == 5000
+
+
+def test_checkindex_validates_sort(sorted_idx):
+    """CheckIndex.testSort role: the recorded sort is verified; a
+    corrupted sidecar is caught."""
+    import json
+    import shutil
+    from lucene_ray.index.validate import validate_index
+    assert validate_index(sorted_idx) == []
+    # corrupt: claim a different sort field ordering
+    bad = sorted_idx + "_bad"
+    if os.path.isdir(bad):
+        shutil.rmtree(bad)
+    shutil.copytree(sorted_idx, bad)
+    with open(os.path.join(bad, "index_sort.json"), "w") as f:
+        json.dump({"field": "n_chars", "ascending": False,
+                   "id_col": "doc_id"}, f)
+    errs = validate_index(bad)
+    assert errs and any("index sort" in e or "sort order" in e
+                        for e in errs)
