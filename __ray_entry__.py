@@ -372,6 +372,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["function_score_topk"])
             .function_score_topk(_docp(sf), _OR_TERMS,
                                  "_score * ln(1 + n_chars)", 20),
+        # CoveringQuery (search/CoveringQuery.java): per-doc minimum
+        # number of matching clauses from a LongValuesSource expression
+        "covering_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["covering_match"])
+            .covering_match(_docp(sf), _OR_TERMS, "1 + n_chars % 2"),
         # static-feature boosts (FeatureField saturation,
         # LongField.newDistanceFeatureQuery)
         "feature_saturation": lambda sf: __import__(
@@ -1609,6 +1615,13 @@ d AS (SELECT c_custkey,
                pow(sin(radians(lon - 20.0) / 2), 2))) AS dist
       FROM geo)
 SELECT c_custkey FROM d WHERE dist <= 2000000.0 ORDER BY c_custkey""",
+        "covering_match": f"""
+{_TOKS},
+pt AS (SELECT DISTINCT doc_id, term FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})),
+cnt AS (SELECT doc_id, count(*) AS c FROM pt GROUP BY doc_id)
+SELECT cnt.doc_id FROM cnt JOIN documents d ON cnt.doc_id = d.doc_id
+WHERE cnt.c >= greatest(1, 1 + d.n_chars % 2) ORDER BY cnt.doc_id""",
         "function_score": f"""
 {_TOKS},
 {_DL},

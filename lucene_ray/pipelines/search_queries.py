@@ -680,6 +680,28 @@ def function_score_topk(doc_path: str, terms: list[str], expression: str,
     })
 
 
+def covering_match(doc_path: str, terms: list[str],
+                   min_match: str = "1 + n_chars % 2") -> pa.Table:
+    """CoveringQuery role (``search/CoveringQuery.java``): documents
+    where at least minMatch(doc) of the term sub-queries match, the
+    per-doc minimum an expression over doc-value columns
+    (LongValuesSource analog). Match-only result (doc_id asc)."""
+    from ..search import CoveringQuery, TermQuery
+    from ..search.expressions import compile_expression
+
+    cols = sorted(compile_expression(min_match).variables)
+    key = hashlib.md5(("num2:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"numidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    doc_value_cols=tuple(cols) or ("n_chars",))
+    s = Searcher(IndexReader(out))
+    q = CoveringQuery(tuple(TermQuery(t) for t in terms),
+                      min_match=min_match)
+    docs = s.match_docs(q)
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def blockjoin_order_keys(sf_dir: str, flag_term: str = "r") -> pa.Table:
     """ToParentBlockJoinQuery over orders (parents) + lineitems
     (children): orders having >= 1 lineitem whose returnflag matches.

@@ -7,6 +7,7 @@ from .query import (
     ComplexPhraseQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    CoveringQuery,
     FunctionScoreQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
@@ -36,6 +37,7 @@ __all__ = [
     "DisjunctionMaxQuery", "MatchAllDocsQuery", "MultiPhraseQuery",
     "PhraseQuery", "SpanNearQuery", "PrefixQuery", "WildcardQuery",
     "RegexpQuery", "TermInSetQuery", "TermRangeQuery", "FuzzyQuery",
+    "CoveringQuery",
     "FunctionScoreQuery",
     "and_query", "or_query", "parse_simple", "query_terms",
     "IndexReader", "SegmentReader", "Searcher", "TopDocs", "merge_top_docs",

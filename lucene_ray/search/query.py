@@ -184,6 +184,26 @@ class FunctionScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class CoveringQuery(Query):
+    """``search/CoveringQuery.java`` role: matches documents for which
+    at least ``minimumNumberMatch(doc)`` of the sub-queries match,
+    scoring as the sum of the matching sub-queries' scores
+    (CoveringScorer semantics). The per-document minimum is a
+    LongValuesSource in the reference; here it is an arithmetic
+    expression over numeric doc-value columns (``min_match``,
+    compiled by ``search/expressions.py`` — a constant like ``"2"``
+    reproduces the fixed-minimum case). Values below 1 are treated
+    as 1: a document that matches no sub-query is never a candidate,
+    exactly as in the reference scorer."""
+    queries: tuple = ()
+    min_match: str = "1"
+
+    def __post_init__(self):
+        if not isinstance(self.queries, tuple):
+            object.__setattr__(self, "queries", tuple(self.queries))
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """max over disjunct scores + tie_breaker * sum of the others
     (search/DisjunctionMaxQuery.java)."""
@@ -515,6 +535,11 @@ def query_terms(q: Query) -> list[str]:
     if isinstance(q, DisjunctionMaxQuery):
         out = []
         for sub in q.disjuncts:
+            out.extend(query_terms(sub))
+        return out
+    if isinstance(q, CoveringQuery):
+        out = []
+        for sub in q.queries:
             out.extend(query_terms(sub))
         return out
     if isinstance(q, (PhraseQuery, SpanNearQuery, TermInSetQuery)):

@@ -32,6 +32,7 @@ from .query import (
     BoostQuery,
     ComplexPhraseQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
     FunctionScoreQuery,
     FuzzyQuery,
@@ -258,6 +259,11 @@ class Searcher:
         if isinstance(q, FunctionScoreQuery):
             return FunctionScoreQuery(self.rewrite(q.inner), q.expression,
                                       q.boost * boost)
+        if isinstance(q, CoveringQuery):
+            # boost distributes over the summed sub scores
+            return CoveringQuery(
+                tuple(self.rewrite(s, boost) for s in q.queries),
+                q.min_match)
         if isinstance(q, FuzzyQuery):
             terms = self._expand(q)
             return BooleanQuery(should=tuple(
@@ -496,6 +502,10 @@ class Searcher:
         if isinstance(q, DisjunctionMaxQuery):
             return ("dismax", [self._prepare(s) for s in q.disjuncts],
                     float(q.tie_breaker))
+        if isinstance(q, CoveringQuery):
+            from .expressions import compile_expression
+            return ("covering", [self._prepare(s) for s in q.queries],
+                    compile_expression(q.min_match))
         if isinstance(q, (PhraseQuery, SpanNearQuery)):
             stats = self.reader.term_stats(list(q.terms))
             n = self.reader.doc_count
@@ -601,6 +611,36 @@ class Searcher:
             scores = mx + tb * (total - mx)
             dt = np.float64 if self.exact64 else np.float32
             return cand, scores.astype(dt)
+        if kind == "covering":
+            # CoveringScorer: candidates = union of sub matches; keep
+            # docs whose match COUNT >= max(1, minMatch(doc)); score =
+            # sum of the matching subs' scores (complete, unpruned —
+            # the per-doc minimum defeats block-max bounds).
+            per = [self._eval(sr, p, k, -np.inf) for p in prep[1]]
+            per = [(d, s) for d, s in per if d is not None and len(d)]
+            if not per:
+                return None, None
+            cand = np.unique(np.concatenate([d for d, _ in per]))
+            total = np.zeros(len(cand), dtype=np.float64)
+            cnt = np.zeros(len(cand), dtype=np.int64)
+            for d, s in per:
+                pos = np.searchsorted(cand, d)
+                total[pos] += s.astype(np.float64)
+                cnt[pos] += 1
+            expr = prep[2]
+            variables = {}
+            for col in sorted(expr.variables):
+                got = sr.stored(cand, col)
+                variables[col] = np.array(
+                    [float(v) if v is not None else 0.0 for v in got],
+                    dtype=np.float64)
+            need = np.broadcast_to(
+                np.asarray(expr(variables), np.float64), cand.shape)
+            keep = cnt >= np.maximum(1, np.floor(need)).astype(np.int64)
+            if not keep.any():
+                return None, None
+            dt = np.float64 if self.exact64 else np.float32
+            return cand[keep], total[keep].astype(dt)
         raise AssertionError(kind)
 
     def _eval_nested(self, sr: SegmentReader, prep, k: int):
@@ -1046,6 +1086,9 @@ class Searcher:
     def _match_docs(self, sr: SegmentReader, q: Query) -> np.ndarray:
         if isinstance(q, FunctionScoreQuery):
             return self._match_docs(sr, q.inner)
+        if isinstance(q, CoveringQuery):
+            docs, _ = self._eval(sr, self._prepare(q), 10, -np.inf)
+            return docs if docs is not None else np.empty(0, np.int64)
         if isinstance(q, (TermQuery, BooleanQuery)):
             prep = self._prepare(q)
             if prep[0] == "nbool":
