@@ -378,6 +378,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["covering_match"])
             .covering_match(_docp(sf), _OR_TERMS, "1 + n_chars % 2"),
+        # range FIELDS (document/DoubleRange + search/RangeFieldQuery):
+        # per-doc closed range [n_chars, n_chars + doc_id % 97] vs the
+        # query box [250, 300] under each QueryType
+        **{f"range_field_{rel}": (lambda rel: lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["range_field_match"])
+            .range_field_match(_docp(sf), 250.0, 300.0, rel))(rel)
+           for rel in ("intersects", "within", "contains", "crosses")},
         # static-feature boosts (FeatureField saturation,
         # LongField.newDistanceFeatureQuery)
         "feature_saturation": lambda sf: __import__(
@@ -1615,6 +1623,18 @@ d AS (SELECT c_custkey,
                pow(sin(radians(lon - 20.0) / 2), 2))) AS dist
       FROM geo)
 SELECT c_custkey FROM d WHERE dist <= 2000000.0 ORDER BY c_custkey""",
+        **{f"range_field_{rel}": f"""
+WITH r AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS lo,
+                  CAST(n_chars AS DOUBLE) + doc_id % 97 AS hi
+           FROM documents)
+SELECT doc_id FROM r WHERE {cond} ORDER BY doc_id"""
+           for rel, cond in [
+               ("intersects", "lo <= 300.0 AND hi >= 250.0"),
+               ("within", "lo >= 250.0 AND hi <= 300.0"),
+               ("contains", "lo <= 250.0 AND hi >= 300.0"),
+               ("crosses", "(lo <= 300.0 AND hi >= 250.0) AND NOT "
+                           "(lo >= 250.0 AND hi <= 300.0) AND NOT "
+                           "(lo <= 250.0 AND hi >= 300.0)")]},
         "covering_match": f"""
 {_TOKS},
 pt AS (SELECT DISTINCT doc_id, term FROM toks

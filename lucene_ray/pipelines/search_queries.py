@@ -702,6 +702,47 @@ def covering_match(doc_path: str, terms: list[str],
     return pa.table({"doc_id": pa.array(docs, pa.int64())})
 
 
+def range_field_match(doc_path: str, qlo: float, qhi: float,
+                      relation: str) -> pa.Table:
+    """Range-field query role (``document/DoubleRange.java`` +
+    ``search/RangeFieldQuery.java``): each doc carries the closed range
+    [n_chars, n_chars + doc_id % 97] (a computed index-time field,
+    derived with a map_batches add-column pass); the query box
+    [qlo, qhi] relates by INTERSECTS / WITHIN / CONTAINS / CROSSES.
+    Match-only (doc_id asc)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from ..search import RangeFieldQuery
+
+    key = hashlib.md5(("rangef:" + doc_path).encode()).hexdigest()[:12]
+    root = os.path.join(_CACHE_ROOT, f"rfidx-{key}")
+    out = os.path.join(root, "idx")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        derived = os.path.join(root, "pages")
+
+        def add_range(batch: pa.Table) -> pa.Table:
+            lo = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            hi = lo + (ids % 97).astype(np.float64)
+            return (batch.append_column("rlo", pa.array(lo))
+                    .append_column("rhi", pa.array(hi)))
+
+        (ray.data.read_parquet(doc_path,
+                               columns=["doc_id", "text", "n_chars"])
+         .map_batches(add_range, batch_format="pyarrow")
+         .write_parquet(derived))
+        build_index(derived, out, batch_size=2048,
+                    doc_value_cols=("rlo", "rhi"))
+    s = Searcher(IndexReader(out))
+    q = RangeFieldQuery(("rlo",), ("rhi",), (float(qlo),), (float(qhi),),
+                        relation)
+    docs = s.match_docs(q)
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def blockjoin_order_keys(sf_dir: str, flag_term: str = "r") -> pa.Table:
     """ToParentBlockJoinQuery over orders (parents) + lineitems
     (children): orders having >= 1 lineitem whose returnflag matches.

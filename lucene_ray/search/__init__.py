@@ -8,6 +8,7 @@ from .query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     CoveringQuery,
+    RangeFieldQuery,
     FunctionScoreQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
@@ -38,6 +39,7 @@ __all__ = [
     "PhraseQuery", "SpanNearQuery", "PrefixQuery", "WildcardQuery",
     "RegexpQuery", "TermInSetQuery", "TermRangeQuery", "FuzzyQuery",
     "CoveringQuery",
+    "RangeFieldQuery",
     "FunctionScoreQuery",
     "and_query", "or_query", "parse_simple", "query_terms",
     "IndexReader", "SegmentReader", "Searcher", "TopDocs", "merge_top_docs",

@@ -271,6 +271,71 @@ class NumericRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class RangeFieldQuery(Query):
+    """Range FIELDS (``document/DoubleRange.java`` / ``IntRange.java``
+    + ``search/RangeFieldQuery.java``): each document stores an
+    N-dimensional closed range [lo_d, hi_d] as two doc-value columns
+    per dimension; the query relates a query box to it with one of
+    the reference's QueryTypes —
+
+    - ``intersects``: doc range overlaps the query box in every dim
+    - ``within``: doc range lies entirely inside the query box
+    - ``contains``: doc range entirely contains the query box
+    - ``crosses``: intersects, but neither within nor contains
+
+    Lowered (in ``Searcher.rewrite``) to a constant-score boolean of
+    per-column NumericRangeQuery filters over the dv sidecars — the
+    BKD-over-encoded-ranges of the reference becomes row-group-pruned
+    columnar predicate pushdown here."""
+    lo_cols: tuple = ()
+    hi_cols: tuple = ()
+    lower: tuple = ()
+    upper: tuple = ()
+    relation: str = "intersects"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        for name in ("lo_cols", "hi_cols", "lower", "upper"):
+            v = getattr(self, name)
+            if not isinstance(v, tuple):
+                object.__setattr__(self, name, tuple(v))
+        if not (len(self.lo_cols) == len(self.hi_cols)
+                == len(self.lower) == len(self.upper) > 0):
+            raise ValueError("dimension mismatch")
+        if self.relation not in ("intersects", "within", "contains",
+                                 "crosses"):
+            raise ValueError(f"unknown relation {self.relation!r}")
+
+    def _filters(self, relation: str) -> list:
+        out = []
+        for lo_c, hi_c, qlo, qhi in zip(self.lo_cols, self.hi_cols,
+                                        self.lower, self.upper):
+            if relation == "intersects":
+                # lo <= qhi AND hi >= qlo
+                out.append(NumericRangeQuery(lo_c, None, qhi))
+                out.append(NumericRangeQuery(hi_c, qlo, None))
+            elif relation == "within":
+                # qlo <= lo AND hi <= qhi
+                out.append(NumericRangeQuery(lo_c, qlo, None))
+                out.append(NumericRangeQuery(hi_c, None, qhi))
+            else:  # contains: lo <= qlo AND hi >= qhi
+                out.append(NumericRangeQuery(lo_c, None, qlo))
+                out.append(NumericRangeQuery(hi_c, qhi, None))
+        return out
+
+    def lower_to_bool(self) -> Query:
+        if self.relation == "crosses":
+            inner = BooleanQuery(
+                filter=tuple(self._filters("intersects")),
+                must_not=(BooleanQuery(filter=tuple(self._filters("within"))),
+                          BooleanQuery(
+                              filter=tuple(self._filters("contains")))))
+        else:
+            inner = BooleanQuery(filter=tuple(self._filters(self.relation)))
+        return ConstantScoreQuery(inner, self.boost)
+
+
+@dataclass(frozen=True)
 class FuzzyQuery(Query):
     """Terms within edit distance <= max_edits (search/FuzzyQuery.java;
     defaults maxEdits=2, prefixLength=0, transpositions=True i.e.

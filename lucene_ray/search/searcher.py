@@ -42,6 +42,7 @@ from .query import (
     PhraseQuery,
     PrefixQuery,
     Query,
+    RangeFieldQuery,
     RegexpQuery,
     SpanNearQuery,
     TermInSetQuery,
@@ -264,6 +265,8 @@ class Searcher:
             return CoveringQuery(
                 tuple(self.rewrite(s, boost) for s in q.queries),
                 q.min_match)
+        if isinstance(q, RangeFieldQuery):
+            return self.rewrite(q.lower_to_bool(), boost)
         if isinstance(q, FuzzyQuery):
             terms = self._expand(q)
             return BooleanQuery(should=tuple(
