@@ -354,6 +354,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["geo_distance_match"])
             .geo_distance_match(sf, 10.0, 20.0, 2_000_000.0),
+        # LatLonPoint.nearest (search/NearestNeighbor.java): k-NN by
+        # haversine via expanding-radius exact distance queries
+        "geo_nearest": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["geo_nearest"])
+            .geo_nearest(sf, 10.0, 20.0, 25),
         "topk_shortest_docs": lambda sf: topk_by_numeric_field(
             _docp(sf), "n_chars", 20, ascending=True),
         # TRUE index sort (IndexWriterConfig.setIndexSort / Sorter.java):
@@ -1642,6 +1648,20 @@ pt AS (SELECT DISTINCT doc_id, term FROM toks
 cnt AS (SELECT doc_id, count(*) AS c FROM pt GROUP BY doc_id)
 SELECT cnt.doc_id FROM cnt JOIN documents d ON cnt.doc_id = d.doc_id
 WHERE cnt.c >= greatest(1, 1 + d.n_chars % 2) ORDER BY cnt.doc_id""",
+        "geo_nearest": """
+WITH geo AS (SELECT c_custkey,
+                    ((c_custkey * 7919) % 18000) / 100.0 - 90.0 AS lat,
+                    ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS lon
+             FROM customer),
+d AS (SELECT c_custkey,
+             CAST(floor(2 * 6371008.7714 * asin(sqrt(
+               pow(sin(radians(lat - 10.0) / 2), 2) +
+               cos(radians(10.0)) * cos(radians(lat)) *
+               pow(sin(radians(lon - 20.0) / 2), 2))) * 1e6) AS BIGINT)
+               AS dkey
+      FROM geo)
+SELECT c_custkey, row_number() OVER (ORDER BY dkey, c_custkey) AS rank
+FROM d ORDER BY dkey, c_custkey LIMIT 25""",
         "function_score": f"""
 {_TOKS},
 {_DL},

@@ -350,6 +350,22 @@ def geo_distance_match(sf_dir: str, lat: float, lon: float,
     return pa.table({"c_custkey": pa.array(ids, pa.int64())})
 
 
+def geo_nearest(sf_dir: str, lat: float, lon: float, k: int) -> pa.Table:
+    """LatLonPoint.nearest / NearestNeighbor role: k closest customers
+    to (lat, lon), ranked by (quantized haversine meters, id) — the
+    integer micro-meter key makes the rank comparison engine-portable
+    (same device as the BM25 ranking oracles)."""
+    from ..search.geo import geo_nearest_docs
+    ids, d = geo_nearest_docs(_geo_index(sf_dir), lat, lon, k)
+    key = np.floor(d * 1e6).astype(np.int64)
+    order = np.lexsort((ids, key))
+    ids = ids[order]
+    return pa.table({
+        "c_custkey": pa.array(ids, pa.int64()),
+        "rank": pa.array(np.arange(1, len(ids) + 1), pa.int64()),
+    })
+
+
 def parsed_query_docs(doc_path: str, expr: str) -> pa.Table:
     """Classic-parser round trip: parse ``expr`` (queryparser/classic
     syntax) against the cached documents index and return the matching

@@ -80,6 +80,32 @@ def geo_distance_docs(index_dir: str, lat: float, lon: float,
     return ids[keep]
 
 
+def geo_nearest_docs(index_dir: str, lat: float, lon: float, k: int):
+    """``LatLonPoint.nearest`` / ``search/NearestNeighbor.java`` role:
+    the k documents closest to (lat, lon) by haversine distance, ties
+    broken by ascending id. The reference walks BKD cells with a
+    priority queue ordered by cell-to-point distance; here the same
+    pruning comes from expanding-radius distance queries (each one a
+    row-group-pruned box read + exact refine): grow the radius until
+    >= k hits, then one final EXACT pass at the k-th candidate
+    distance guarantees no closer point was outside the earlier
+    bounding box. Returns (ids, distances) sorted by (distance, id)."""
+    # half the earth's circumference: one query at this radius is total
+    max_r = np.pi * EARTH_MEAN_RADIUS_METERS
+    r = 10_000.0
+    while True:
+        ids, d = geo_distance_docs(index_dir, lat, lon, r,
+                                   return_distance=True)
+        if len(ids) >= k or r >= max_r:
+            break
+        r *= 4.0
+    # the distance query is EXACT (every point with d <= r is in the
+    # candidate set), so once it holds >= k points — or r covers the
+    # whole sphere — its top-k IS the global top-k
+    order = np.lexsort((ids, d))[:k]
+    return ids[order], d[order]
+
+
 def point_in_polygon(lats: np.ndarray, lons: np.ndarray,
                      poly: list[tuple]) -> np.ndarray:
     """Vectorized even-odd ray casting (``geo/Polygon.java`` contains

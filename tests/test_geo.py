@@ -158,3 +158,25 @@ def test_geo_polygon_docs_bbox_refine(geo_index):
     got = geo_polygon_docs(out, poly)
     want = ids[point_in_polygon(lat, lon, poly)]
     np.testing.assert_array_equal(np.sort(got), np.sort(want))
+
+
+def test_geo_nearest_vs_brute(geo_index):
+    from lucene_ray.search.geo import geo_nearest_docs
+    out, ids, lat, lon = geo_index
+    rng = np.random.default_rng(23)
+    for k in (1, 10, 100):
+        clat = float(rng.uniform(-85, 85))
+        clon = float(rng.uniform(-180, 180))
+        got_ids, got_d = geo_nearest_docs(out, clat, clon, k)
+        d_all = haversin_meters(clat, clon, lat, lon)
+        order = np.lexsort((ids, d_all))[:k]
+        np.testing.assert_array_equal(got_ids, ids[order])
+        np.testing.assert_allclose(got_d, d_all[order], rtol=1e-12)
+
+
+def test_geo_nearest_k_exceeds_corpus(geo_index):
+    from lucene_ray.search.geo import geo_nearest_docs
+    out, ids, lat, lon = geo_index
+    got_ids, _ = geo_nearest_docs(out, 0.0, 0.0, len(ids) + 50)
+    assert len(got_ids) == len(ids)
+    assert set(got_ids.tolist()) == set(ids.tolist())
