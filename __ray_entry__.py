@@ -469,6 +469,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["facet_taxonomy_counts"])
             .facet_taxonomy_counts(_docp(sf), _TERM_A),
+        # association facets (facet/taxonomy/TaxonomyFacetIntAssociations
+        # SUM): per path prefix, sum of matching docs' n_chars payloads
+        "facet_assoc_sums": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["facet_assoc_sums"])
+            .facet_assoc_sums(_docp(sf), _TERM_A),
+        # sampled facets (facet/RandomSamplingFacetsCollector.java) with
+        # the repo's deterministic engine-portable salted-md5 keep rule
+        "facet_sampled": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["facet_sampled"])
+            .facet_sampled(_docp(sf), _TERM_A, 25),
         # JoinUtil query-time term join (join/JoinUtil.java:71): from
         # docs matching 'data', join on lang with ScoreMode.Max
         "join_util_max": lambda sf: __import__(
@@ -1422,6 +1434,25 @@ SELECT source AS path, count(*)::BIGINT AS count FROM j GROUP BY source
 UNION ALL
 SELECT source || '/' || lang, count(*)::BIGINT FROM j
 GROUP BY source, lang""",
+        "facet_assoc_sums": f"""
+{_TOKS},
+m AS (SELECT DISTINCT t.doc_id FROM toks t WHERE t.term = '{_TERM_A}'),
+j AS (SELECT d.source, d.lang, d.n_chars FROM m JOIN documents d
+      ON m.doc_id = d.doc_id)
+SELECT source AS path, CAST(sum(n_chars) AS DOUBLE) AS sum_assoc
+FROM j GROUP BY source
+UNION ALL
+SELECT source || '/' || lang, CAST(sum(n_chars) AS DOUBLE) FROM j
+GROUP BY source, lang""",
+        "facet_sampled": f"""
+{_TOKS},
+m AS (SELECT DISTINCT t.doc_id FROM toks t WHERE t.term = '{_TERM_A}'),
+kept AS (SELECT m.doc_id, d.lang FROM m JOIN documents d
+         ON m.doc_id = d.doc_id
+         WHERE ('0x' || substr(md5('facet-sample:' || m.doc_id), 1, 8))
+               ::UBIGINT % 100 < 25)
+SELECT lang AS value, count(*)::BIGINT AS sampled_count
+FROM kept GROUP BY lang""",
         "join_util_max": f"""
 {_TOKS},
 {_DL},

@@ -862,11 +862,11 @@ def dv_stats(doc_path: str, term: str, col: str) -> pa.Table:
 
 def _facet_index(doc_path: str) -> str:
     """The stored-cols index shared by facet/highlight/grouping queries."""
-    key = hashlib.md5(("facet:" + doc_path).encode()).hexdigest()[:12]
+    key = hashlib.md5(("facet2:" + doc_path).encode()).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, f"facetidx-{key}")
     if not os.path.exists(os.path.join(out, "manifest_0.json")):
         build_index(doc_path, out, batch_size=2048,
-                    stored_cols=("lang", "source", "text"))
+                    stored_cols=("lang", "source", "text", "n_chars"))
     return out
 
 
@@ -934,6 +934,28 @@ def facet_taxonomy_counts(doc_path: str, term: str) -> pa.Table:
     s = Searcher(IndexReader(_facet_index(doc_path)),
                  similarity="bm25_exact64")
     return taxonomy_facet_counts(s, TermQuery(term), ("source", "lang"))
+
+
+def facet_assoc_sums(doc_path: str, term: str) -> pa.Table:
+    """Association facets (TaxonomyFacetIntAssociations SUM role):
+    per (source, lang) path prefix, the sum of matching docs' n_chars
+    association values."""
+    from ..search.facets import taxonomy_facet_sum_associations
+
+    s = Searcher(IndexReader(_facet_index(doc_path)),
+                 similarity="bm25_exact64")
+    return taxonomy_facet_sum_associations(
+        s, TermQuery(term), ("source", "lang"), "n_chars")
+
+
+def facet_sampled(doc_path: str, term: str, pct: int = 25) -> pa.Table:
+    """RandomSamplingFacetsCollector role: facet counts over a
+    deterministic salted-md5 sample of the matching docs."""
+    from ..search.facets import sampled_facet_counts
+
+    s = Searcher(IndexReader(_facet_index(doc_path)),
+                 similarity="bm25_exact64")
+    return sampled_facet_counts(s, TermQuery(term), "lang", pct=pct)
 
 
 def interval_query_docs(doc_path: str, kind: str) -> pa.Table:

@@ -242,6 +242,82 @@ def taxonomy_facet_counts(searcher: Searcher, q: Query,
     })
 
 
+def taxonomy_facet_sum_associations(searcher: Searcher, q: Query,
+                                    path_cols: tuple,
+                                    value_col: str) -> pa.Table:
+    """Association facets — ``facet/taxonomy/TaxonomyFacetIntAssociations``
+    / ``TaxonomyFacetFloatAssociations`` (SUM aggregation, tests
+    ``TestTaxonomyFacetAssociations.java``): each matching doc
+    contributes its per-doc association VALUE (a numeric doc-value
+    column here, the IntAssociationFacetField payload in the
+    reference) to every prefix of its category path. Output:
+    ('/'-joined path, sum), path asc."""
+    q = searcher.rewrite(q)
+    from .query import query_terms
+    searcher._prefetch(sorted(set(query_terms(q))))
+    total: Counter = Counter()
+    for sr in searcher.reader.segments():
+        docs = searcher._match_docs(sr, q)
+        if len(docs) == 0:
+            continue
+        docs = np.sort(docs)
+        cols = [sr.stored(docs, c) for c in path_cols]
+        vals = sr.stored(docs, value_col)
+        for parts, v in zip(zip(*cols), vals):
+            if v is None:
+                continue
+            path = ""
+            for p in parts:
+                if p is None:
+                    break
+                path = f"{path}/{p}" if path else str(p)
+                total[path] += float(v)
+    items = sorted(total.items())
+    return pa.table({
+        "path": pa.array([p for p, _ in items], pa.string()),
+        "sum_assoc": pa.array([v for _, v in items], pa.float64()),
+    })
+
+
+def sampled_facet_counts(searcher: Searcher, q: Query, col: str,
+                         pct: int = 25,
+                         salt: str = "facet-sample") -> pa.Table:
+    """``RandomSamplingFacetsCollector`` role (facet/
+    RandomSamplingFacetsCollector.java): facet counts over a SAMPLE of
+    the matching docs. The reference uses an XORShift sample of hits;
+    here the keep rule is the repo's deterministic salted-md5 hash
+    (the engine-portable rule ``sample_hash`` uses), so the sampled
+    counts are reproducible across engines and cluster sizes — each
+    worker decides keep/drop locally with no coordination. Returns
+    (value, sampled_count), value asc."""
+    import hashlib as _hl
+
+    q = searcher.rewrite(q)
+    from .query import query_terms
+    searcher._prefetch(sorted(set(query_terms(q))))
+    total: Counter = Counter()
+    for sr in searcher.reader.segments():
+        docs = searcher._match_docs(sr, q)
+        if len(docs) == 0:
+            continue
+        docs = np.sort(docs)
+        keep = np.array([
+            int(_hl.md5(f"{salt}:{d}".encode()).hexdigest()[:8], 16)
+            % 100 < pct
+            for d in docs], dtype=bool)
+        docs = docs[keep]
+        if len(docs) == 0:
+            continue
+        for v in sr.stored(docs, col):
+            if v is not None:
+                total[str(v)] += 1
+    items = sorted(total.items())
+    return pa.table({
+        "value": pa.array([v for v, _ in items], pa.string()),
+        "sampled_count": pa.array([n for _, n in items], pa.int64()),
+    })
+
+
 def diversified_topk(searcher: Searcher, q: Query, col: str,
                      max_per_key: int = 2, k: int = 20) -> pa.Table:
     """Diversified top-k (``misc/src/java/org/apache/lucene/misc/search/

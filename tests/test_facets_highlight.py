@@ -227,3 +227,66 @@ def test_fast_vector_highlighter(ray_session, tmp_path_factory):
     row = {tv.column("term")[i].as_py(): i for i in range(len(tv))}
     assert tv.column("tf")[row["data"]].as_py() == 3
     assert len(tv.column("starts")[row["data"]].as_py()) == 3
+
+
+@pytest.fixture(scope="module")
+def assoc_index(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(47)
+    n = 250
+    texts = [" ".join(rng.choice(["data", "merge", "spark"], 5))
+             for _ in range(n)]
+    langs = [str(rng.choice(["en", "de", "fr"])) for _ in range(n)]
+    sources = [f"s{int(rng.integers(0, 3))}" for _ in range(n)]
+    vals = rng.integers(1, 500, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(langs, pa.string()),
+                  "source": pa.array(sources, pa.string()),
+                  "val": pa.array(vals)})
+    d = tmp_path_factory.mktemp("assoc")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    out = str(d / "idx")
+    build_index(path, out, batch_size=64,
+                stored_cols=("lang", "source", "val"))
+    return out, texts, langs, sources, vals
+
+
+def test_association_facet_sums(assoc_index):
+    from lucene_ray.search.facets import taxonomy_facet_sum_associations
+    out, texts, langs, sources, vals = assoc_index
+    s = Searcher(IndexReader(out))
+    got = taxonomy_facet_sum_associations(
+        s, TermQuery("data"), ("source", "lang"), "val")
+    from collections import defaultdict
+    want = defaultdict(float)
+    for i, t in enumerate(texts):
+        if "data" in t.split():
+            want[sources[i]] += float(vals[i])
+            want[f"{sources[i]}/{langs[i]}"] += float(vals[i])
+    rows = {r["path"]: r["sum_assoc"] for r in got.to_pylist()}
+    assert rows == pytest.approx(dict(want))
+    assert list(rows) == sorted(rows)
+
+
+def test_sampled_facet_counts(assoc_index):
+    import hashlib
+    from collections import Counter
+    from lucene_ray.search.facets import sampled_facet_counts
+    out, texts, langs, _sources, _vals = assoc_index
+    s = Searcher(IndexReader(out))
+    got = sampled_facet_counts(s, TermQuery("data"), "lang",
+                               pct=30, salt="t")
+    want = Counter()
+    for i, t in enumerate(texts):
+        if "data" not in t.split():
+            continue
+        if int(hashlib.md5(f"t:{i}".encode()).hexdigest()[:8], 16) \
+                % 100 < 30:
+            want[langs[i]] += 1
+    rows = {r["value"]: r["sampled_count"] for r in got.to_pylist()}
+    assert rows == dict(want)
+    # sampled counts are a (deterministic) subsample of the full counts
+    full = Counter(langs[i] for i, t in enumerate(texts)
+                   if "data" in t.split())
+    assert all(rows[k] <= full[k] for k in rows)
