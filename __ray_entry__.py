@@ -469,6 +469,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["facet_taxonomy_counts"])
             .facet_taxonomy_counts(_docp(sf), _TERM_A),
+        # payloads (analysis/payloads DelimitedPayloadTokenFilter +
+        # queries/payloads PayloadScoreQuery SumPayloadFunction): per
+        # doc, the sum of the probed term's per-position payloads
+        "payload_sum": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["payload_sum"])
+            .payload_sum(_docp(sf), _TERM_A, "sum"),
         # association facets (facet/taxonomy/TaxonomyFacetIntAssociations
         # SUM): per path prefix, sum of matching docs' n_chars payloads
         "facet_assoc_sums": lambda sf: __import__(
@@ -1434,6 +1441,16 @@ SELECT source AS path, count(*)::BIGINT AS count FROM j GROUP BY source
 UNION ALL
 SELECT source || '/' || lang, count(*)::BIGINT FROM j
 GROUP BY source, lang""",
+        "payload_sum": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term,
+         generate_subscripts(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
+  FROM documents)
+SELECT doc_id, CAST(sum((i - 1) % 7 + 1) AS BIGINT) AS payload_sum
+FROM toks WHERE term = '{_TERM_A}' GROUP BY doc_id ORDER BY doc_id""",
         "facet_assoc_sums": f"""
 {_TOKS},
 m AS (SELECT DISTINCT t.doc_id FROM toks t WHERE t.term = '{_TERM_A}'),

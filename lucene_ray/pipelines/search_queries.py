@@ -958,6 +958,44 @@ def facet_sampled(doc_path: str, term: str, pct: int = 25) -> pa.Table:
     return sampled_facet_counts(s, TermQuery(term), "lang", pct=pct)
 
 
+def payload_sum(doc_path: str, term: str, func: str = "sum") -> pa.Table:
+    """PayloadScoreQuery role over a DelimitedPayloadTokenFilter corpus:
+    every token carries the payload ``(ord % 7) + 1`` (ord = 0-based
+    token position — derived with a map_batches pass, mirrored exactly
+    by the SQL oracle's generate_subscripts); the query aggregates the
+    probed term's payloads per doc. Integer output for exact compare."""
+    import ray.data
+
+    from ..index.payload_index import build_payload_index
+    from ..search.payloads import payload_score
+
+    key = hashlib.md5(("payload:" + doc_path).encode()).hexdigest()[:12]
+    root = os.path.join(_CACHE_ROOT, f"payidx-{key}")
+    idx = os.path.join(root, "idx")
+    if not os.path.isdir(idx) or not os.listdir(idx):
+        derived = os.path.join(root, "pages")
+
+        def add_payloads(batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            out = []
+            for text in texts:
+                toks = [t for t in (text or "").split(" ") if t]
+                out.append(" ".join(f"{t}|{(i % 7) + 1}"
+                                    for i, t in enumerate(toks)))
+            return pa.table({"doc_id": batch["doc_id"],
+                             "text": pa.array(out, pa.string())})
+
+        (ray.data.read_parquet(doc_path, columns=["doc_id", "text"])
+         .map_batches(add_payloads, batch_format="pyarrow")
+         .write_parquet(derived))
+        build_payload_index(derived, idx)
+    docs, scores = payload_score(idx, term, func)
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "payload_sum": pa.array(scores.astype(np.int64), pa.int64()),
+    })
+
+
 def interval_query_docs(doc_path: str, kind: str) -> pa.Table:
     """Intervals-module round trips (queries/intervals/Intervals.java
     combinators) against the cached positional index."""
