@@ -469,6 +469,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["facet_taxonomy_counts"])
             .facet_taxonomy_counts(_docp(sf), _TERM_A),
+        # indexed-shape box relations (document/ShapeField.QueryRelation
+        # via LatLonShapeBoundingBoxQuery): rect shapes tessellated and
+        # queried through the generic triangle index
+        **{f"shape_box_{rel}": (lambda rel: lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["shape_box_relate"])
+            .shape_box_relate(sf, rel))(rel)
+           for rel in ("intersects", "within", "contains", "disjoint")},
         # payloads (analysis/payloads DelimitedPayloadTokenFilter +
         # queries/payloads PayloadScoreQuery SumPayloadFunction): per
         # doc, the sum of the probed term's per-position payloads
@@ -1441,6 +1449,25 @@ SELECT source AS path, count(*)::BIGINT AS count FROM j GROUP BY source
 UNION ALL
 SELECT source || '/' || lang, count(*)::BIGINT FROM j
 GROUP BY source, lang""",
+        **{f"shape_box_{rel}": f"""
+WITH r AS (SELECT c_custkey,
+                  (c_custkey * 7919 % 1000) / 10.0 AS cx,
+                  (c_custkey * 104729 % 1000) / 10.0 AS cy,
+                  CAST(1 + c_custkey % 7 AS DOUBLE) AS w,
+                  CAST(1 + c_custkey % 5 AS DOUBLE) AS h
+           FROM customer),
+b AS (SELECT c_custkey, cx - w AS lx, cx + w AS hx,
+             cy - h AS ly, cy + h AS hy FROM r)
+SELECT c_custkey FROM b WHERE {cond} ORDER BY c_custkey"""
+           for rel, cond in [
+               ("intersects", "lx <= 60.07 AND hx >= 40.03 AND "
+                              "ly <= 55.09 AND hy >= 30.01"),
+               ("within", "lx >= 40.03 AND hx <= 60.07 AND "
+                          "ly >= 30.01 AND hy <= 55.09"),
+               ("contains", "lx <= 53.23 AND hx >= 55.27 AND "
+                            "ly <= 11.71 AND hy >= 12.79"),
+               ("disjoint", "NOT (lx <= 60.07 AND hx >= 40.03 AND "
+                            "ly <= 55.09 AND hy >= 30.01)")]},
         "payload_sum": f"""
 WITH toks AS (
   SELECT doc_id,

@@ -228,6 +228,95 @@ def shapes_containing_point(index_dir: str, px: float,
     return np.array(sorted(out), dtype=np.int64)
 
 
+def shapes_within_box(index_dir: str, minx: float, maxx: float,
+                      miny: float, maxy: float) -> np.ndarray:
+    """doc_ids of shapes entirely WITHIN the box
+    (ShapeField.QueryRelation.WITHIN): candidates are the intersecting
+    docs (bbox-pruned), confirmed when every ring vertex lies inside
+    the closed box — sufficient and necessary because the box is
+    convex."""
+    cand = shapes_intersecting_box(index_dir, minx, maxx, miny, maxy)
+    if len(cand) == 0:
+        return cand
+    rings = pq.read_table(os.path.join(index_dir, "rings"),
+                          filters=[("doc_id", "in", cand.tolist())])
+    out = []
+    for i in range(rings.num_rows):
+        ring = rings.column("vertices")[i].as_py()
+        if all(minx <= x <= maxx and miny <= y <= maxy
+               for x, y in ring):
+            out.append(rings.column("doc_id")[i].as_py())
+    return np.array(sorted(out), dtype=np.int64)
+
+
+def shapes_disjoint_box(index_dir: str, minx: float, maxx: float,
+                        miny: float, maxy: float) -> np.ndarray:
+    """doc_ids of shapes DISJOINT from the box: the complement of
+    INTERSECTS over the indexed doc set (the reference's DISJOINT
+    relation also visits every cell that could match)."""
+    inter = shapes_intersecting_box(index_dir, minx, maxx, miny, maxy)
+    all_ids = pq.read_table(os.path.join(index_dir, "rings"),
+                            columns=["doc_id"])["doc_id"].to_numpy()
+    return np.setdiff1d(np.unique(all_ids), inter).astype(np.int64)
+
+
+def _segment_hits_open_box(x1, y1, x2, y2, minx, maxx, miny,
+                           maxy) -> bool:
+    """True when the segment has a point STRICTLY inside the box
+    (Liang-Barsky clip; a clipped midpoint on the boundary does not
+    count)."""
+    t0, t1 = 0.0, 1.0
+    dx, dy = x2 - x1, y2 - y1
+    for p, q in ((-dx, x1 - minx), (dx, maxx - x1),
+                 (-dy, y1 - miny), (dy, maxy - y1)):
+        if p == 0:
+            if q < 0:
+                return False
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return False
+            if r > t0:
+                t0 = r
+        else:
+            if r < t0:
+                return False
+            if r < t1:
+                t1 = r
+    if t1 <= t0:
+        return False
+    tm = (t0 + t1) / 2
+    mx, my = x1 + tm * dx, y1 + tm * dy
+    return minx < mx < maxx and miny < my < maxy
+
+
+def shapes_containing_box(index_dir: str, minx: float, maxx: float,
+                          miny: float, maxy: float) -> np.ndarray:
+    """doc_ids of shapes that CONTAIN the whole box: candidates are
+    docs containing one corner; a candidate qualifies when all four
+    corners are inside its ring AND no ring edge passes through the
+    open box (the polygon boundary never enters the box interior)."""
+    cand = shapes_containing_point(index_dir, minx, miny)
+    if len(cand) == 0:
+        return cand
+    rings = pq.read_table(os.path.join(index_dir, "rings"),
+                          filters=[("doc_id", "in", cand.tolist())])
+    corners = ((minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy))
+    out = []
+    for i in range(rings.num_rows):
+        ring = rings.column("vertices")[i].as_py()
+        if not all(point_in_polygon(px, py, ring) for px, py in corners):
+            continue
+        n = len(ring)
+        if any(_segment_hits_open_box(*ring[j], *ring[(j + 1) % n],
+                                      minx, maxx, miny, maxy)
+               for j in range(n)):
+            continue
+        out.append(rings.column("doc_id")[i].as_py())
+    return np.array(sorted(out), dtype=np.int64)
+
+
 def shapes_intersecting_box(index_dir: str, minx: float, maxx: float,
                             miny: float, maxy: float) -> np.ndarray:
     """doc_ids of shapes intersecting the box: bbox prune, then exact

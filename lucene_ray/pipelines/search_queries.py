@@ -1124,6 +1124,66 @@ def geo_polygon_shape(sf_dir: str, px: float, py: float) -> pa.Table:
     return pa.table({"c_custkey": pa.array(ids, pa.int64())})
 
 
+def _rect_shape_index(sf_dir: str) -> str:
+    """Second shape index: DERIVED axis-aligned rectangles (still
+    tessellated + queried through the generic triangle machinery) —
+    rect algebra is exactly SQL-expressible, which gates the box
+    QueryRelations (INTERSECTS/WITHIN/CONTAINS/DISJOINT)."""
+    import ray.data
+
+    from ..index.shapes import build_shape_index
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = hashlib.md5(("rectshape:" + src).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"rectidx-{key}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        def add_ring(batch: pa.Table) -> pa.Table:
+            k = batch.column("c_custkey").to_numpy()
+            cx = (k * 7919 % 1000) / 10.0
+            cy = (k * 104729 % 1000) / 10.0
+            w = (1 + k % 7).astype(np.float64)
+            h = (1 + k % 5).astype(np.float64)
+            rings = [
+                [[cx[i] - w[i], cy[i] - h[i]], [cx[i] + w[i], cy[i] - h[i]],
+                 [cx[i] + w[i], cy[i] + h[i]], [cx[i] - w[i], cy[i] + h[i]]]
+                for i in range(len(k))]
+            return pa.table({
+                "doc_id": pa.array(k, pa.int64()),
+                "vertices": pa.array(
+                    rings, pa.list_(pa.list_(pa.float64()))),
+            })
+
+        ds = ray.data.read_parquet(src, columns=["c_custkey"]) \
+            .map_batches(add_ring, batch_format="pyarrow")
+        build_shape_index(ds, out)
+    return out
+
+
+# query boxes chosen OFF the derived 0.1-grid so boundary inclusivity
+# can never differ between the engine and the SQL oracle
+_SHAPE_BOX = (40.03, 60.07, 30.01, 55.09)
+_SHAPE_BOX_SMALL = (53.23, 55.27, 11.71, 12.79)
+
+
+def shape_box_relate(sf_dir: str, relation: str) -> pa.Table:
+    """ShapeField.QueryRelation box queries over the tessellated rect
+    index (LatLonShapeBoundingBoxQuery roles)."""
+    from ..index.shapes import (
+        shapes_containing_box, shapes_disjoint_box,
+        shapes_intersecting_box, shapes_within_box,
+    )
+    idx = _rect_shape_index(sf_dir)
+    if relation == "contains":
+        ids = shapes_containing_box(idx, *_SHAPE_BOX_SMALL)
+    elif relation == "within":
+        ids = shapes_within_box(idx, *_SHAPE_BOX)
+    elif relation == "disjoint":
+        ids = shapes_disjoint_box(idx, *_SHAPE_BOX)
+    else:
+        ids = shapes_intersecting_box(idx, *_SHAPE_BOX)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+
+
 def term_vector_doc(doc_path: str, doc_id: int = 42) -> pa.Table:
     """Term vector (forward index) of one doc: (term, tf), term asc."""
     key = hashlib.md5(("tv:" + doc_path).encode()).hexdigest()[:12]

@@ -123,3 +123,65 @@ def test_empty_region(shape_idx):
     out, _ = shape_idx
     assert len(shapes_containing_point(out, 500.0, 500.0)) == 0
     assert len(shapes_intersecting_box(out, 500, 510, 500, 510)) == 0
+
+
+def test_within_box_matches_brute(shape_idx):
+    from lucene_ray.index.shapes import shapes_within_box
+    out, rings = shape_idx
+    rng = np.random.default_rng(11)
+    hits = 0
+    for _ in range(15):
+        x0, y0 = rng.uniform(-100, 60, 2)
+        minx, maxx = x0, x0 + rng.uniform(15, 60)
+        miny, maxy = y0, y0 + rng.uniform(15, 60)
+        got = shapes_within_box(out, minx, maxx, miny, maxy).tolist()
+        want = [i for i, ring in enumerate(rings)
+                if all(minx <= x <= maxx and miny <= y <= maxy
+                       for x, y in ring)]
+        assert got == want
+        hits += len(want)
+    assert hits > 0  # non-trivial at this seed
+
+
+def test_disjoint_box_is_complement_of_intersects(shape_idx):
+    from lucene_ray.index.shapes import shapes_disjoint_box
+    out, rings = shape_idx
+    rng = np.random.default_rng(13)
+    for _ in range(8):
+        x0, y0 = rng.uniform(-100, 80, 2)
+        box = (x0, x0 + rng.uniform(10, 40), y0, y0 + rng.uniform(10, 40))
+        inter = set(shapes_intersecting_box(out, *box).tolist())
+        disj = set(shapes_disjoint_box(out, *box).tolist())
+        assert inter | disj == set(range(len(rings)))
+        assert not (inter & disj)
+
+
+def test_contains_box_constructed_truth(tmp_path_factory, ray_session):
+    """Hand-constructed shapes with known CONTAINS truth: a big kite
+    around the box, a small kite inside it, a concave L-shape whose
+    notch cuts into the box, and a far-away shape."""
+    from lucene_ray.index.shapes import shapes_containing_box
+    d = tmp_path_factory.mktemp("contain")
+    rings = [
+        # 0: big kite centered on the box center (0,0), arms 20 -> contains
+        [[0.0, 20.0], [20.0, 0.0], [0.0, -20.0], [-20.0, 0.0]],
+        # 1: small kite inside the box -> does NOT contain it
+        [[0.0, 1.0], [1.0, 0.0], [0.0, -1.0], [-1.0, 0.0]],
+        # 2: big square with a notch cutting through the box interior
+        [[-20.0, -20.0], [20.0, -20.0], [20.0, 20.0], [0.5, 20.0],
+         [0.5, 0.0], [-0.5, 0.0], [-0.5, 20.0], [-20.0, 20.0]],
+        # 3: far away
+        [[100.0, 100.0], [110.0, 100.0], [110.0, 110.0], [100.0, 110.0]],
+        # 4: big plain square -> contains
+        [[-30.0, -30.0], [30.0, -30.0], [30.0, 30.0], [-30.0, 30.0]],
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(rings)), pa.int64()),
+                  "vertices": pa.array(rings,
+                                       pa.list_(pa.list_(pa.float64())))})
+    src = str(d / "s.parquet")
+    pq.write_table(t, src)
+    out = str(d / "idx")
+    build_shape_index(src, out, batch_size=16)
+    # query box [-3, 3] x [-3, 3]
+    got = shapes_containing_box(out, -3.0, 3.0, -3.0, 3.0).tolist()
+    assert got == [0, 4]
