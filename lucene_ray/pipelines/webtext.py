@@ -436,3 +436,56 @@ class _TermCounts:
         cnt = np.bincount(codes, minlength=len(enc.dictionary))
         return pa.table({"term": enc.dictionary.cast(pa.string()),
                          "n": pa.array(cnt.astype(np.int64))})
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction over the Common-Crawl-style pages table
+# (url, warc_ts, html: binary, text, lang) — the north-star per-row
+# invariant is BYTE-IDENTICAL extracted text per url.
+
+
+def _extract_text(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches stage: decode the html binary column and
+    strip markup with the HTMLStripCharFilter analog (block elements
+    become newlines, entities decode); the page-level wrapper
+    whitespace is trimmed. Reads only (url, html)."""
+    from ..analysis.charfilter import html_strip
+    htmls = batch["html"].to_pylist()
+    out = [html_strip(h.decode("utf-8", "replace")).strip()
+           if h is not None else "" for h in htmls]
+    return pa.table({
+        "url": batch["url"],
+        "extracted_text": pa.array(out, pa.string()),
+    })
+
+
+def extract_pages_text(pages_path: str) -> ray.data.Dataset:
+    """(url, extracted_text) for every page — the tokenize/analyze
+    front door of the north-star pipeline."""
+    return (ray.data.read_parquet(pages_path, columns=["url", "html"])
+            .map_batches(_extract_text, batch_format="pyarrow"))
+
+
+def verify_extraction(pages_path: str) -> dict:
+    """Distributed per-row check of the north-star invariant: extracted
+    text is byte-identical to the reference ``text`` column per url.
+    Returns {n_rows, n_mismatch} (aggregated, never materializes the
+    corpus on the driver)."""
+    from ..analysis.charfilter import html_strip
+
+    def check(batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        texts = batch["text"].to_pylist()
+        bad = sum(
+            1 for h, t in zip(htmls, texts)
+            if html_strip((h or b"").decode("utf-8", "replace")).strip()
+            != (t or ""))
+        return pa.table({"n": pa.array([len(htmls)], pa.int64()),
+                         "bad": pa.array([bad], pa.int64())})
+
+    ds = (ray.data.read_parquet(pages_path, columns=["html", "text"])
+          .map_batches(check, batch_format="pyarrow"))
+    import ray.data.aggregate as agg
+    got = ds.aggregate(agg.Sum("n"), agg.Sum("bad"))
+    return {"n_rows": int(got["sum(n)"]),
+            "n_mismatch": int(got["sum(bad)"])}

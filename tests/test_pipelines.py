@@ -251,3 +251,23 @@ def test_langid_vectorized_equals_scalar():
                   "text": pa.array(texts, pa.string())})
     vec = li(t).column("lang_pred").to_pylist()
     assert vec == [li.detect(x or "") for x in texts]
+
+
+def test_pages_html_extraction_byte_identical(ray_session, tmp_path):
+    """North-star per-row invariant: text extracted from the html
+    binary column is BYTE-IDENTICAL to the reference text per url."""
+    from lucene_ray.sources.synth import write_pages
+    from lucene_ray.pipelines.webtext import (extract_pages_text,
+                                              verify_extraction)
+    d = str(tmp_path / "pages")
+    write_pages(d, n_rows=600, n_parts=3, seed=7)
+    got = verify_extraction(d)
+    assert got == {"n_rows": 600, "n_mismatch": 0}
+    # the extraction dataset itself: url-keyed, text matches source
+    import pyarrow.parquet as pq
+    ext = extract_pages_text(d).to_pandas().set_index("url")
+    src = pq.read_table(d, columns=["url", "text"]).to_pandas() \
+        .set_index("url")
+    assert len(ext) == 600
+    joined = ext.join(src)
+    assert (joined["extracted_text"] == joined["text"]).all()
