@@ -484,6 +484,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["payload_sum"])
             .payload_sum(_docp(sf), _TERM_A, "sum"),
+        # SpanPayloadCheckQuery: occurrences of the term whose payload
+        # equals 3 (i.e. the term appears at a position = 2 mod 7)
+        "payload_check": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["payload_check_docs"])
+            .payload_check_docs(_docp(sf), _TERM_A, 3.0),
         # association facets (facet/taxonomy/TaxonomyFacetIntAssociations
         # SUM): per path prefix, sum of matching docs' n_chars payloads
         "facet_assoc_sums": lambda sf: __import__(
@@ -1478,6 +1484,16 @@ WITH toks AS (
   FROM documents)
 SELECT doc_id, CAST(sum((i - 1) % 7 + 1) AS BIGINT) AS payload_sum
 FROM toks WHERE term = '{_TERM_A}' GROUP BY doc_id ORDER BY doc_id""",
+        "payload_check": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term,
+         generate_subscripts(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
+  FROM documents)
+SELECT DISTINCT doc_id FROM toks
+WHERE term = '{_TERM_A}' AND (i - 1) % 7 + 1 = 3 ORDER BY doc_id""",
         "facet_assoc_sums": f"""
 {_TOKS},
 m AS (SELECT DISTINCT t.doc_id FROM toks t WHERE t.term = '{_TERM_A}'),

@@ -996,6 +996,19 @@ def payload_sum(doc_path: str, term: str, func: str = "sum") -> pa.Table:
     })
 
 
+def payload_check_docs(doc_path: str, term: str, value: float) -> pa.Table:
+    """SpanPayloadCheckQuery role: docs where some occurrence of
+    ``term`` carries payload == value (same derived corpus as
+    ``payload_sum``)."""
+    from ..search.payloads import payload_check
+
+    payload_sum(doc_path, term)  # ensures the shared payload index
+    key = hashlib.md5(("payload:" + doc_path).encode()).hexdigest()[:12]
+    idx = os.path.join(_CACHE_ROOT, f"payidx-{key}", "idx")
+    docs = payload_check(idx, term, value)
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def interval_query_docs(doc_path: str, kind: str) -> pa.Table:
     """Intervals-module round trips (queries/intervals/Intervals.java
     combinators) against the cached positional index."""

@@ -20,6 +20,18 @@ _FUNCS = {
 }
 
 
+def payload_check(payload_dir: str, term: str, value: float) -> np.ndarray:
+    """SpanPayloadCheckQuery role (``queries/payloads/
+    SpanPayloadCheckQuery.java``): doc_ids (sorted) where at least one
+    occurrence of ``term`` carries payload == ``value``."""
+    from ..index.payload_index import payload_postings
+
+    docs, pays = payload_postings(payload_dir, term)
+    keep = [i for i, p in enumerate(pays)
+            if any(float(x) == float(value) for x in p)]
+    return docs[keep] if keep else np.empty(0, np.int64)
+
+
 def payload_score(payload_dir: str, term: str, func: str = "sum",
                   *, searcher=None, include_span_score: bool = False):
     """(doc_ids, scores) for PayloadScoreQuery(SpanTermQuery(term),

@@ -461,6 +461,95 @@ class Searcher:
             docs.shape).copy()  # constant expressions yield 0-d
         return _top_k(docs, new, k)
 
+    def explain(self, q: Query, doc_id: int) -> dict:
+        """``IndexSearcher.explain(Query, doc)`` role: an Explanation
+        tree ``{value, description, details: [...]}`` whose root value
+        equals the doc's score under this searcher (0 / "no match" when
+        the doc doesn't match). Term clauses break down into the
+        exact64 BM25 factors (idf, tf, dl, avgdl) the way
+        ``BM25Similarity.explain`` does."""
+        import math
+
+        q = self.rewrite(q)
+        if isinstance(q, TermQuery):
+            docs, scores = self.eval_complete(q)
+            pos = np.searchsorted(docs, doc_id)
+            if pos >= len(docs) or docs[pos] != doc_id:
+                return {"value": 0.0,
+                        "description": f"no matching term {q.term!r}",
+                        "details": []}
+            n = self.reader.doc_count
+            df = self.reader.term_stats([q.term])[q.term][0]
+            idf_v = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            tf = dl = None
+            for sr in self.reader.segments():
+                p = sr.get_postings(q.term)
+                if p is None:
+                    continue
+                got = lookup_postings(p, np.array([doc_id]))
+                if got[0] > 0:
+                    tf = int(got[0])
+                    dl = float(sr.doc_lens_for(
+                        np.array([doc_id], np.int64))[0])
+                    break
+            return {
+                "value": float(scores[pos]),
+                "description": f"weight({q.term} in {doc_id}) "
+                               "[BM25Similarity]",
+                "details": [
+                    {"value": idf_v,
+                     "description": f"idf, n={n}, df={df}",
+                     "details": []},
+                    {"value": tf, "description": "freq", "details": []},
+                    {"value": dl, "description": "dl", "details": []},
+                    {"value": float(self.avgdl64),
+                     "description": "avgdl", "details": []},
+                ],
+            }
+        if isinstance(q, ConstantScoreQuery):
+            if len(self._seg_match([doc_id], q)) == 0:
+                return {"value": 0.0, "description": "no match",
+                        "details": []}
+            return {"value": float(q.boost),
+                    "description": "ConstantScore",
+                    "details": [self.explain(q.inner, doc_id)]}
+        if isinstance(q, BooleanQuery):
+            details = []
+            total = 0.0
+            matched = self._seg_match([doc_id], q)
+            if len(matched) == 0:
+                return {"value": 0.0,
+                        "description": "no match (boolean)", "details": []}
+            for group, name in ((q.must, "must"), (q.should, "should")):
+                for sub in group:
+                    e = self.explain(sub, doc_id)
+                    if e["value"] != 0.0 or e["details"]:
+                        if e["value"]:
+                            e = dict(e)
+                            e["description"] += f" [{name}]"
+                            details.append(e)
+                            total += e["value"]
+            return {"value": total,
+                    "description": "sum of matching clauses",
+                    "details": details}
+        # generic fallback: complete eval, no factor breakdown
+        docs, scores = self.eval_complete(q)
+        pos = np.searchsorted(docs, doc_id)
+        if pos >= len(docs) or docs[pos] != doc_id:
+            return {"value": 0.0, "description": "no match", "details": []}
+        return {"value": float(scores[pos]),
+                "description": type(q).__name__, "details": []}
+
+    def _seg_match(self, ids, q: Query) -> np.ndarray:
+        """Of ``ids``, those matching q (helper for explain)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        out = []
+        for sr in self.reader.segments():
+            d = self._match_docs(sr, q)
+            out.append(ids[np.isin(ids, d)])
+        return np.unique(np.concatenate(out)) if out else \
+            np.empty(0, np.int64)
+
     def count(self, q: Query) -> int:
         q = self.rewrite(q)
         self._prefetch(sorted(set(query_terms(q))))

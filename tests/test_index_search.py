@@ -281,3 +281,30 @@ def test_query_rescorer(ray_session, small_pages, tmp_path_factory):
     # weight 0 keeps first-pass order (already sorted the same way)
     td0 = s.rescore(first, second_q, weight=0.0, k=10)
     assert td0.doc_ids.tolist() == first.doc_ids[:10].tolist()
+
+
+def test_explain_matches_score(built_index, oracle):
+    """IndexSearcher.explain role: root value == the doc's score; term
+    explanations carry the BM25 factor breakdown."""
+    from lucene_ray.search import (BooleanQuery, ConstantScoreQuery,
+                                   Searcher, TermQuery)
+    out, _m = built_index
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    by_df = sorted(oracle.df.items(), key=lambda kv: -kv[1])
+    t1, t2 = by_df[0][0], by_df[1][0]
+    q = TermQuery(t1)
+    docs, scores = s.eval_complete(q)
+    assert len(docs) > 0
+    e = s.explain(q, int(docs[0]))
+    assert e["value"] == scores[0]
+    descs = [d["description"] for d in e["details"]]
+    assert any("idf" in d for d in descs)
+    assert any(d == "freq" for d in descs)
+    non = int(np.setdiff1d(np.arange(docs.max() + 2), docs)[0])
+    assert s.explain(q, non)["value"] == 0.0
+    bq = BooleanQuery(should=(TermQuery(t1), TermQuery(t2)))
+    bdocs, bscores = s.eval_complete(bq)
+    eb = s.explain(bq, int(bdocs[0]))
+    assert eb["value"] == pytest.approx(bscores[0], rel=1e-12)
+    ec = s.explain(ConstantScoreQuery(TermQuery(t1), 2.5), int(docs[0]))
+    assert ec["value"] == 2.5 and ec["details"]

@@ -90,3 +90,13 @@ def test_payload_score_unknown_function(payload_index):
     from lucene_ray.search.payloads import payload_score
     with pytest.raises(ValueError):
         payload_score(payload_index[0], "data", "median")
+
+
+def test_payload_check(payload_index):
+    from lucene_ray.search.payloads import payload_check
+    out, truth = payload_index
+    docs = payload_check(out, "data", 5.0)
+    want = sorted(d for (w, d), v in truth.items()
+                  if w == "data" and 5.0 in v)
+    assert docs.tolist() == want
+    assert len(payload_check(out, "data", 99.0)) == 0
