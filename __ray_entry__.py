@@ -477,6 +477,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["shape_box_relate"])
             .shape_box_relate(sf, rel))(rel)
            for rel in ("intersects", "within", "contains", "disjoint")},
+        # JoinUtil summing ScoreModes (join/ScoreMode.java Total/Avg)
+        **{f"join_util_{m}": (lambda m: lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["join_util_topk_q"])
+            .join_util_topk_q(_docp(sf), _TERM_A, m))(m)
+           for m in ("total", "avg")},
+        # indexed LINE shapes: box INTERSECTS over the segment index
+        "shape_line_intersects": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["shape_line_intersects"])
+            .shape_line_intersects(sf),
         # payloads (analysis/payloads DelimitedPayloadTokenFilter +
         # queries/payloads PayloadScoreQuery SumPayloadFunction): per
         # doc, the sum of the probed term's per-position payloads
@@ -1484,6 +1495,20 @@ WITH toks AS (
   FROM documents)
 SELECT doc_id, CAST(sum((i - 1) % 7 + 1) AS BIGINT) AS payload_sum
 FROM toks WHERE term = '{_TERM_A}' GROUP BY doc_id ORDER BY doc_id""",
+        "shape_line_intersects": """
+WITH r AS (SELECT c_custkey,
+                  (c_custkey * 7919 % 1000) / 10.0 AS cx,
+                  (c_custkey * 104729 % 1000) / 10.0 AS cy,
+                  CAST(1 + c_custkey % 9 AS DOUBLE) AS ln
+           FROM customer)
+SELECT c_custkey FROM r
+WHERE (c_custkey % 2 = 0
+       AND cy >= 30.01 AND cy <= 55.09
+       AND cx - ln <= 60.07 AND cx + ln >= 40.03)
+   OR (c_custkey % 2 = 1
+       AND cx >= 40.03 AND cx <= 60.07
+       AND cy - ln <= 55.09 AND cy + ln >= 30.01)
+ORDER BY c_custkey""",
         "payload_check": f"""
 WITH toks AS (
   SELECT doc_id,
@@ -1532,6 +1557,28 @@ vals AS (SELECT dd.lang, max(sc.score) AS jscore
 SELECT d.doc_id, row_number() OVER (ORDER BY v.jscore DESC, d.doc_id) AS rank
 FROM documents d JOIN vals v ON d.lang = v.lang
 ORDER BY v.jscore DESC, d.doc_id LIMIT 50""",
+        **{f"join_util_{m}": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, count(*) AS tf FROM toks
+       WHERE term = '{_TERM_A}' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM pt),
+scored AS (
+  SELECT pt.doc_id,
+         ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS score
+  FROM pt CROSS JOIN dfs
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s),
+vals AS (SELECT dd.lang, {sqlagg}(sc.score) AS jscore
+         FROM scored sc JOIN documents dd ON sc.doc_id = dd.doc_id
+         GROUP BY dd.lang),
+keyed AS (SELECT d.doc_id,
+                 CAST(floor(v.jscore * 1e9) AS BIGINT) AS jkey
+          FROM documents d JOIN vals v ON d.lang = v.lang)
+SELECT doc_id, row_number() OVER (ORDER BY jkey DESC, doc_id) AS rank
+FROM keyed ORDER BY jkey DESC, doc_id LIMIT 50"""
+           for m, sqlagg in [("total", "sum"), ("avg", "avg")]},
         "topk_shortest_docs": (
             "SELECT n_chars, doc_id FROM documents "
             "ORDER BY n_chars, doc_id LIMIT 20"),

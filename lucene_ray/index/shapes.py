@@ -200,6 +200,95 @@ def build_shape_index(source, out_dir: str, *,
     return meta
 
 
+# --- indexed LINES (LatLonShape.createIndexableFields(String, Line)) -------
+# the reference encodes each line segment as a degenerate triangle;
+# here each segment is one row with its bbox, same pruning layout as
+# the triangle index.
+
+
+def _line_segments(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    lines = batch.column("vertices").to_pylist()
+    out = {k: [] for k in ("doc_id", "ax", "ay", "bx", "by",
+                           "minx", "maxx", "miny", "maxy")}
+    for i, pts in zip(ids, lines):
+        for j in range(len(pts) - 1):
+            (ax, ay), (bx, by) = pts[j], pts[j + 1]
+            out["doc_id"].append(i)
+            out["ax"].append(float(ax))
+            out["ay"].append(float(ay))
+            out["bx"].append(float(bx))
+            out["by"].append(float(by))
+            out["minx"].append(min(ax, bx))
+            out["maxx"].append(max(ax, bx))
+            out["miny"].append(min(ay, by))
+            out["maxy"].append(max(ay, by))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        **{k: pa.array(out[k], pa.float64())
+           for k in ("ax", "ay", "bx", "by",
+                     "minx", "maxx", "miny", "maxy")},
+    })
+
+
+def build_line_index(source, out_dir: str, *,
+                     batch_size: int = 4096) -> dict:
+    """``source``: parquet path or Dataset with (doc_id:int64,
+    vertices:list<list<float [x, y]>> polylines). Same layout as the
+    polygon index: segment rows sorted by minx, 1024-row groups."""
+    ds = source if isinstance(source, ray.data.Dataset) \
+        else ray.data.read_parquet(source)
+    os.makedirs(out_dir, exist_ok=True)
+    segs = (ds.map_batches(_line_segments, batch_format="pyarrow",
+                           batch_size=batch_size)
+            .sort(["minx", "doc_id"]))
+    n = segs.count()
+    segs.write_parquet(os.path.join(out_dir, "segs"),
+                       row_group_size=1024)
+    meta = {"n_segments": int(n)}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _segments_intersect_closed_box(ax, ay, bx, by, minx, maxx, miny,
+                                   maxy) -> np.ndarray:
+    """Vectorized Liang-Barsky: True where segment i intersects the
+    CLOSED box (touching counts)."""
+    ax = np.asarray(ax, np.float64)
+    t0 = np.zeros(len(ax))
+    t1 = np.ones(len(ax))
+    ok = np.ones(len(ax), dtype=bool)
+    dx, dy = bx - ax, by - ay
+    for p, q in ((-dx, ax - minx), (dx, maxx - ax),
+                 (-dy, ay - miny), (dy, maxy - ay)):
+        zero = p == 0
+        ok &= ~(zero & (q < 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(zero, 0.0, q / np.where(zero, 1.0, p))
+        neg = (p < 0) & ok
+        pos = (p > 0) & ok
+        t0 = np.where(neg, np.maximum(t0, r), t0)
+        t1 = np.where(neg, t1, np.where(pos, np.minimum(t1, r), t1))
+    return ok & (t0 <= t1)
+
+
+def lines_intersecting_box(index_dir: str, minx: float, maxx: float,
+                           miny: float, maxy: float) -> np.ndarray:
+    """doc_ids of lines intersecting the closed box: row-group-pruned
+    candidate segments + exact clip test."""
+    t = pq.read_table(
+        os.path.join(index_dir, "segs"),
+        filters=[("minx", "<=", maxx), ("maxx", ">=", minx),
+                 ("miny", "<=", maxy), ("maxy", ">=", miny)])
+    if t.num_rows == 0:
+        return np.empty(0, np.int64)
+    hit = _segments_intersect_closed_box(
+        t["ax"].to_numpy(), t["ay"].to_numpy(),
+        t["bx"].to_numpy(), t["by"].to_numpy(), minx, maxx, miny, maxy)
+    return np.unique(t["doc_id"].to_numpy()[hit]).astype(np.int64)
+
+
 # --- queries ---------------------------------------------------------------
 
 def shapes_containing_point(index_dir: str, px: float,

@@ -912,6 +912,21 @@ def join_util_topk(doc_path: str, term: str, join_col: str = "lang",
     })
 
 
+def join_util_topk_q(doc_path: str, term: str, score_mode: str,
+                     k: int = 50) -> pa.Table:
+    """JoinUtil with the summing ScoreModes (Total / Avg — join/
+    ScoreMode.java): ranked on the quantized integer key
+    floor(score*1e9) so SQL sum-order ULP differences can't flip a
+    rank (same device as the BM25 sum oracles)."""
+    from ..search.join import join_util_query
+
+    s = Searcher(IndexReader(_facet_index(doc_path)),
+                 similarity="bm25_exact64")
+    docs, scores = join_util_query(s, TermQuery(term), "lang", s,
+                                   "lang", score_mode)
+    return _quantized_rank_table(docs, scores, k)
+
+
 def facet_range_counts(doc_path: str, term: str,
                        ranges=None) -> pa.Table:
     """LongRangeFacetCounts analog over doc_len for docs matching a
@@ -1194,6 +1209,43 @@ def shape_box_relate(sf_dir: str, relation: str) -> pa.Table:
         ids = shapes_disjoint_box(idx, *_SHAPE_BOX)
     else:
         ids = shapes_intersecting_box(idx, *_SHAPE_BOX)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+
+
+def shape_line_intersects(sf_dir: str) -> pa.Table:
+    """Indexed LINE shapes (LatLonShape.createIndexableFields(Line)):
+    derived axis-aligned 2-point polylines per customer (horizontal for
+    even keys, vertical for odd), box INTERSECTS via the segment
+    index. Axis-aligned derivation makes the predicate exactly
+    SQL-expressible; the engine path is the generic clip test."""
+    import ray.data
+
+    from ..index.shapes import build_line_index, lines_intersecting_box
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = hashlib.md5(("lineshape:" + src).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"lineidx-{key}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        def add_line(batch: pa.Table) -> pa.Table:
+            k = batch.column("c_custkey").to_numpy()
+            cx = (k * 7919 % 1000) / 10.0
+            cy = (k * 104729 % 1000) / 10.0
+            ln = (1 + k % 9).astype(np.float64)
+            lines = [
+                [[cx[i] - ln[i], cy[i]], [cx[i] + ln[i], cy[i]]]
+                if k[i] % 2 == 0 else
+                [[cx[i], cy[i] - ln[i]], [cx[i], cy[i] + ln[i]]]
+                for i in range(len(k))]
+            return pa.table({
+                "doc_id": pa.array(k, pa.int64()),
+                "vertices": pa.array(
+                    lines, pa.list_(pa.list_(pa.float64()))),
+            })
+
+        ds = ray.data.read_parquet(src, columns=["c_custkey"]) \
+            .map_batches(add_line, batch_format="pyarrow")
+        build_line_index(ds, out)
+    ids = lines_intersecting_box(out, *_SHAPE_BOX)
     return pa.table({"c_custkey": pa.array(ids, pa.int64())})
 
 

@@ -185,3 +185,71 @@ def test_contains_box_constructed_truth(tmp_path_factory, ray_session):
     # query box [-3, 3] x [-3, 3]
     got = shapes_containing_box(out, -3.0, 3.0, -3.0, 3.0).tolist()
     assert got == [0, 4]
+
+
+def test_line_index_box_intersects_vs_brute(tmp_path_factory, ray_session):
+    from lucene_ray.index.shapes import (build_line_index,
+                                         lines_intersecting_box)
+    d = tmp_path_factory.mktemp("lines")
+    rng = np.random.default_rng(31)
+    n = 250
+    lines = []
+    for _ in range(n):
+        x0, y0 = rng.uniform(-50, 50, 2)
+        ang = rng.uniform(0, 2 * np.pi)
+        ln = rng.uniform(1, 30)
+        # 2-4 point polylines
+        pts = [[x0, y0]]
+        for _ in range(int(rng.integers(1, 4))):
+            x0, y0 = x0 + ln * np.cos(ang), y0 + ln * np.sin(ang)
+            ang += rng.uniform(-1, 1)
+            pts.append([x0, y0])
+        lines.append(pts)
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "vertices": pa.array(lines,
+                                       pa.list_(pa.list_(pa.float64())))})
+    src = str(d / "lines.parquet")
+    pq.write_table(t, src)
+    out = str(d / "idx")
+    meta = build_line_index(src, out, batch_size=64)
+    assert meta["n_segments"] == sum(len(p) - 1 for p in lines)
+
+    def seg_box_brute(ax, ay, bx, by, minx, maxx, miny, maxy):
+        # independent formulation: endpoint containment or a proper /
+        # touching crossing with a box edge (segment-segment orient test
+        # incl. collinear-overlap via projections)
+        def inside(x, y):
+            return minx <= x <= maxx and miny <= y <= maxy
+        if inside(ax, ay) or inside(bx, by):
+            return True
+
+        def orient(ox, oy, px, py, qx, qy):
+            return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+        def seg_seg(p1, p2, p3, p4):
+            d1 = orient(*p3, *p4, *p1)
+            d2 = orient(*p3, *p4, *p2)
+            d3 = orient(*p1, *p2, *p3)
+            d4 = orient(*p1, *p2, *p4)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return True
+
+            def on(px, py, qx, qy, rx, ry):  # r on segment pq
+                return (min(px, qx) <= rx <= max(px, qx)
+                        and min(py, qy) <= ry <= max(py, qy))
+            return ((d1 == 0 and on(*p3, *p4, *p1))
+                    or (d2 == 0 and on(*p3, *p4, *p2))
+                    or (d3 == 0 and on(*p1, *p2, *p3))
+                    or (d4 == 0 and on(*p1, *p2, *p4)))
+        edges = [((minx, miny), (maxx, miny)), ((maxx, miny), (maxx, maxy)),
+                 ((maxx, maxy), (minx, maxy)), ((minx, maxy), (minx, miny))]
+        return any(seg_seg((ax, ay), (bx, by), e0, e1) for e0, e1 in edges)
+
+    for _ in range(12):
+        x0, y0 = rng.uniform(-60, 40, 2)
+        box = (x0, x0 + rng.uniform(5, 30), y0, y0 + rng.uniform(5, 30))
+        got = lines_intersecting_box(out, *box).tolist()
+        want = sorted({i for i, pts in enumerate(lines)
+                       if any(seg_box_brute(*pts[j], *pts[j + 1], *box)
+                              for j in range(len(pts) - 1))})
+        assert got == want, box
