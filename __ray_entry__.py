@@ -477,6 +477,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["shape_box_relate"])
             .shape_box_relate(sf, rel))(rel)
            for rel in ("intersects", "within", "contains", "disjoint")},
+        # TermAutomatonQuery (sandbox): token automaton over positions
+        **{f"term_automaton_{kind}": (lambda kind: lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["term_automaton_match"])
+            .term_automaton_match(_docp(sf), kind))(kind)
+           for kind in ("gap", "alt")},
         # JoinUtil summing ScoreModes (join/ScoreMode.java Total/Avg)
         **{f"join_util_{m}": (lambda m: lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -1495,6 +1501,29 @@ WITH toks AS (
   FROM documents)
 SELECT doc_id, CAST(sum((i - 1) % 7 + 1) AS BIGINT) AS payload_sum
 FROM toks WHERE term = '{_TERM_A}' GROUP BY doc_id ORDER BY doc_id""",
+        "term_automaton_gap": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term,
+         generate_subscripts(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
+  FROM documents)
+SELECT DISTINCT a.doc_id FROM toks a
+JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 2
+WHERE a.term = 'data' AND b.term = 'merge' ORDER BY a.doc_id""",
+        "term_automaton_alt": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term,
+         generate_subscripts(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
+  FROM documents)
+SELECT DISTINCT a.doc_id FROM toks a
+JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.term = 'data' AND b.term IN ('merge', 'window')
+ORDER BY a.doc_id""",
         "shape_line_intersects": """
 WITH r AS (SELECT c_custkey,
                   (c_custkey * 7919 % 1000) / 10.0 AS cx,

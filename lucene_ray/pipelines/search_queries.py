@@ -1011,6 +1011,31 @@ def payload_sum(doc_path: str, term: str, func: str = "sum") -> pa.Table:
     })
 
 
+def term_automaton_match(doc_path: str, kind: str) -> pa.Table:
+    """TermAutomatonQuery round trips (sandbox TermAutomatonQuery.java)
+    against the cached positional index: 'gap' = data ANY merge
+    (a 1-token hole), 'alt' = data (merge|window)."""
+    from ..search.automaton import TermAutomatonQuery, term_automaton_docs
+
+    q = TermAutomatonQuery()
+    if kind == "gap":
+        q.add_transition(0, 1, "data")
+        q.add_any_transition(1, 2)
+        q.add_transition(2, 3, "merge")
+        q.set_accept(3)
+    elif kind == "alt":
+        q.add_transition(0, 1, "data")
+        q.add_transition(1, 2, "merge")
+        q.add_transition(1, 2, "window")
+        q.set_accept(2)
+    else:
+        raise ValueError(kind)
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    docs = term_automaton_docs(s, q.finish())
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def payload_check_docs(doc_path: str, term: str, value: float) -> pa.Table:
     """SpanPayloadCheckQuery role: docs where some occurrence of
     ``term`` carries payload == value (same derived corpus as
