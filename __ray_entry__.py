@@ -477,6 +477,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["shape_box_relate"])
             .shape_box_relate(sf, rel))(rel)
            for rel in ("intersects", "within", "contains", "disjoint")},
+        # learned BPE tokenizer (Sennrich 2016): distributed word
+        # counting -> driver merge training over UNIQUE words ->
+        # broadcast encode; rows-only (BPE is not SQL-expressible)
+        "bpe_token_counts": lambda sf: (lambda bpe: bpe.bpe_token_counts(
+            _docp(sf), bpe.train_bpe(_docp(sf), 64)))(
+            __import__("lucene_ray.pipelines.bpe",
+                       fromlist=["train_bpe"])),
         # TermAutomatonQuery (sandbox): token automaton over positions
         **{f"term_automaton_{kind}": (lambda kind: lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
