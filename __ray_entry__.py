@@ -477,6 +477,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["shape_box_relate"])
             .shape_box_relate(sf, rel))(rel)
            for rel in ("intersects", "within", "contains", "disjoint")},
+        # VectorSimilarityFunction variants + filtered kNN
+        # (index/VectorSimilarityFunction.java DOT_PRODUCT/EUCLIDEAN;
+        # KnnFloatVectorQuery(filter) pre-filter shape)
+        "knn_dot_top10": lambda sf: __import__(
+            "lucene_ray.pipelines.similarity", fromlist=["knn_metric"])
+            .knn_metric(_embp(sf), range(10), 10, metric="dot"),
+        "knn_euclidean_top10": lambda sf: __import__(
+            "lucene_ray.pipelines.similarity", fromlist=["knn_metric"])
+            .knn_metric(_embp(sf), range(10), 10, metric="euclidean"),
+        "knn_filtered_top10": lambda sf: __import__(
+            "lucene_ray.pipelines.similarity", fromlist=["knn_metric"])
+            .knn_metric(_embp(sf), range(10), 10, metric="cosine",
+                        label_mod=2),
         # learned BPE tokenizer (Sennrich 2016): distributed word
         # counting -> driver merge training over UNIQUE words ->
         # broadcast encode; rows-only (BPE is not SQL-expressible)
@@ -1508,6 +1521,34 @@ WITH toks AS (
   FROM documents)
 SELECT doc_id, CAST(sum((i - 1) % 7 + 1) AS BIGINT) AS payload_sum
 FROM toks WHERE term = '{_TERM_A}' GROUP BY doc_id ORDER BY doc_id""",
+        "knn_dot_top10": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < 10),
+sims AS (SELECT q.qid, e.vec_id,
+                list_inner_product(e.embedding::DOUBLE[], q.qe) AS sim
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "knn_euclidean_top10": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < 10),
+sims AS (SELECT q.qid, e.vec_id,
+                list_distance(e.embedding::DOUBLE[], q.qe) AS dist
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "knn_filtered_top10": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < 10),
+sims AS (SELECT q.qid, e.vec_id,
+                list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> q.qid AND e.label % 2 = 0)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
         "term_automaton_gap": """
 WITH toks AS (
   SELECT doc_id,

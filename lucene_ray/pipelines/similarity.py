@@ -96,6 +96,73 @@ def knn_brute(path: str, query_ids, k: int = 10,
     return _merge_topk_partials(parts, k, exclude_self)
 
 
+def knn_metric(path: str, query_ids, k: int = 10, *,
+               metric: str = "cosine", label_mod: int | None = None,
+               exclude_self: bool = True) -> pa.Table:
+    """Exact top-k under a pluggable VectorSimilarityFunction
+    (``index/VectorSimilarityFunction.java``: COSINE / DOT_PRODUCT /
+    EUCLIDEAN) with an optional pre-filter on the ``label`` column —
+    the KnnFloatVectorQuery(filter) shape: the reference intersects
+    the filter's bitset with candidates; here the filter prunes each
+    batch before the matmul (exact path). Rank: similarity desc
+    (distance asc for euclidean), ties vec_id asc."""
+    if metric not in ("cosine", "dot", "euclidean"):
+        raise ValueError(f"unknown metric {metric!r}")
+    query_ids = list(query_ids)
+    import pyarrow.parquet as pq
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", query_ids)])
+    order = np.argsort(t.column("vec_id").to_numpy())
+    qids = t.column("vec_id").to_numpy()[order]
+    qmat = np.stack(t.column("embedding").to_pylist()) \
+        .astype(np.float64)[order]
+    if metric == "cosine":
+        qmat = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((qids, qmat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(ref)
+        vids = batch["vec_id"].to_numpy()
+        keep = np.ones(len(vids), dtype=bool)
+        if label_mod is not None:
+            keep = batch["label"].to_numpy() % label_mod == 0
+        if not keep.any():
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        vids = vids[keep]
+        mat = np.stack(
+            batch["embedding"].to_pylist()).astype(np.float64)[keep]
+        if metric == "cosine":
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = q_mat @ mat.T
+        elif metric == "dot":
+            sims = q_mat @ mat.T
+        else:  # euclidean: higher sim == closer -> negate the distance
+            # direct form per query (NOT the expanded a^2+b^2-2ab,
+            # whose cancellation error could reorder near-dup pairs
+            # vs the oracle's direct computation)
+            sims = np.empty((len(q_mat), len(mat)))
+            for qi in range(len(q_mat)):
+                diff = mat - q_mat[qi]
+                sims[qi] = -np.sqrt(np.einsum("nd,nd->n", diff, diff))
+        kk = min(k + 1, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "qid": pa.array(np.repeat(q_ids, kk), pa.int64()),
+            "vec_id": pa.array(vids[idx].reshape(-1), pa.int64()),
+            "sim": pa.array(np.take_along_axis(sims, idx, axis=1)
+                            .reshape(-1), pa.float64())})
+
+    cols = ["vec_id", "embedding"] + (
+        ["label"] if label_mod is not None else [])
+    ds = ray.data.read_parquet(path, columns=cols)
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return _merge_topk_partials(parts, k, exclude_self)
+
+
 class _HyperplaneLSH:
     def __init__(self, dim: int, n_bits: int = 12, seed: int = 13):
         rng = np.random.default_rng(seed)

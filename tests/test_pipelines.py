@@ -271,3 +271,48 @@ def test_pages_html_extraction_byte_identical(ray_session, tmp_path):
     assert len(ext) == 600
     joined = ext.join(src)
     assert (joined["extracted_text"] == joined["text"]).all()
+
+
+def test_knn_metric_variants_vs_brute(ray_session, tmp_path):
+    """VectorSimilarityFunction dot/euclidean + filtered kNN vs local
+    brute force."""
+    from lucene_ray.pipelines.similarity import knn_metric
+    rng = np.random.default_rng(83)
+    n, d = 400, 16
+    mat = rng.normal(size=(n, d))
+    labels = rng.integers(0, 5, n)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32)),
+    })
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(t, p)
+    mat32 = np.stack(pq.read_table(p)["embedding"].to_pylist()) \
+        .astype(np.float64)
+    qids = [0, 3, 7]
+    for metric, keymat in (("dot", None), ("euclidean", None)):
+        got = knn_metric(p, qids, 5, metric=metric).to_pandas()
+        for q in qids:
+            if metric == "dot":
+                s = mat32 @ mat32[q]
+            else:
+                s = -np.linalg.norm(mat32 - mat32[q], axis=1)
+            s[q] = -np.inf  # exclude self
+            order = np.lexsort((np.arange(n), -s))[:5]
+            want = order.tolist()
+            rows = got[got.qid == q].sort_values("rank")
+            assert rows["vec_id"].tolist() == want, (metric, q)
+    # filtered
+    got = knn_metric(p, qids, 5, metric="cosine", label_mod=2).to_pandas()
+    nm = mat32 / np.linalg.norm(mat32, axis=1, keepdims=True)
+    for q in qids:
+        s = nm @ nm[q]
+        s[q] = -np.inf
+        s[labels % 2 != 0] = -np.inf
+        order = np.lexsort((np.arange(n), -s))[:5]
+        rows = got[got.qid == q].sort_values("rank")
+        assert rows["vec_id"].tolist() == order.tolist()
+    with pytest.raises(ValueError):
+        knn_metric(p, qids, 5, metric="manhattan")
