@@ -594,6 +594,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": lambda sf: text_analysis.more_like_this(
             _docp(sf), 42, max_query_terms=8, min_doc_freq=2, k=20),
         "suggest_prefix": lambda sf: suggest_completions(_docp(sf), "me", 10),
+        # ContextQuery (suggest/document/ContextQuery.java): completion
+        # restricted to a context value via the (context, term) sidecar
+        "suggest_context": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["suggest_context_completions"])
+            .suggest_context_completions(_docp(sf), "s", "en", 10),
         # FreeTextSuggester role: corpus bigram-LM next-word suggestions
         "suggest_freetext": lambda sf: text_analysis.suggest_freetext(
             _docp(sf), "data", "m", 10),
@@ -1305,6 +1311,12 @@ FROM events GROUP BY user_id ORDER BY user_id""",
 SELECT term, count(DISTINCT doc_id) AS df FROM toks
 WHERE term LIKE 'me%' GROUP BY term
 ORDER BY df DESC, term LIMIT 10""",
+        "suggest_context": f"""
+{_TOKS}
+SELECT t.term, count(DISTINCT t.doc_id) AS df
+FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+WHERE t.term LIKE 's%' AND d.lang = 'en' GROUP BY t.term
+ORDER BY df DESC, t.term LIMIT 10""",
         "suggest_spell": f"""
 {_TOKS},
 dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)

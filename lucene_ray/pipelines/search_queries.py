@@ -1011,6 +1011,19 @@ def payload_sum(doc_path: str, term: str, func: str = "sum") -> pa.Table:
     })
 
 
+def suggest_context_completions(doc_path: str, prefix: str,
+                                context: str, k: int = 10) -> pa.Table:
+    """ContextQuery role: prefix completion restricted to one context
+    (per-context df from the (context, term) completion sidecar)."""
+    from ..search.suggest import build_context_completions, suggest_context
+
+    key = hashlib.md5(("ctxsug:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"ctxsug-{key}")
+    if not os.path.isdir(out) or not os.listdir(out):
+        build_context_completions(doc_path, out)
+    return suggest_context(out, prefix, context, k)
+
+
 def term_automaton_match(doc_path: str, kind: str) -> pa.Table:
     """TermAutomatonQuery round trips (sandbox TermAutomatonQuery.java)
     against the cached positional index: 'gap' = data ANY merge

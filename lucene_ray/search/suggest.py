@@ -171,3 +171,75 @@ def word_combinations(reader: IndexReader, terms: list[str],
         "combined": pa.array([w for _, w, _ in cands], pa.string()),
         "df": pa.array([d for _, _, d in cands], pa.int64()),
     })
+
+
+# --- context-aware completion (suggest/document/ContextQuery role) ---------
+
+def build_context_completions(doc_path: str, out_dir: str, *,
+                              text_col: str = "text",
+                              context_col: str = "lang",
+                              batch_size: int = 4096) -> None:
+    """Completion sidecar keyed by (context, term) -> df — the FST
+    context-prefix trick (``ContextQuery.java`` prepends the context
+    to the completion key) as a (context, term)-sorted parquet whose
+    row-group stats prune BOTH dimensions. One map-combine pass:
+    per-batch distinct (context, term, doc) partial dfs, one groupby
+    shuffle of (context, term, n) rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.split_pattern_regex(
+            batch[text_col].combine_chunks().cast(pa.string()), r"\s+")
+        ctxs = batch[context_col].to_pylist()
+        terms_l, ctx_l = [], []
+        for c, toks in zip(ctxs, flat.to_pylist()):
+            for t in set(toks):
+                if t:
+                    terms_l.append(t)
+                    ctx_l.append(c if c is not None else "")
+        if not terms_l:
+            return pa.table({"context": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ctx = np.asarray(ctx_l, dtype=object)
+        trm = np.asarray(terms_l, dtype=object)
+        order = np.lexsort((trm.astype(str), ctx.astype(str)))
+        ctx, trm = ctx[order].astype(str), trm[order].astype(str)
+        new = np.empty(len(ctx), dtype=bool)
+        new[0] = True
+        new[1:] = (ctx[1:] != ctx[:-1]) | (trm[1:] != trm[:-1])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(ctx)))
+        return pa.table({"context": pa.array(ctx[starts], pa.string()),
+                         "term": pa.array(trm[starts], pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    (ray.data.read_parquet(doc_path, columns=[text_col, context_col])
+     .map_batches(partial, batch_format="pyarrow",
+                  batch_size=batch_size)
+     .groupby(["context", "term"]).sum("n")
+     .sort(["context", "term"])
+     .write_parquet(out_dir, row_group_size=4096))
+
+
+def suggest_context(index_dir: str, prefix: str, context: str,
+                    k: int = 10) -> pa.Table:
+    """Top-k completions of ``prefix`` among docs with ``context``
+    (df desc, term asc) — a pruned read of the (context, term) sidecar."""
+    import pyarrow.parquet as pq
+
+    upper = _prefix_upper(prefix)
+    filters = [("context", "=", context), ("term", ">=", prefix)]
+    if upper is not None:
+        filters.append(("term", "<", upper))
+    t = pq.read_table(index_dir, filters=filters)
+    terms = t["term"].to_pylist()
+    dfs = t["sum(n)"].to_pylist()
+    ranked = sorted(zip(terms, dfs), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "term": pa.array([t for t, _ in ranked], pa.string()),
+        "df": pa.array([int(n) for _, n in ranked], pa.int64()),
+    })

@@ -72,3 +72,37 @@ def test_freetext_suggester(ray_session, tmp_path_factory):
     # backoff candidate: metric (no data-bigram), unigram 1
     assert ("metric", 0) in [(r["term"], r["bg_count"]) for r in got]
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_context_completions(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.search.suggest import (build_context_completions,
+                                           suggest_context)
+    rng = np.random.default_rng(91)
+    vocab = ["spark", "sort", "scan", "small", "merge", "data"]
+    texts, langs = [], []
+    for i in range(300):
+        texts.append(" ".join(rng.choice(vocab, int(rng.integers(2, 9)))))
+        langs.append(str(rng.choice(["en", "de"])))
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(langs, pa.string())})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "ctx")
+    build_context_completions(p, out)
+    got = suggest_context(out, "s", "en", 10).to_pylist()
+    from collections import Counter
+    want = Counter()
+    for txt, lg in zip(texts, langs):
+        if lg != "en":
+            continue
+        for w in set(txt.split()):
+            if w.startswith("s"):
+                want[w] += 1
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["term"], r["df"]) for r in got] == ranked
+    # a context with no matching terms
+    assert len(suggest_context(out, "zz", "en", 5)) == 0
