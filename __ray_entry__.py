@@ -477,6 +477,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["shape_box_relate"])
             .shape_box_relate(sf, rel))(rel)
            for rel in ("intersects", "within", "contains", "disjoint")},
+        # IndexSortSortedNumericDocValuesRangeQuery: range on the
+        # index-sort field = one contiguous row-group run + early stop
+        "sorted_range_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["sorted_range_match"])
+            .sorted_range_match(_docp(sf), 100, 150),
         # VectorSimilarityFunction variants + filtered kNN
         # (index/VectorSimilarityFunction.java DOT_PRODUCT/EUCLIDEAN;
         # KnnFloatVectorQuery(filter) pre-filter shape)
@@ -1533,6 +1539,9 @@ WITH toks AS (
   FROM documents)
 SELECT doc_id, CAST(sum((i - 1) % 7 + 1) AS BIGINT) AS payload_sum
 FROM toks WHERE term = '{_TERM_A}' GROUP BY doc_id ORDER BY doc_id""",
+        "sorted_range_match": (
+            "SELECT doc_id FROM documents "
+            "WHERE n_chars >= 100 AND n_chars <= 150 ORDER BY doc_id"),
         "knn_dot_top10": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
            WHERE vec_id < 10),

@@ -198,3 +198,58 @@ def sorted_topk(index_dir: str, k: int,
         [sort["id_col"] if c == f"orig_{sort['id_col']}" else c
          for c in out.column_names])
     return out, stats
+
+
+def sorted_range(index_dir: str, lo, hi) -> tuple[pa.Table, dict]:
+    """Range query on the index-sort field —
+    ``IndexSortSortedNumericDocValuesRangeQuery`` role: because docID
+    order == field order GLOBALLY, the matching rows are one
+    contiguous run; row-group statistics binary-search its ends, and
+    scanning STOPS at the first row group past ``hi`` (ascending).
+    Reads only the covering row groups. Returns
+    ``(table(id_col, field), scan_stats)``."""
+    sort = read_index_sort(index_dir)
+    if sort is None:
+        raise ValueError(f"{index_dir} has no index sort recorded")
+    asc = sort["ascending"]
+    field = sort["field"]
+    m = read_manifest(index_dir)
+    segs = sorted(m.segments, key=lambda s: s.min_doc)
+    want = [f"orig_{sort['id_col']}", field]
+    stats = {"files_opened": 0, "row_groups_read": 0, "rows_read": 0,
+             "total_segments": len(segs), "stopped_early": False}
+    got: list[pa.Table] = []
+    done = False
+    for s in segs:
+        if done:
+            break
+        pf = pq.ParquetFile(
+            os.path.join(index_dir, "segments", s.seg_id, "docs.parquet"))
+        stats["files_opened"] += 1
+        md = pf.metadata
+        names = [md.schema.column(i).name
+                 for i in range(len(md.schema))]
+        col_idx = names.index(field)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is not None:
+                past = (st.min > hi) if asc else (st.max < lo)
+                before = (st.max < lo) if asc else (st.min > hi)
+                if past:
+                    stats["stopped_early"] = True
+                    done = True
+                    break
+                if before:
+                    continue
+            t = pf.read_row_group(rg, columns=want)
+            stats["row_groups_read"] += 1
+            stats["rows_read"] += t.num_rows
+            vals = t.column(field).to_numpy(zero_copy_only=False)
+            keep = (vals >= lo) & (vals <= hi)
+            if keep.any():
+                got.append(t.filter(pa.array(keep)))
+    out = pa.concat_tables(got) if got else pa.table({c: [] for c in want})
+    out = out.rename_columns(
+        [sort["id_col"] if c == f"orig_{sort['id_col']}" else c
+         for c in out.column_names])
+    return out, stats

@@ -584,6 +584,25 @@ def topk_sorted_index(doc_path: str, col: str, k: int = 20,
     })
 
 
+def sorted_range_match(doc_path: str, lo: int, hi: int,
+                       col: str = "n_chars") -> pa.Table:
+    """IndexSortSortedNumericDocValuesRangeQuery role: a range on the
+    index-sort field reads only the covering row groups (contiguous
+    run by construction) and stops at the first group past the upper
+    bound. Shares the sorted index with ``topk_shortest_sorted``."""
+    from ..index.sorted import build_sorted_index, sorted_range
+
+    key = hashlib.md5(
+        f"srt1:{doc_path}:{col}:True".encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"srtidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_sorted_index(doc_path, out, col, ascending=True,
+                           batch_size=2048)
+    t, stats = sorted_range(out, lo, hi)
+    ids = np.sort(t.column("doc_id").to_numpy(zero_copy_only=False))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 def replica_search_topk(doc_path: str, terms: list[str], kind: str = "or",
                         k: int = 20) -> pa.Table:
     """Replicator-module role end-to-end: sync the index into a replica

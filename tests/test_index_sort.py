@@ -142,3 +142,24 @@ def test_checkindex_validates_sort(sorted_idx):
     errs = validate_index(bad)
     assert errs and any("index sort" in e or "sort order" in e
                         for e in errs)
+
+
+def test_sorted_range_prunes_and_matches(sorted_idx, corpus):
+    """IndexSortSortedNumericDocValuesRangeQuery role: result equals
+    the brute filter AND the scan stops early (covering row groups
+    only)."""
+    from lucene_ray.index.sorted import sorted_range
+    _, t = corpus
+    vals = t.column("n_chars").to_numpy()
+    ids = t.column("doc_id").to_numpy()
+    lo, hi = int(np.percentile(vals, 20)), int(np.percentile(vals, 40))
+    out, stats = sorted_range(sorted_idx, lo, hi)
+    got = np.sort(out.column("doc_id").to_numpy(zero_copy_only=False))
+    want = np.sort(ids[(vals >= lo) & (vals <= hi)])
+    np.testing.assert_array_equal(got, want)
+    assert stats["stopped_early"]  # upper bound hit before the end
+    # contiguous run: reads bounded by the run + two partial groups
+    assert stats["rows_read"] <= len(want) + 2 * 1024
+    # empty range below the min
+    t2, _ = sorted_range(sorted_idx, -100, -50)
+    assert t2.num_rows == 0
