@@ -533,6 +533,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["payload_check_docs"])
             .payload_check_docs(_docp(sf), _TERM_A, 3.0),
+        # multi-valued facets (facet/sortedset/
+        # SortedSetDocValuesFacetCounts): list-column tag sets
+        "facet_multi_counts": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["facet_multi_counts"])
+            .facet_multi_counts(_docp(sf), _TERM_A),
         # association facets (facet/taxonomy/TaxonomyFacetIntAssociations
         # SUM): per path prefix, sum of matching docs' n_chars payloads
         "facet_assoc_sums": lambda sf: __import__(
@@ -1627,6 +1633,13 @@ FROM j GROUP BY source
 UNION ALL
 SELECT source || '/' || lang, CAST(sum(n_chars) AS DOUBLE) FROM j
 GROUP BY source, lang""",
+        "facet_multi_counts": f"""
+{_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{_TERM_A}'),
+tags AS (SELECT unnest([d.lang, d.source, 't' || (d.doc_id % 5)])
+           AS value
+         FROM m JOIN documents d ON m.doc_id = d.doc_id)
+SELECT value, count(*)::BIGINT AS count FROM tags GROUP BY value""",
         "facet_sampled": f"""
 {_TOKS},
 m AS (SELECT DISTINCT t.doc_id FROM toks t WHERE t.term = '{_TERM_A}'),

@@ -970,6 +970,38 @@ def facet_taxonomy_counts(doc_path: str, term: str) -> pa.Table:
     return taxonomy_facet_counts(s, TermQuery(term), ("source", "lang"))
 
 
+def facet_multi_counts(doc_path: str, term: str) -> pa.Table:
+    """SortedSetDocValues facets (multi-valued field): each doc carries
+    the tag SET [lang, source, 't'||(doc_id % 5)] (a derived list
+    column added with a map_batches pass); per matching doc every tag
+    counts once."""
+    import ray.data
+
+    from ..search.facets import facet_counts_multi
+
+    key = hashlib.md5(("mvfacet:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"mvfidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        root = os.path.join(_CACHE_ROOT, f"mvfsrc-{key}")
+
+        def add_tags(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            langs = batch["lang"].to_pylist()
+            srcs = batch["source"].to_pylist()
+            tags = [[l or "", s or "", f"t{int(i) % 5}"]
+                    for i, l, s in zip(ids, langs, srcs)]
+            return batch.append_column(
+                "tags", pa.array(tags, pa.list_(pa.string())))
+
+        (ray.data.read_parquet(
+            doc_path, columns=["doc_id", "text", "lang", "source"])
+         .map_batches(add_tags, batch_format="pyarrow")
+         .write_parquet(root))
+        build_index(root, out, batch_size=2048, stored_cols=("tags",))
+    s = Searcher(IndexReader(out))
+    return facet_counts_multi(s, TermQuery(term), "tags")
+
+
 def facet_assoc_sums(doc_path: str, term: str) -> pa.Table:
     """Association facets (TaxonomyFacetIntAssociations SUM role):
     per (source, lang) path prefix, the sum of matching docs' n_chars

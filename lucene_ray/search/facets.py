@@ -242,6 +242,34 @@ def taxonomy_facet_counts(searcher: Searcher, q: Query,
     })
 
 
+def facet_counts_multi(searcher: Searcher, q: Query,
+                       col: str) -> pa.Table:
+    """Multi-valued facet counts — the SortedSetDocValues facet role
+    (``facet/sortedset/SortedSetDocValuesFacetCounts.java``): ``col``
+    is a LIST column; every element of a matching doc's set counts
+    once (docs may carry any number of labels). Output:
+    (value, count), count desc then value asc — FacetResult order."""
+    q = searcher.rewrite(q)
+    from .query import query_terms
+    searcher._prefetch(sorted(set(query_terms(q))))
+    total: Counter = Counter()
+    for sr in searcher.reader.segments():
+        docs = searcher._match_docs(sr, q)
+        if len(docs) == 0:
+            continue
+        for vals in sr.stored(np.sort(docs), col):
+            if vals is None:
+                continue
+            for v in vals:
+                if v is not None:
+                    total[str(v)] += 1
+    items = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table({
+        "value": pa.array([v for v, _ in items], pa.string()),
+        "count": pa.array([n for _, n in items], pa.int64()),
+    })
+
+
 def taxonomy_facet_sum_associations(searcher: Searcher, q: Query,
                                     path_cols: tuple,
                                     value_col: str) -> pa.Table:

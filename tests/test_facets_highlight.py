@@ -290,3 +290,33 @@ def test_sampled_facet_counts(assoc_index):
     full = Counter(langs[i] for i, t in enumerate(texts)
                    if "data" in t.split())
     assert all(rows[k] <= full[k] for k in rows)
+
+
+def test_multi_valued_facet_counts(ray_session, tmp_path_factory):
+    from lucene_ray.search.facets import facet_counts_multi
+    rng = np.random.default_rng(97)
+    n = 200
+    texts, tagsets = [], []
+    pool = ["red", "blue", "green", "big", "small"]
+    for i in range(n):
+        texts.append(" ".join(rng.choice(["data", "merge", "spark"], 4)))
+        k = int(rng.integers(0, 4))
+        tagsets.append(sorted(set(rng.choice(pool, k))) if k else [])
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string()),
+                  "tags": pa.array(tagsets, pa.list_(pa.string()))})
+    d = tmp_path_factory.mktemp("mvfac")
+    path = str(d / "docs.parquet")
+    pq.write_table(t, path)
+    out = str(d / "idx")
+    build_index(path, out, batch_size=64, stored_cols=("tags",))
+    s = Searcher(IndexReader(out))
+    got = facet_counts_multi(s, TermQuery("data"), "tags").to_pylist()
+    from collections import Counter
+    want = Counter()
+    for i, txt in enumerate(texts):
+        if "data" in txt.split():
+            want.update(tagsets[i])
+    assert {r["value"]: r["count"] for r in got} == dict(want)
+    counts = [r["count"] for r in got]
+    assert counts == sorted(counts, reverse=True)
