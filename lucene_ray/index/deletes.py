@@ -130,3 +130,76 @@ def update_by_key(index_dir: str, source, key_col: str,
     if key_col not in stored:
         stored = (*stored, key_col)
     return build_index(source, index_dir, stored_cols=stored, **build_kwargs)
+
+
+# --- soft deletes ------------------------------------------------------------
+# IndexWriterConfig.setSoftDeletesField + SoftDeletesDirectoryReaderWrapper
+# (index/SoftDeletesDirectoryReaderWrapper.java,
+# SoftDeletesRetentionMergePolicy.java): soft-deleted docs stay in the
+# index (a plain reader still sees them); a WRAPPED reader hides them.
+# Here the doc-values marker is a per-segment
+# ``soft_deletes_<field>.parquet`` sidecar; no manifest generation is
+# consumed (as in the reference, where it is a doc-values update).
+# Limitation vs the reference (documented): a merge rewrites docIDs,
+# so soft tombstones apply to the segments they were written against —
+# re-mark after forced merges (the reference's retention merge policy
+# carries them through instead).
+
+
+def soft_delete_by_key(index_dir: str, key_col: str, values,
+                       field: str = "__soft_deletes") -> int:
+    """Soft-tombstone docs whose stored ``key_col`` is in ``values``.
+    Unions with existing soft tombstones; returns docs marked."""
+    values = list(values)
+    m = read_manifest(index_dir)
+    futs = {s.seg_id: _scan_keys.remote(
+        os.path.join(index_dir, "segments", s.seg_id, "docs.parquet"),
+        key_col, values) for s in m.segments}
+    n = 0
+    for seg_id, f in futs.items():
+        docs = ray.get(f)
+        if not len(docs):
+            continue
+        path = os.path.join(index_dir, "segments", seg_id,
+                            f"soft_deletes_{field}.parquet")
+        if os.path.exists(path):
+            old = pq.read_table(path).column("doc_id").to_numpy()
+            docs = np.union1d(docs, old)
+        docs = np.unique(docs)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(docs, pa.int64())}), path)
+        n += len(docs)
+    return n
+
+
+def soft_undelete_all(index_dir: str,
+                      field: str = "__soft_deletes") -> int:
+    """Drop every soft tombstone (the retention property: soft-deleted
+    docs were never physically removed)."""
+    m = read_manifest(index_dir)
+    n = 0
+    for s in m.segments:
+        path = os.path.join(index_dir, "segments", s.seg_id,
+                            f"soft_deletes_{field}.parquet")
+        if os.path.exists(path):
+            n += pq.read_metadata(path).num_rows
+            os.remove(path)
+    return n
+
+
+def open_soft_reader(index_dir: str, field: str = "__soft_deletes"):
+    """SoftDeletesDirectoryReaderWrapper analog: an IndexReader whose
+    per-segment live docs additionally mask the soft tombstones. A
+    plain ``IndexReader(index_dir)`` keeps seeing the docs."""
+    from ..search.reader import IndexReader
+
+    r = IndexReader(index_dir)
+    for sr in r.segments():
+        path = os.path.join(sr._seg_dir,
+                            f"soft_deletes_{field}.parquet")
+        if not os.path.exists(path):
+            continue
+        soft = pq.read_table(path).column("doc_id").to_numpy()
+        sr.deleted = (np.sort(soft) if sr.deleted is None
+                      else np.union1d(sr.deleted, soft))
+    return r

@@ -158,3 +158,45 @@ def test_pruned_paths_identical_with_tombstones(base_index):
         ref = _top_k(d, sc.astype(np.float32), 15)
         assert td.doc_ids.tolist() == ref.doc_ids.tolist(), q
         assert td.scores.tolist() == ref.scores.tolist(), q
+
+
+def test_soft_deletes_wrapper_hides_plain_reader_sees(ray_session,
+                                                      tmp_path_factory):
+    """SoftDeletesDirectoryReaderWrapper role: soft-deleted docs stay
+    visible to a plain reader, hidden by the wrapped one, and
+    undelete restores them (retention)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.index import build_index
+    from lucene_ray.index.deletes import (open_soft_reader,
+                                          soft_delete_by_key,
+                                          soft_undelete_all)
+    from lucene_ray.search import IndexReader, Searcher, TermQuery
+    n = 200
+    texts = [f"data w{i % 7}" for i in range(n)]
+    keys = [f"k{i}" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string()),
+                  "key": pa.array(keys, pa.string())})
+    d = tmp_path_factory.mktemp("softdel")
+    p = str(d / "docs.parquet")
+    pq.write_table(t, p)
+    out = str(d / "idx")
+    build_index(p, out, batch_size=64, stored_cols=("key",))
+    marked = soft_delete_by_key(out, "key", [f"k{i}" for i in range(50)])
+    assert marked == 50
+    plain = Searcher(IndexReader(out))
+    soft = Searcher(open_soft_reader(out))
+    assert plain.count(TermQuery("data")) == n
+    assert soft.count(TermQuery("data")) == n - 50
+    got = soft.match_docs(TermQuery("data"))
+    assert got.min() == 50
+    # idempotent union + additional marks
+    soft_delete_by_key(out, "key", ["k10", "k60"])
+    soft2 = Searcher(open_soft_reader(out))
+    assert soft2.count(TermQuery("data")) == n - 51
+    # retention: undelete restores everything
+    assert soft_undelete_all(out) == 51
+    soft3 = Searcher(open_soft_reader(out))
+    assert soft3.count(TermQuery("data")) == n
