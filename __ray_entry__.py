@@ -404,6 +404,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["feature_topk"])
             .feature_topk(_docp(sf), _OR_TERMS, "distance",
                           weight=2.0, pivot=150.0, origin=500.0),
+        "feature_log": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["feature_topk"])
+            .feature_topk(_docp(sf), _OR_TERMS, "log", weight=0.7),
+        "feature_sigmoid": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["feature_topk"])
+            .feature_topk(_docp(sf), _OR_TERMS, "sigmoid",
+                          weight=3.0, pivot=250.0),
         "blockjoin_orders": lambda sf: blockjoin_order_keys(sf, "r"),
         # ToChildBlockJoinQuery: parent-space range joins DOWN to kids
         "blockjoin_children": lambda sf: __import__(
@@ -1950,6 +1959,30 @@ fs AS (SELECT sc.doc_id,
        FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id)
 SELECT doc_id, row_number() OVER (ORDER BY fscore DESC, doc_id) AS rank
 FROM fs ORDER BY fscore DESC, doc_id LIMIT 20""",
+        **{name: f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * pt.tf /
+             (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id),
+fs AS (SELECT sc.doc_id, sc.score + {boost} AS fscore
+       FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY fscore DESC, doc_id) AS rank
+FROM fs ORDER BY fscore DESC, doc_id LIMIT 20"""
+           for name, boost in [
+               ("feature_log", "0.7 * ln(1.0 + doc.n_chars)"),
+               ("feature_sigmoid",
+                "3.0 * pow(doc.n_chars, 2.0) / "
+                "(pow(doc.n_chars, 2.0) + pow(250.0, 2.0))")]},
         "distance_feature": f"""
 {_TOKS},
 {_DL},

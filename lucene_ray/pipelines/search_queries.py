@@ -672,11 +672,17 @@ def feature_topk(doc_path: str, terms: list[str], mode: str,
     from ..search import or_query
     from ..search.query import distance_feature_query, feature_saturation_query
 
+    from ..search.query import feature_log_query, feature_sigmoid_query
+
     inner = or_query(terms)
     if mode == "saturation":
         q = feature_saturation_query(inner, field, weight, pivot)
     elif mode == "distance":
         q = distance_feature_query(inner, field, origin, pivot, weight)
+    elif mode == "log":
+        q = feature_log_query(inner, field, weight, 1.0)
+    elif mode == "sigmoid":
+        q = feature_sigmoid_query(inner, field, weight, pivot, 2.0)
     else:
         raise ValueError(mode)
     key = hashlib.md5(("num2:" + doc_path).encode()).hexdigest()[:12]

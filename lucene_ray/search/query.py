@@ -553,6 +553,24 @@ def distance_feature_query(inner: Query, field: str, origin: float,
         f"_score + {weight} * {pivot} / ({pivot} + abs({field} - {origin}))")
 
 
+def feature_log_query(inner: Query, field: str, weight: float,
+                      scaling_factor: float) -> FunctionScoreQuery:
+    """FeatureField.newLogQuery analog (LogFunction: contribution
+    ``weight * ln(scalingFactor + S)``), added to the inner score."""
+    return FunctionScoreQuery(
+        inner, f"_score + {weight} * ln({scaling_factor} + {field})")
+
+
+def feature_sigmoid_query(inner: Query, field: str, weight: float,
+                          pivot: float, exp: float) -> FunctionScoreQuery:
+    """FeatureField.newSigmoidQuery analog (SigmoidFunction:
+    contribution ``weight * S^a / (S^a + pivot^a)``)."""
+    return FunctionScoreQuery(
+        inner,
+        f"_score + {weight} * pow({field}, {exp}) / "
+        f"(pow({field}, {exp}) + pow({pivot}, {exp}))")
+
+
 def and_query(terms) -> BooleanQuery:
     return BooleanQuery(must=tuple(TermQuery(t) for t in terms))
 
