@@ -581,6 +581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["highlight_fvh_top"])
             .highlight_fvh_top(_docp(sf), "data", 5),  # rows-only
         # PII/pattern screening (vectorized Arrow regex kernels)
+        # token-window chunking with overlap (training-context /
+        # RAG chunking): windows of 50 tokens, stride 40
+        "chunk_windows": lambda sf: text_analysis.chunk_windows(
+            _docp(sf), 50, 10),
         "pattern_counts": lambda sf: text_analysis.pattern_counts(
             _docp(sf)),
         # --- web-text curation ops (pipelines/webtext.py) ---
@@ -1544,6 +1548,22 @@ SELECT c_custkey FROM b WHERE {cond} ORDER BY c_custkey"""
                             "ly <= 11.71 AND hy >= 12.79"),
                ("disjoint", "NOT (lx <= 60.07 AND hx >= 40.03 AND "
                             "ly <= 55.09 AND hy >= 30.01)")]},
+        "chunk_windows": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term,
+         generate_subscripts(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+starts AS (SELECT doc_id, unnest(generate_series(1, dl::INT, 40)) AS s
+           FROM dl)
+SELECT st.doc_id, st.s AS chunk_start,
+       string_agg(t.term, ' ' ORDER BY t.i) AS chunk_text
+FROM starts st JOIN toks t
+  ON t.doc_id = st.doc_id AND t.i >= st.s AND t.i < st.s + 50
+GROUP BY st.doc_id, st.s ORDER BY st.doc_id, chunk_start""",
         "payload_sum": f"""
 WITH toks AS (
   SELECT doc_id,

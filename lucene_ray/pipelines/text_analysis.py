@@ -456,3 +456,46 @@ def suggest_freetext(path: str, context: str, prefix: str,
         "ug_count": pa.array(rows["ug_count"].astype("int64")),
         "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
     })
+
+
+class _Chunker:
+    """Actor stage: fixed token-window chunking with overlap (the RAG /
+    training-context chunking op): windows of ``window`` tokens whose
+    starts step by ``stride`` (= window - overlap). Vectorized split,
+    python windowing over the per-doc token lists."""
+
+    def __init__(self, window: int, stride: int):
+        if stride < 1 or window < 1:
+            raise ValueError("window and stride must be >= 1")
+        self.window, self.stride = window, stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        toks = pc.split_pattern_regex(
+            batch["text"].combine_chunks().cast(pa.string()), r"\s+")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_start, out_text = [], [], []
+        for did, words in zip(ids, toks.to_pylist()):
+            words = [w for w in words if w]
+            for s in range(0, max(len(words), 1), self.stride):
+                if s >= len(words):
+                    break
+                out_id.append(did)
+                out_start.append(s + 1)  # 1-based (matches the oracle)
+                out_text.append(" ".join(words[s:s + self.window]))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_start": pa.array(out_start, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+        })
+
+
+def chunk_windows(path: str, window: int = 50, overlap: int = 10,
+                  concurrency=(1, 8)) -> "ray.data.Dataset":
+    """(doc_id, chunk_start, chunk_text) token windows with overlap —
+    streaming flat-map over (doc_id, text) only."""
+    import ray.data
+    return (ray.data.read_parquet(path, columns=["doc_id", "text"])
+            .map_batches(_Chunker,
+                         fn_constructor_args=(window, window - overlap),
+                         batch_format="pyarrow", concurrency=concurrency))

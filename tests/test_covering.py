@@ -103,3 +103,19 @@ def test_covering_impossible_minimum_matches_nothing(cov_corpus):
                       min_match=str(len(keys) + 1))
     assert len(s.match_docs(q)) == 0
     assert s.count(q) == 0
+
+
+def test_covering_distributed_equals_local(cov_corpus):
+    """RaySearcher (QueryWorker pool) matches the local searcher for
+    CoveringQuery — the new prep kind flows through the distributed
+    path unchanged."""
+    from lucene_ray.search import CoveringQuery, IndexReader, Searcher, TermQuery
+    from lucene_ray.search.distributed import RaySearcher
+    out, _texts, keys = cov_corpus
+    q = CoveringQuery(tuple(TermQuery(k) for k in keys), min_match="mm")
+    local = Searcher(IndexReader(out))
+    dist = RaySearcher(out, num_workers=3)
+    a = local.search(q, k=40)
+    b = dist.search(q, k=40)
+    assert a.doc_ids.tolist() == b.doc_ids.tolist()
+    assert a.scores.tolist() == b.scores.tolist()

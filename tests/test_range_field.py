@@ -92,3 +92,16 @@ def test_range_field_validation():
         RangeFieldQuery(("a",), ("b",), (1.0,), (2.0,), "touches")
     with pytest.raises(ValueError):
         RangeFieldQuery(("a",), ("b",), (1.0, 2.0), (2.0,), "within")
+
+
+def test_range_field_distributed_equals_local(rf_corpus):
+    from lucene_ray.search import IndexReader, RangeFieldQuery, Searcher
+    from lucene_ray.search.distributed import RaySearcher
+    out, lo, hi = rf_corpus
+    q = RangeFieldQuery(("rlo",), ("rhi",), (QLO,), (QHI,), "crosses")
+    local = Searcher(IndexReader(out))
+    dist = RaySearcher(out, num_workers=3)
+    assert local.count(q) == dist.count(q)
+    a = local.search(q, k=50)
+    b = dist.search(q, k=50)
+    assert a.doc_ids.tolist() == b.doc_ids.tolist()
