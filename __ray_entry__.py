@@ -524,6 +524,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["join_util_topk_q"])
             .join_util_topk_q(_docp(sf), _TERM_A, m))(m)
            for m in ("total", "avg")},
+        "join_util_min": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["join_util_topk_q"])
+            .join_util_topk_q(_docp(sf), _TERM_A, "min"),
         # indexed LINE shapes: box INTERSECTS over the segment index
         "shape_line_intersects": lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -1718,7 +1722,8 @@ keyed AS (SELECT d.doc_id,
           FROM documents d JOIN vals v ON d.lang = v.lang)
 SELECT doc_id, row_number() OVER (ORDER BY jkey DESC, doc_id) AS rank
 FROM keyed ORDER BY jkey DESC, doc_id LIMIT 50"""
-           for m, sqlagg in [("total", "sum"), ("avg", "avg")]},
+           for m, sqlagg in [("total", "sum"), ("avg", "avg"),
+                             ("min", "min")]},
         "topk_shortest_docs": (
             "SELECT n_chars, doc_id FROM documents "
             "ORDER BY n_chars, doc_id LIMIT 20"),

@@ -291,7 +291,7 @@ def join_util_query(from_searcher: Searcher, from_query: Query,
     to-side match is a predicate-pushdown read of (doc_id, to_col) —
     the postings of the joined TermInSetQuery, never full rows.
     """
-    assert score_mode in ("none", "total", "max", "avg")
+    assert score_mode in ("none", "total", "max", "avg", "min")
     import pyarrow.parquet as pq
 
     docs, scores = from_searcher.eval_complete(from_query)
@@ -313,6 +313,8 @@ def join_util_query(from_searcher: Searcher, from_query: Query,
             agg[v] = 1.0
         elif score_mode == "max":
             agg[v] = max(ss)
+        elif score_mode == "min":
+            agg[v] = min(ss)
         elif score_mode == "total":
             agg[v] = float(np.sum(np.asarray(ss, dtype=np.float64)))
         else:
