@@ -163,3 +163,83 @@ def rollback(index_dir: str, generation: int) -> IndexManifest:
     )
     write_manifest(index_dir, m)
     return m
+
+
+def split_index(index_dir: str, out_dirs: list[str],
+                pivots: list[int], *, copy: bool = False) -> list:
+    """IndexSplitter / MultiPassIndexSplitter role
+    (``lucene/misc/src/java/org/apache/lucene/misc/index/
+    IndexSplitter.java``, ``MultiPassIndexSplitter.java``): partition
+    the index into ``len(out_dirs)`` parts by docID pivot boundaries —
+    part i holds docs in [pivots[i-1], pivots[i]) (implicit -inf/+inf
+    ends). Whole segments inside a range are hard-linked untouched
+    (IndexSplitter's segment-level fast path); boundary segments are
+    linked then out-of-range docs are TOMBSTONED (exactly
+    MultiPassIndexSplitter's fake-deletes trick — a later merge
+    reclaims them). Per-part global stats keep counting tombstoned
+    docs until a merge, the engine's documented delete semantics.
+
+    Returns the per-part manifests."""
+    if len(pivots) != len(out_dirs) - 1:
+        raise ValueError("need len(out_dirs) - 1 pivots")
+    if sorted(pivots) != list(pivots):
+        raise ValueError("pivots must be ascending")
+    from .deletes import apply_deletes
+
+    src = read_manifest(index_dir)
+    bounds = [float("-inf"), *pivots, float("inf")]
+    out_manifests = []
+    for i, out in enumerate(out_dirs):
+        lo, hi = bounds[i], bounds[i + 1]  # part range [lo, hi)
+        segs: list[SegmentInfo] = []
+        per_seg_dels: dict[str, "np.ndarray"] = {}
+        for s in src.segments:
+            if s.max_doc < lo or s.min_doc >= hi:
+                continue  # fully outside
+            src_seg = os.path.join(index_dir, "segments", s.seg_id)
+            dst_seg = os.path.join(out, "segments", s.seg_id)
+            if not os.path.isdir(dst_seg):
+                if copy:
+                    shutil.copytree(src_seg, dst_seg)
+                else:
+                    def _link(a, b):
+                        try:
+                            os.link(a, b)
+                        except OSError:
+                            shutil.copy2(a, b)
+                    shutil.copytree(src_seg, dst_seg, copy_function=_link)
+            segs.append(s)
+            if s.min_doc >= lo and s.max_doc < hi:
+                continue  # fully inside: no fake deletes
+            import pyarrow.parquet as _pq
+            ids = _pq.read_table(
+                os.path.join(src_seg, "docs.parquet"),
+                columns=["doc_id"]).column("doc_id").to_numpy()
+            import numpy as np
+            bad = ids[(ids < lo) | (ids >= hi)]
+            if len(bad):
+                per_seg_dels[s.seg_id] = bad
+        m = IndexManifest(
+            generation=0,
+            num_docs=sum(s.num_docs for s in segs),
+            sum_doc_len=sum(s.sum_doc_len for s in segs),
+            field=src.field,
+            stop_words=src.stop_words,
+            segments=sorted(segs, key=lambda s: (s.min_doc, s.seg_id)),
+            field_doc_count=sum(
+                getattr(s, "field_doc_count", s.num_docs) for s in segs),
+        )
+        os.makedirs(os.path.join(out, "segments"), exist_ok=True)
+        # global stats ride along (stale re tombstones, as documented)
+        src_stats = os.path.join(index_dir, "global",
+                                 f"term_stats_gen{src.generation}")
+        if os.path.isdir(src_stats):
+            dst_stats = os.path.join(out, "global", "term_stats_gen0")
+            if not os.path.isdir(dst_stats):
+                os.makedirs(os.path.join(out, "global"), exist_ok=True)
+                shutil.copytree(src_stats, dst_stats)
+        write_manifest(out, m)
+        if per_seg_dels:
+            m = apply_deletes(out, per_seg_dels)
+        out_manifests.append(m)
+    return out_manifests

@@ -102,3 +102,48 @@ class TestSnapshots:
         _, _, ia, _ = two_indexes
         with pytest.raises(ValueError):
             rollback(ia, 999)
+
+
+def test_split_index_parts_union_to_original(ray_session,
+                                             tmp_path_factory):
+    """IndexSplitter/MultiPassIndexSplitter role: three doc-range parts
+    whose per-part matches concatenate to exactly the original's, with
+    boundary segments handled by fake deletes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.index import build_index
+    from lucene_ray.index.lifecycle import split_index
+    from lucene_ray.search import IndexReader, Searcher, TermQuery
+    n = 500
+    texts = [f"data w{i % 11}" if i % 3 else f"merge w{i % 11}"
+             for i in range(n)]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path_factory.mktemp("split")
+    p = str(d / "docs.parquet")
+    pq.write_table(t, p)
+    src = str(d / "idx")
+    build_index(p, src, batch_size=128)  # 4 segments of 128/116
+    outs = [str(d / f"part{i}") for i in range(3)]
+    ms = split_index(src, outs, [100, 300])  # boundaries INSIDE segments
+    assert len(ms) == 3
+    whole = Searcher(IndexReader(src))
+    for term in ("data", "merge"):
+        want = whole.match_docs(TermQuery(term)).tolist()
+        got = []
+        for o in outs:
+            got.extend(Searcher(IndexReader(o))
+                       .match_docs(TermQuery(term)).tolist())
+        assert sorted(got) == want
+    # ranges are disjoint and boundaries respected
+    a = Searcher(IndexReader(outs[0])).match_docs(TermQuery("data"))
+    b = Searcher(IndexReader(outs[1])).match_docs(TermQuery("data"))
+    c = Searcher(IndexReader(outs[2])).match_docs(TermQuery("data"))
+    assert a.max() < 100 and 100 <= b.min() and b.max() < 300 \
+        and c.min() >= 300
+    # hard links: source deletion survival
+    import shutil as _sh
+    _sh.rmtree(src)
+    again = Searcher(IndexReader(outs[1])).match_docs(TermQuery("data"))
+    np.testing.assert_array_equal(again, b)
