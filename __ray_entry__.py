@@ -546,6 +546,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["payload_check_docs"])
             .payload_check_docs(_docp(sf), _TERM_A, 3.0),
+        # DocValuesTermsQuery (sandbox): dv-column set membership as
+        # a FILTER clause over a scored term query
+        "dv_terms_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["dv_terms_match"])
+            .dv_terms_match(_docp(sf), ["en", "fr"]),
         # multi-valued facets (facet/sortedset/
         # SortedSetDocValuesFacetCounts): list-column tag sets
         "facet_multi_counts": lambda sf: __import__(
@@ -1666,6 +1672,12 @@ FROM j GROUP BY source
 UNION ALL
 SELECT source || '/' || lang, CAST(sum(n_chars) AS DOUBLE) FROM j
 GROUP BY source, lang""",
+        "dv_terms_match": f"""
+{_TOKS}
+SELECT DISTINCT t.doc_id FROM toks t JOIN documents d
+  ON t.doc_id = d.doc_id
+WHERE t.term = '{_TERM_A}' AND d.lang IN ('en', 'fr')
+ORDER BY t.doc_id""",
         "facet_multi_counts": f"""
 {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{_TERM_A}'),

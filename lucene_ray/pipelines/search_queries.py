@@ -976,6 +976,23 @@ def facet_taxonomy_counts(doc_path: str, term: str) -> pa.Table:
     return taxonomy_facet_counts(s, TermQuery(term), ("source", "lang"))
 
 
+def dv_terms_match(doc_path: str, values: list[str]) -> pa.Table:
+    """DocValuesTermsQuery role: docs whose stored ``lang`` is in the
+    set AND matching a term (filter composition through the boolean
+    tree)."""
+    from ..search import BooleanQuery, DocValuesTermsQuery
+
+    s = Searcher(IndexReader(_facet_index(doc_path)))
+    q = BooleanQuery(
+        must=(TermQuery(_TERM_FOR_DV),),
+        filter=(DocValuesTermsQuery("lang", tuple(values)),))
+    docs = s.match_docs(q)
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
+_TERM_FOR_DV = "data"
+
+
 def facet_multi_counts(doc_path: str, term: str) -> pa.Table:
     """SortedSetDocValues facets (multi-valued field): each doc carries
     the tag SET [lang, source, 't'||(doc_id % 5)] (a derived list

@@ -7,6 +7,7 @@ from .query import (
     ComplexPhraseQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    DocValuesTermsQuery,
     CoveringQuery,
     RangeFieldQuery,
     FunctionScoreQuery,

@@ -271,6 +271,21 @@ class NumericRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocValuesTermsQuery(Query):
+    """``sandbox/search/DocValuesTermsQuery.java`` role: constant-score
+    membership of a STORED/doc-values column in a given value set —
+    the doc-values-side dual of TermInSetQuery (no postings touched;
+    a predicate-pushdown scan of (doc_id, column) only)."""
+    column: str = ""
+    values: tuple = ()
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not isinstance(self.values, tuple):
+            object.__setattr__(self, "values", tuple(self.values))
+
+
+@dataclass(frozen=True)
 class RangeFieldQuery(Query):
     """Range FIELDS (``document/DoubleRange.java`` / ``IntRange.java``
     + ``search/RangeFieldQuery.java``): each document stores an

@@ -495,6 +495,24 @@ class SegmentReader:
                           filters=[("doc_id", "==", int(doc_id))])
         return t.sort_by([("term", "ascending")])
 
+    def dv_terms_docs(self, col: str, values) -> np.ndarray:
+        """Sorted docIDs whose stored/doc-values ``col`` is in the
+        value set (DocValuesTermsQuery role): one pushdown scan of
+        (doc_id, col); the numeric dv-update overlay wins when
+        present."""
+        values = list(values)
+        t = pq.read_table(self._docs_path, columns=["doc_id", col],
+                          filters=[(col, "in", values)])
+        docs = t.column("doc_id").to_numpy()
+        ov = self._dvu.get(col)
+        if ov is not None:
+            ud, uv = ov
+            docs = docs[~np.isin(docs, ud)]
+            vset = set(values)
+            keep = np.array([v in vset for v in uv.tolist()], dtype=bool)
+            docs = np.concatenate([docs, ud[keep]])
+        return np.sort(docs).astype(np.int64)
+
     def stored(self, docs: np.ndarray, col: str):
         """Stored-field values for the given docIDs (lazy, predicate-
         pushdown read of only the needed column + row groups)."""

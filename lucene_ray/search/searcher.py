@@ -34,6 +34,7 @@ from .query import (
     ConstantScoreQuery,
     CoveringQuery,
     DisjunctionMaxQuery,
+    DocValuesTermsQuery,
     FunctionScoreQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
@@ -199,6 +200,9 @@ class Searcher:
         if isinstance(q, MatchAllDocsQuery):
             return MatchAllDocsQuery(q.boost * boost)
         if isinstance(q, NumericRangeQuery):
+            from dataclasses import replace as _rep
+            return _rep(q, boost=q.boost * boost)
+        if isinstance(q, DocValuesTermsQuery):
             from dataclasses import replace as _rep
             return _rep(q, boost=q.boost * boost)
         if isinstance(q, PhraseQuery):
@@ -591,6 +595,8 @@ class Searcher:
             return ("matchall", np.float64(q.boost))
         if isinstance(q, NumericRangeQuery):
             return ("numrange", q)
+        if isinstance(q, DocValuesTermsQuery):
+            return ("dvterms", q)
         if isinstance(q, DisjunctionMaxQuery):
             return ("dismax", [self._prepare(s) for s in q.disjuncts],
                     float(q.tie_breaker))
@@ -682,6 +688,12 @@ class Searcher:
             docs, = self._live(sr, docs)
             dt = np.float64 if self.exact64 else np.float32
             return docs, np.full(len(docs), nq.boost, dtype=dt)
+        if kind == "dvterms":
+            dq = prep[1]
+            docs = sr.dv_terms_docs(dq.column, dq.values)
+            docs, = self._live(sr, docs)
+            dt = np.float64 if self.exact64 else np.float32
+            return docs, np.full(len(docs), dq.boost, dtype=dt)
         if kind == "nbool":
             return self._eval_nested(sr, prep, k)
         if kind == "dismax":
@@ -1195,6 +1207,10 @@ class Searcher:
         if isinstance(q, NumericRangeQuery):
             docs = sr.numeric_range_docs(q.column, q.lower, q.upper,
                                          q.include_lower, q.include_upper)
+            docs, = self._live(sr, docs)
+            return docs
+        if isinstance(q, DocValuesTermsQuery):
+            docs = sr.dv_terms_docs(q.column, q.values)
             docs, = self._live(sr, docs)
             return docs
         if isinstance(q, DisjunctionMaxQuery):

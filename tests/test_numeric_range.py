@@ -114,3 +114,37 @@ def test_topk_by_field_early_termination(ray_session, tmp_path_factory):
     want_d = sorted(zip(years.tolist(), range(n)),
                     key=lambda p: (-p[0], p[1]))[:25]
     assert [(r["year"], r["doc_id"]) for r in got_d] == want_d
+
+
+def test_dv_terms_query_vs_brute(ray_session, tmp_path_factory):
+    """DocValuesTermsQuery: set membership on a stored column, live
+    masking and boolean-filter composition included."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.index import build_index
+    from lucene_ray.search import (BooleanQuery, DocValuesTermsQuery,
+                                   IndexReader, Searcher, TermQuery)
+    rng = np.random.default_rng(101)
+    n = 300
+    langs = [str(rng.choice(["en", "de", "fr", "zh"])) for _ in range(n)]
+    texts = [f"{'data' if i % 2 else 'merge'} w{i % 9}" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(langs, pa.string())})
+    d = tmp_path_factory.mktemp("dvterms")
+    p = str(d / "docs.parquet")
+    pq.write_table(t, p)
+    out = str(d / "idx")
+    build_index(p, out, batch_size=64, stored_cols=("lang",))
+    s = Searcher(IndexReader(out))
+    got = s.match_docs(DocValuesTermsQuery("lang", ("en", "zh")))
+    want = [i for i in range(n) if langs[i] in ("en", "zh")]
+    np.testing.assert_array_equal(got, want)
+    # composed as a filter over a scored query
+    q = BooleanQuery(must=(TermQuery("data"),),
+                     filter=(DocValuesTermsQuery("lang", ("de",)),))
+    got2 = s.match_docs(q)
+    want2 = [i for i in range(n) if i % 2 and langs[i] == "de"]
+    np.testing.assert_array_equal(got2, want2)
+    assert len(s.match_docs(DocValuesTermsQuery("lang", ("xx",)))) == 0
