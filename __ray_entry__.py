@@ -243,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BooleanSimilarity.java) on the exact-dl rails
         "tfidf_or": lambda sf: sim_topk(_docp(sf), _OR_TERMS, "or",
                                         "classic", 20),
+        # SweetSpotSimilarity (misc): plateau length norm [20,60] +
+        # baseline tf (base 1.0)
+        "sweetspot_or": lambda sf: sim_topk(_docp(sf), _OR_TERMS, "or",
+                                            "sweetspot", 20),
         "lm_dirichlet_or": lambda sf: sim_topk(_docp(sf), _OR_TERMS, "or",
                                                "lm_dirichlet", 20),
         "boolean_sim_and_or": lambda sf: sim_topk(
@@ -1017,6 +1021,27 @@ scored AS (SELECT doc_id, max(sc) + 0.3 * (sum(sc) - max(sc)) AS score
            FROM ts GROUP BY doc_id)
 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
 FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+        "sweetspot_or": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+       GROUP BY doc_id, term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ({', '.join(repr(t) for t in _OR_TERMS)})
+        GROUP BY term),
+scored AS (
+  SELECT pt.doc_id,
+         sum((ln((s.n + 1) / (dfs.df + 1.0)) + 1.0)
+             * sqrt(pt.tf + 1.0)
+             / sqrt(0.5 * (abs(d.dl - 20) + abs(d.dl - 60) - 40) + 1.0))
+           AS score
+  FROM pt JOIN dfs ON pt.term = dfs.term
+       JOIN dl d ON pt.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY pt.doc_id)
+SELECT doc_id, row_number() OVER (ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id) AS rank
+FROM scored ORDER BY CAST(floor(score*1e9) AS BIGINT) DESC, doc_id LIMIT 20""",
         "tfidf_or": f"""
 {_TOKS},
 {_DL},

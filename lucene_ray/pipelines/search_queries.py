@@ -70,11 +70,15 @@ def sim_topk(doc_path: str, terms: list[str], kind: str, sim: str,
     from ..search.similarities import (
         AxiomaticF2EXP, BooleanSimilarity, ClassicSimilarity,
         LMDirichletSimilarity, LMJelinekMercerSimilarity,
+        SweetSpotSimilarity,
     )
     sims = {"classic": ClassicSimilarity, "lm_dirichlet": LMDirichletSimilarity,
             "boolean": BooleanSimilarity,
             "lm_jelinek_mercer": LMJelinekMercerSimilarity,
-            "axiomatic_f2exp": AxiomaticF2EXP}
+            "axiomatic_f2exp": AxiomaticF2EXP,
+            "sweetspot": lambda: SweetSpotSimilarity(
+                ln_min=20, ln_max=60, ln_steep=0.5,
+                tf_base=1.0, tf_min=0.0)}
     s = Searcher(IndexReader(cached_index(doc_path)), similarity=sims[sim]())
     docs, scores = s.eval_complete(_query(kind, terms))
     return _quantized_rank_table(docs, scores, k)

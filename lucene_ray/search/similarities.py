@@ -152,3 +152,35 @@ class AxiomaticF2EXP(Similarity):
         tf = freqs.astype(np.float64)
         return boost * idf * tf / (
             tf + self.s + self.s * dl.astype(np.float64) / avgdl)
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    """``lucene/misc/src/java/org/apache/lucene/misc/
+    SweetSpotSimilarity.java`` role: TF-IDF with a PLATEAU length norm
+    (documents inside [ln_min, ln_max] terms take norm 1, outside
+    decays by ``1/sqrt(steep*(|l-min|+|l-max|-(max-min))+1)``) and the
+    baseline tf (``0 -> 0; freq<=tf_min -> tf_base; else
+    sqrt(freq + tf_base^2 - tf_min)``)."""
+
+    name = "sweetspot"
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 ln_steep: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0):
+        self.ln_min, self.ln_max = int(ln_min), int(ln_max)
+        self.ln_steep = float(ln_steep)
+        self.tf_base, self.tf_min = float(tf_base), float(tf_min)
+
+    def term_score(self, freqs, dl, df, ttf, boost, doc_count, sum_ttf):
+        idf = np.log((doc_count + 1) / (df + 1.0)) + 1.0
+        f = freqs.astype(np.float64)
+        tf = np.where(
+            f == 0.0, 0.0,
+            np.where(f <= self.tf_min, self.tf_base,
+                     np.sqrt(f + self.tf_base ** 2 - self.tf_min)))
+        d = dl.astype(np.float64)
+        norm = 1.0 / np.sqrt(
+            self.ln_steep * (np.abs(d - self.ln_min)
+                             + np.abs(d - self.ln_max)
+                             - (self.ln_max - self.ln_min)) + 1.0)
+        return boost * idf * tf * norm
