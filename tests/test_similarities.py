@@ -1,9 +1,9 @@
-
-
+"""SweetSpotSimilarity unit conformance (misc module role)."""
 def test_sweetspot_length_norm_plateau():
     """Inside [ln_min, ln_max] the norm is exactly 1; outside it decays
     symmetrically (SweetSpotSimilarity.computeLengthNorm)."""
     import numpy as np
+    import pytest
     from lucene_ray.search.similarities import SweetSpotSimilarity
     s = SweetSpotSimilarity(ln_min=10, ln_max=20, ln_steep=0.5,
                             tf_base=1.0)
