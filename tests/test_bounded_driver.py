@@ -95,3 +95,31 @@ def test_winnowing_guarantee(corpus, ray_session):
     assert fps[0] & fps[1], "shared 8-word run must share a fingerprint"
     assert not (fps[0] & fps[2])
     assert not (fps[1] & fps[2])
+
+
+def test_build_driver_sees_metadata_only(corpus, tmp_path_factory):
+    """The build's driver-materialized output is one tiny metadata row
+    per segment — segment payloads go actor->disk, never through the
+    driver (the ds.stats() audit as a regression guard)."""
+    import ray
+    from lucene_ray.index import build_index
+    out = str(tmp_path_factory.mktemp("audit") / "idx")
+    captured = {}
+    orig = ray.data.Dataset.take_all
+
+    def cap(self, *a, **k):
+        rows = orig(self, *a, **k)
+        captured["rows"] = rows
+        return rows
+
+    ray.data.Dataset.take_all = cap
+    try:
+        m = build_index(corpus, out, batch_size=128)
+    finally:
+        ray.data.Dataset.take_all = orig
+    rows = captured["rows"]
+    assert len(rows) == len(m.segments)
+    import sys
+    # every driver-received row is metadata (well under 1 KB)
+    for r in rows:
+        assert sum(sys.getsizeof(str(v)) for v in r.values()) < 1024
