@@ -354,13 +354,19 @@ class RangeFieldQuery(Query):
 class FuzzyQuery(Query):
     """Terms within edit distance <= max_edits (search/FuzzyQuery.java;
     defaults maxEdits=2, prefixLength=0, transpositions=True i.e.
-    Damerau/OSA). Scored as a disjunction of the expanded terms."""
+    Damerau/OSA). Scored as a disjunction of the expanded terms;
+    ``boost_by_similarity=True`` is the
+    MultiTermQuery.TopTermsBoostOnlyBooleanQueryRewrite role — each
+    expanded term carries boost ``1 - editDistance / min(|term|,
+    |query|)`` (FuzzyTermsEnum's boost attribute), so closer spellings
+    outrank farther ones."""
     term: str = ""
     max_edits: int = 2
     prefix_length: int = 0
     transpositions: bool = True
     boost: float = 1.0
     field: str | None = None
+    boost_by_similarity: bool = False
 
 
 def expand_terms(q: Query, vocab) -> list[str]:

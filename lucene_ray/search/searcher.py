@@ -273,6 +273,17 @@ class Searcher:
             return self.rewrite(q.lower_to_bool(), boost)
         if isinstance(q, FuzzyQuery):
             terms = self._expand(q)
+            if q.boost_by_similarity:
+                # TopTermsBoostOnlyBooleanQueryRewrite: each term boosts
+                # by 1 - d/min(|t|, |q|) (FuzzyTermsEnum boost att)
+                from .query import _edit_distance
+                clauses = []
+                for t in terms:
+                    d = _edit_distance(t, q.term, q.max_edits,
+                                       q.transpositions)
+                    sim = 1.0 - d / min(len(t), len(q.term))
+                    clauses.append(TermQuery(t, q.boost * boost * sim))
+                return BooleanQuery(should=tuple(clauses))
             return BooleanQuery(should=tuple(
                 TermQuery(t, q.boost * boost) for t in terms))
         if isinstance(q, TermInSetQuery):

@@ -308,3 +308,29 @@ def test_explain_matches_score(built_index, oracle):
     assert eb["value"] == pytest.approx(bscores[0], rel=1e-12)
     ec = s.explain(ConstantScoreQuery(TermQuery(t1), 2.5), int(docs[0]))
     assert ec["value"] == 2.5 and ec["details"]
+
+
+def test_fuzzy_boost_by_similarity(built_index, oracle):
+    """TopTermsBoostOnlyBooleanQueryRewrite role: with
+    boost_by_similarity, closer spellings carry higher term boosts
+    (1 - d/min-len) and the rewrite equals the hand-built boosted OR."""
+    from lucene_ray.search import (BooleanQuery, FuzzyQuery, Searcher,
+                                   TermQuery)
+    from lucene_ray.search.query import _edit_distance
+    out, _m = built_index
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    base = sorted(oracle.df, key=lambda w: -oracle.df[w])[0]
+    q = FuzzyQuery(base, max_edits=2, boost_by_similarity=True)
+    rw = s.rewrite(q)
+    assert isinstance(rw, BooleanQuery) and rw.should
+    for c in rw.should:
+        d = _edit_distance(c.term, base, 2, True)
+        assert c.boost == pytest.approx(
+            1.0 - d / min(len(c.term), len(base)))
+    exact = [c for c in rw.should if c.term == base]
+    assert exact and exact[0].boost == 1.0
+    # scoring end-to-end equals the equivalent hand-boosted OR
+    want = s.search(BooleanQuery(should=rw.should), k=20)
+    got = s.search(q, k=20)
+    assert got.doc_ids.tolist() == want.doc_ids.tolist()
+    np.testing.assert_allclose(got.scores, want.scores, rtol=0)
