@@ -516,6 +516,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docp(sf), bpe.train_bpe(_docp(sf), 64)))(
             __import__("lucene_ray.pipelines.bpe",
                        fromlist=["train_bpe"])),
+        # SpanFirstQuery (queries/spans): term within the first N
+        # positions of the doc
+        "span_first_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["span_first_match"])
+            .span_first_match(_docp(sf), _TERM_A, 5),
         # TermAutomatonQuery (sandbox): token automaton over positions
         **{f"term_automaton_{kind}": (lambda kind: lambda sf: __import__(
             "lucene_ray.pipelines.search_queries",
@@ -1640,6 +1646,16 @@ sims AS (SELECT q.qid, e.vec_id,
 SELECT qid, vec_id,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
 FROM sims QUALIFY rank <= 10 ORDER BY qid, rank""",
+        "span_first_match": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term,
+         generate_subscripts(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
+  FROM documents)
+SELECT DISTINCT doc_id FROM toks
+WHERE term = '{_TERM_A}' AND i - 1 < 5 ORDER BY doc_id""",
         "term_automaton_gap": """
 WITH toks AS (
   SELECT doc_id,

@@ -1102,6 +1102,28 @@ def suggest_context_completions(doc_path: str, prefix: str,
     return suggest_context(out, prefix, context, k)
 
 
+def span_first_match(doc_path: str, term: str, end: int) -> pa.Table:
+    """SpanFirstQuery role (``queries/spans/SpanFirstQuery.java`` /
+    SpanPositionRangeQuery(0, end)): docs where ``term`` occurs at a
+    position < ``end`` (0-based, matching the reference's position
+    counting). Reads only the term's positional postings."""
+    s = Searcher(IndexReader(cached_index(doc_path)))
+    out = []
+    for sr in s.reader.segments():
+        got = sr.get_positions(term)
+        if got is None:
+            continue
+        docs, freqs, pos = got
+        offs = np.concatenate(([0], np.cumsum(freqs)))
+        first = pos[offs[:-1]]  # positions sorted per doc: first occ
+        hit = docs[first < end]
+        hit, = s._live(sr, hit)
+        out.append(hit)
+    docs = (np.sort(np.concatenate(out)) if out
+            else np.empty(0, np.int64))
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
 def term_automaton_match(doc_path: str, kind: str) -> pa.Table:
     """TermAutomatonQuery round trips (sandbox TermAutomatonQuery.java)
     against the cached positional index: 'gap' = data ANY merge

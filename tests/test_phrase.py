@@ -157,3 +157,23 @@ def test_positions_error_without_positional_index(ray_session, small_pages,
     term = next(iter(sr.terms()))
     with pytest.raises(ValueError, match="positions"):
         sr.get_positions(term)
+
+def test_span_first_match_vs_brute(ray_session, tmp_path):
+    """SpanFirstQuery role: first occurrence position < end."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.index import build_index
+    from lucene_ray.pipelines import search_queries as sq
+    rng = np.random.default_rng(103)
+    vocab = ["data", "merge", "w1", "w2", "w3"]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(1, 12))))
+             for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(t, p)
+    got = sq.span_first_match(p, "data", 3)["doc_id"].to_pylist()
+    want = [i for i, tx in enumerate(texts)
+            if "data" in tx.split()[:3]]
+    assert got == want and len(want) > 0
