@@ -751,6 +751,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kuromoji role (analysis/ja/JapaneseTokenizer.java:58): Viterbi
         # lattice segmentation drives a full index build; rows-only
         "japanese_term_stats": _japanese_term_stats,
+        # SynonymQuery (core search/SynonymQuery.java): blended
+        # pseudo-term df=max, freq=sum(boost_i*tf_i)
+        "synonym_blended": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["synonym_blended_topk"])
+            .synonym_blended_topk(_docp(sf), _OR_TERMS, [1.0, 0.5, 0.25], 20),
+        # CombinedFieldQuery / BM25F (sandbox): synthetic merged field
+        # over (text w=1, title w=2) with summed weighted tf and length
+        "combined_field": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["combined_field_topk"])
+            .combined_field_topk(_docp(sf), [_TERM_A, _TERM_B], None, 20),
+        # PhraseWildcardQuery (sandbox): wildcard slots inside a phrase
+        "phrase_wildcard_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["phrase_wildcard_match"])
+            .phrase_wildcard_match(_docp(sf), ["data", "mer*"]),
+        # MultiRangeQuery (sandbox): union of point ranges, one field
+        "multi_range_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["multi_range_match"])
+            .multi_range_match(_docp(sf), "n_chars",
+                               [(0, 80), (120, 160), (150, 200)]),
+        # HighFreqTerms (misc): top-df terms from the global stats
+        "high_freq_terms": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["high_freq_terms"])
+            .high_freq_terms(_docp(sf), 25),
+        # AllGroupsCollector (grouping): distinct groups of the matches
+        "all_groups": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["all_groups"])
+            .all_groups(_docp(sf), _OR_TERMS, "or", "source"),
+        # DistinctValuesCollector (grouping): distinct langs per source
+        "distinct_values_grouped": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["distinct_values_grouped"])
+            .distinct_values_grouped(_docp(sf), _OR_TERMS, "or",
+                                     "source", "lang"),
+        # LongValueFacetCounts (facet): hit counts per numeric value
+        "facet_long_values": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["long_value_facet_counts"])
+            .long_value_facet_counts(_docp(sf), _AND_TERMS, "and",
+                                     "n_chars"),
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3), so order the surface so the flagship
@@ -2105,4 +2150,100 @@ SELECT doc_id, query_id FROM (
   UNION ALL SELECT * FROM m_or UNION ALL SELECT * FROM m_phrase
   UNION ALL SELECT * FROM m_not UNION ALL SELECT * FROM m_msm2)
 ORDER BY query_id, doc_id""",
+        # SynonymQuery: ONE pseudo-term with df = max(df_i), combined
+        # freq = sum(boost_i * tf_i) -> a single BM25 evaluation
+        "synonym_blended": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+pt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'merge', 'window') GROUP BY doc_id, term),
+dfb AS (SELECT max(df) AS dfb FROM
+        (SELECT term, count(*) AS df FROM pt GROUP BY term)),
+cf AS (SELECT doc_id,
+              sum(tf * CASE term WHEN 'spark' THEN 1.0
+                                 WHEN 'merge' THEN 0.5
+                                 ELSE 0.25 END) AS f
+       FROM pt GROUP BY doc_id),
+scored AS (SELECT cf.doc_id,
+                  ln(1 + (s.n - x.dfb + 0.5) / (x.dfb + 0.5)) * cf.f /
+                    (cf.f + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS score
+           FROM cf JOIN dl d ON cf.doc_id = d.doc_id
+                CROSS JOIN stats s CROSS JOIN dfb x)
+SELECT doc_id,
+       row_number() OVER (ORDER BY floor(score * 1e9) DESC, doc_id) AS rank
+FROM scored ORDER BY floor(score * 1e9) DESC, doc_id LIMIT 20""",
+        # CombinedFieldQuery / BM25F: synthetic merged field over
+        # text (w=1) + title = first 8 tokens (w=2); freq and length
+        # are weighted sums, one blended pseudo-term (df = max)
+        "combined_field": f"""
+WITH lists AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS l FROM documents),
+tt AS (SELECT doc_id, unnest(l) AS term FROM lists),
+tl AS (SELECT doc_id, unnest(list_slice(l, 1, 8)) AS term FROM lists),
+dl AS (SELECT doc_id, len(l) + 2 * least(len(l), 8) AS dl FROM lists),
+stats AS (SELECT count(*) AS n,
+                 sum(len(l)) + 2 * sum(least(len(l), 8)) AS sumttf
+          FROM lists),
+ptt AS (SELECT doc_id, term, count(*) AS tf FROM tt
+        WHERE term IN ('{_TERM_A}', '{_TERM_B}') GROUP BY doc_id, term),
+ptl AS (SELECT doc_id, term, count(*) AS tf FROM tl
+        WHERE term IN ('{_TERM_A}', '{_TERM_B}') GROUP BY doc_id, term),
+dfb AS (SELECT max(df) AS dfb FROM (
+          SELECT term, count(*) AS df FROM ptt GROUP BY term
+          UNION ALL SELECT term, count(*) AS df FROM ptl GROUP BY term)),
+cf AS (SELECT doc_id, sum(f) AS f FROM (
+         SELECT doc_id, sum(tf) AS f FROM ptt GROUP BY doc_id
+         UNION ALL SELECT doc_id, 2 * sum(tf) AS f FROM ptl
+         GROUP BY doc_id) GROUP BY doc_id),
+scored AS (SELECT cf.doc_id,
+                  ln(1 + (s.n - x.dfb + 0.5) / (x.dfb + 0.5)) * cf.f /
+                    (cf.f + {K1} * (1 - {B} + {B} * d.dl * 1.0 /
+                                    (s.sumttf * 1.0 / s.n))) AS score
+           FROM cf JOIN dl d ON cf.doc_id = d.doc_id
+                CROSS JOIN stats s CROSS JOIN dfb x)
+SELECT doc_id,
+       row_number() OVER (ORDER BY floor(score * 1e9) DESC, doc_id) AS rank
+FROM scored ORDER BY floor(score * 1e9) DESC, doc_id LIMIT 20""",
+        # PhraseWildcardQuery: 'data mer*' — wildcard slot expands,
+        # match = 'data' immediately followed by a 'mer%' token
+        "phrase_wildcard_match": f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS toks FROM documents),
+tp AS (SELECT doc_id, unnest(toks) AS term,
+              unnest(range(1, len(toks) + 1)) AS p FROM tl),
+a AS (SELECT doc_id, p FROM tp WHERE term = '{_TERM_A}'),
+b AS (SELECT doc_id, p FROM tp WHERE term LIKE 'mer%')
+SELECT DISTINCT a.doc_id AS doc_id
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+ORDER BY doc_id""",
+        "multi_range_match": """
+SELECT doc_id FROM documents
+WHERE n_chars BETWEEN 0 AND 80 OR n_chars BETWEEN 120 AND 160
+   OR n_chars BETWEEN 150 AND 200 ORDER BY doc_id""",
+        "high_freq_terms": f"""
+{_TOKS},
+st AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+       FROM toks GROUP BY term)
+SELECT term, df, ttf FROM st ORDER BY df DESC, term LIMIT 25""",
+        "all_groups": f"""
+{_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ('spark', 'merge', 'window'))
+SELECT DISTINCT d.source AS source
+FROM m JOIN documents d ON m.doc_id = d.doc_id ORDER BY source""",
+        "distinct_values_grouped": f"""
+{_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ('spark', 'merge', 'window'))
+SELECT d.source AS source, count(DISTINCT d.lang) AS n_distinct
+FROM m JOIN documents d ON m.doc_id = d.doc_id
+GROUP BY d.source ORDER BY source""",
+        "facet_long_values": f"""
+{_TOKS},
+m AS (SELECT doc_id FROM toks WHERE term IN ('data', 'merge', 'window')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 3)
+SELECT d.n_chars AS value, count(*) AS "count"
+FROM m JOIN documents d ON m.doc_id = d.doc_id
+GROUP BY d.n_chars ORDER BY value""",
     }

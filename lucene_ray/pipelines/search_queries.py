@@ -1427,3 +1427,303 @@ def suggest_word_breaks(doc_path: str, word: str, k: int = 5) -> pa.Table:
     """WordBreakSpellChecker.suggestWordBreaks role."""
     from ..search.suggest import word_breaks
     return word_breaks(IndexReader(cached_index(doc_path)), word, k)
+
+
+def synonym_blended_topk(doc_path: str, terms: list[str],
+                         boosts: list[float] | None = None,
+                         k: int = 20) -> pa.Table:
+    """SynonymQuery role (core ``search/SynonymQuery.java:51``): all
+    terms score as ONE pseudo-term — blended stats df = max(df_i),
+    ttf = sum(ttf_i) (SynonymQuery.java:205-223) and per-doc freq =
+    sum(boost_i * tf_i) (SynonymScorer freq sum; FreqBoostTermScorer
+    :315 applies the per-term boost to the FREQUENCY, not the score).
+    Scored exact64 BM25 on the combined freq; (doc_id, rank) on the
+    quantized grid."""
+    from ..codecs.postings import unpack_postings
+    from ..search.bm25 import B, K1
+
+    if boosts is None:
+        boosts = [1.0] * len(terms)
+    reader = IndexReader(cached_index(doc_path))
+    stats = reader.term_stats(list(terms))
+    dfs = [stats[t][0] for t in terms if stats.get(t, (0, 0))[0] > 0]
+    if not dfs:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    df_b = max(dfs)
+    n = reader.doc_count
+    avgdl = reader.sum_total_term_freq / float(n)
+    idf = np.log(1 + (n - df_b + 0.5) / (df_b + 0.5))
+    parts_d, parts_s = [], []
+    for sr in reader.segments():
+        ds, fs = [], []
+        for t, boost in zip(terms, boosts):
+            p = sr.get_postings(t)
+            if p is None:
+                continue
+            d, f = unpack_postings(p)
+            ds.append(d)
+            fs.append(f.astype(np.float64) * boost)
+        if not ds:
+            continue
+        d = np.concatenate(ds)
+        f = np.concatenate(fs)
+        ud, inv = np.unique(d, return_inverse=True)
+        uf = np.zeros(len(ud), dtype=np.float64)
+        np.add.at(uf, inv, f)
+        if sr.deleted is not None and len(sr.deleted):
+            keep = ~np.isin(ud, sr.deleted)
+            ud, uf = ud[keep], uf[keep]
+        dl = sr.doc_lens_for(ud).astype(np.float64)
+        sc = idf * uf / (uf + K1 * (1 - B + B * dl / avgdl))
+        parts_d.append(ud.astype(np.int64))
+        parts_s.append(sc)
+    docs = np.concatenate(parts_d)
+    scores = np.concatenate(parts_s)
+    return _quantized_rank_table(docs, scores, k)
+
+
+def _titled_docs(doc_path: str, n_title: int = 8) -> str:
+    """Derived two-field corpus: (doc_id, text, title) where title is
+    the first ``n_title`` whitespace tokens — the multi-field fixture
+    for the combined-field (BM25F) query."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq2
+
+    key = hashlib.md5(f"titled:{doc_path}:{n_title}".encode()) \
+        .hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"titled-{key}.parquet")
+    if not os.path.exists(out):
+        t = pq2.read_table(doc_path, columns=["doc_id", "text"])
+        toks = pc.split_pattern(t.column("text"), " ")
+        title = pc.binary_join(pc.list_slice(toks, 0, n_title), " ")
+        os.makedirs(_CACHE_ROOT, exist_ok=True)
+        tmp = out + ".tmp"
+        pq2.write_table(t.append_column("title", title), tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def combined_field_topk(doc_path: str, terms: list[str],
+                        weights: dict[str, float] | None = None,
+                        k: int = 20) -> pa.Table:
+    """CombinedFieldQuery role (BM25F,
+    ``sandbox/search/CombinedFieldQuery.java:74-86,328-371``): fields
+    are merged into one synthetic field — per-doc freq = sum over all
+    (term, field) postings of weight_f * tf (CombinedFieldQuery.java
+    :454), per-doc length = sum weight_f * len_f (MultiNormsLeafSim
+    Scorer.java:143-153, exact64 here: no norm-byte requantization),
+    ONE blended pseudo-term: df = max over all (term, field) dfs,
+    collection sumTTF = sum weight_f * sumTTF_f, docCount = max over
+    fields (:354-371). Runs over a derived (text, title) two-field
+    index of the documents table."""
+    from ..codecs.postings import unpack_postings
+    from ..index.multi_field import build_multi_field_index
+    from ..search.bm25 import B, K1
+
+    if weights is None:
+        weights = {"text": 1.0, "title": 2.0}
+    src = _titled_docs(doc_path)
+    key = hashlib.md5(("cfq:" + src).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"cfidx-{key}")
+    if not os.path.exists(os.path.join(out, "multi_field.json")):
+        build_multi_field_index(
+            src, out, fields={f: None for f in weights}, batch_size=2048)
+    readers = {f: IndexReader(os.path.join(out, "fields", f))
+               for f in weights}
+
+    doc_count = max(r.doc_count for r in readers.values())
+    sum_ttf = sum(w * readers[f].sum_total_term_freq
+                  for f, w in weights.items())
+    avgdl = sum_ttf / float(doc_count)
+    df_b = 0
+    for f, r in readers.items():
+        st = r.term_stats(list(terms))
+        df_b = max([df_b] + [st[t][0] for t in terms if t in st])
+    if df_b == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    idf = np.log(1 + (doc_count - df_b + 0.5) / (df_b + 0.5))
+
+    # combined freq and combined length per GLOBAL doc id (the field
+    # indexes share global docIDs by construction)
+    ds, fs = [], []
+    for f, w in weights.items():
+        for sr in readers[f].segments():
+            for t in terms:
+                p = sr.get_postings(t)
+                if p is None:
+                    continue
+                d, fr = unpack_postings(p)
+                ds.append(d)
+                fs.append(fr.astype(np.float64) * w)
+    if not ds:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    d = np.concatenate(ds)
+    fr = np.concatenate(fs)
+    ud, inv = np.unique(d, return_inverse=True)
+    uf = np.zeros(len(ud), dtype=np.float64)
+    np.add.at(uf, inv, fr)
+    dl = np.zeros(len(ud), dtype=np.float64)
+    for f, w in weights.items():
+        for sr in readers[f].segments():
+            lo = np.searchsorted(ud, sr.doc_ids[0])
+            hi = np.searchsorted(ud, sr.doc_ids[-1], side="right")
+            if hi > lo:
+                dl[lo:hi] += w * sr.doc_lens_for(ud[lo:hi]) \
+                    .astype(np.float64)
+    sc = idf * uf / (uf + K1 * (1 - B + B * dl / avgdl))
+    return _quantized_rank_table(ud.astype(np.int64), sc, k)
+
+
+def phrase_wildcard_match(doc_path: str, phrase_terms: list[str]) -> pa.Table:
+    """PhraseWildcardQuery role (``sandbox/search/PhraseWildcardQuery
+    .java``): a phrase where any slot may be a wildcard pattern —
+    each multi-term slot expands against the segment term dictionary
+    and the phrase matches through the MultiPhraseQuery machinery
+    (union of slot terms per position). Returns matching doc_ids."""
+    from ..search import MultiPhraseQuery, WildcardQuery
+    from ..search.query import expand_terms, expansion_range
+
+    reader = IndexReader(cached_index(doc_path))
+    positions = []
+    for t in phrase_terms:
+        if "*" in t or "?" in t:
+            wq = WildcardQuery(t)
+            lo, hi = expansion_range(wq)
+            expanded = expand_terms(wq, reader.vocab(lo, hi))
+            if not expanded:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            positions.append(tuple(sorted(expanded)))
+        else:
+            positions.append((t,))
+    s = Searcher(reader, similarity="bm25_exact64")
+    docs = s.match_docs(MultiPhraseQuery(tuple(positions)))
+    return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})
+
+
+def multi_range_match(doc_path: str, col: str,
+                      ranges: list[tuple[int, int]]) -> pa.Table:
+    """MultiRangeQuery role (``sandbox/search/MultiRangeQuery.java``):
+    union of [lo, hi] ranges over one point field, evaluated as a
+    constant-score disjunction of NumericRangeQuery filters over the
+    dv sidecar (the reference merges overlapping ranges then runs one
+    BKD intersect; row-group pruning gives the same skip behavior)."""
+    from ..search.query import NumericRangeQuery
+
+    key = hashlib.md5(("num2:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"numidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    doc_value_cols=(col,))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    # merge overlapping/adjacent ranges first (MultiRangeQuery.rewrite)
+    merged: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    parts = [s.match_docs(NumericRangeQuery(col, lo, hi))
+             for lo, hi in merged]
+    docs = np.unique(np.concatenate(parts)) if parts else \
+        np.empty(0, np.int64)
+    return pa.table({"doc_id": pa.array(docs, pa.int64())})
+
+
+def high_freq_terms(doc_path: str, k: int = 25) -> pa.Table:
+    """HighFreqTerms role (``misc/.../HighFreqTerms.java``): the top-k
+    terms by document frequency (ties: term asc), with their total
+    term frequencies — read from the index's global term-stats
+    aggregate, never by scanning postings."""
+    import pyarrow.parquet as pq2
+
+    from ..index.manifest import read_manifest
+
+    idx = cached_index(doc_path)
+    gen = read_manifest(idx).generation
+    t = pq2.read_table(os.path.join(idx, "global", f"term_stats_gen{gen}"),
+                       columns=["term", "df", "ttf"])
+    df = t.column("df").to_numpy()
+    terms = t.column("term").to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms, -df))[:k]
+    return pa.table({
+        "term": pa.array(terms[order], pa.large_string()),
+        "df": pa.array(df[order], pa.int64()),
+        "ttf": pa.array(t.column("ttf").to_numpy()[order], pa.int64()),
+    })
+
+
+def all_groups(doc_path: str, terms: list[str], kind: str,
+               group_col: str = "source") -> pa.Table:
+    """AllGroupsCollector role (``grouping/AllGroupsCollector.java``):
+    the distinct group values among a query's matches (group-by
+    doc-value column, no top-k cut)."""
+    key = hashlib.md5(("grp:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"grpidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    stored_cols=("source", "lang"))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    docs = s.match_docs(_query(kind, terms))
+    vals = set()
+    for sr in s.reader.segments():
+        lo = np.searchsorted(docs, sr.doc_ids[0])
+        hi = np.searchsorted(docs, sr.doc_ids[-1], side="right")
+        if hi > lo:
+            vals.update(v for v in sr.stored(docs[lo:hi], group_col)
+                        if v is not None)
+    return pa.table({group_col: pa.array(sorted(vals), pa.large_string())})
+
+
+def distinct_values_grouped(doc_path: str, terms: list[str], kind: str,
+                            group_col: str = "source",
+                            count_col: str = "lang") -> pa.Table:
+    """DistinctValuesCollector role (``grouping/DistinctValues
+    Collector.java``): per group value, the count of distinct values
+    of a second doc-value field among the query's matches."""
+    key = hashlib.md5(("grp:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"grpidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    stored_cols=("source", "lang"))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    docs = s.match_docs(_query(kind, terms))
+    pairs: set[tuple] = set()
+    for sr in s.reader.segments():
+        lo = np.searchsorted(docs, sr.doc_ids[0])
+        hi = np.searchsorted(docs, sr.doc_ids[-1], side="right")
+        if hi > lo:
+            gs = sr.stored(docs[lo:hi], group_col)
+            cs = sr.stored(docs[lo:hi], count_col)
+            pairs.update((g, c) for g, c in zip(gs, cs)
+                         if g is not None and c is not None)
+    from collections import Counter
+    counts = Counter(g for g, _ in pairs)
+    groups = sorted(counts)
+    return pa.table({
+        group_col: pa.array(groups, pa.large_string()),
+        "n_distinct": pa.array([counts[g] for g in groups], pa.int64()),
+    })
+
+
+def long_value_facet_counts(doc_path: str, terms: list[str], kind: str,
+                            col: str = "n_chars") -> pa.Table:
+    """LongValueFacetCounts role (``facet/LongValueFacetCounts.java``):
+    hit counts per distinct value of a numeric doc-value field over
+    the query's match set (value asc)."""
+    key = hashlib.md5(("num2:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"numidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    doc_value_cols=(col,))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    docs = s.match_docs(_query(kind, terms))
+    vals = s.doc_values(docs, col)
+    vals = vals[~np.isnan(vals)].astype(np.int64)
+    uv, cnt = np.unique(vals, return_counts=True)
+    return pa.table({
+        "value": pa.array(uv, pa.int64()),
+        "count": pa.array(cnt.astype(np.int64), pa.int64()),
+    })

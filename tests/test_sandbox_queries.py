@@ -1,0 +1,187 @@
+"""Sandbox/misc/grouping/facet roles added in round 4 session 3:
+
+- SynonymQuery (core search/SynonymQuery.java:51,205-223): blended
+  pseudo-term stats, freq = sum(boost_i * tf_i).
+- CombinedFieldQuery / BM25F (sandbox/search/CombinedFieldQuery.java):
+  weighted merged field with summed freq and summed length.
+- PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
+  wildcard slots expand to MultiPhraseQuery.
+- MultiRangeQuery (sandbox/search/MultiRangeQuery.java): union of
+  numeric ranges, overlaps merged at rewrite.
+- HighFreqTerms (misc), AllGroupsCollector / DistinctValuesCollector
+  (grouping), LongValueFacetCounts (facet).
+
+All verified brute-force over a synthetic corpus.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sbx_corpus(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(47)
+    vocab = ["data", "merge", "window", "spark", "mercy", "merit",
+             "key", "sort"] + [f"w{i}" for i in range(30)]
+    texts, n_chars, langs, sources = [], [], [], []
+    for i in range(400):
+        words = list(rng.choice(vocab, int(rng.integers(5, 30))))
+        texts.append(" ".join(words))
+        n_chars.append(len(texts[-1]))
+        langs.append(f"l{i % 5}")
+        sources.append(f"s{i % 7}")
+    t = pa.table({
+        "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array(np.array(n_chars, dtype=np.int64)),
+    })
+    d = tmp_path_factory.mktemp("sbx")
+    path = str(d / "documents.parquet")
+    pq.write_table(t, path)
+    return path, texts, t
+
+
+def _toks(texts):
+    return [tx.split() for tx in texts]
+
+
+def test_synonym_blended_vs_brute(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    terms, boosts = ["merge", "window", "spark"], [1.0, 0.5, 0.25]
+    got = sq.synonym_blended_topk(path, terms, boosts, k=15)
+
+    toks = _toks(texts)
+    n = len(toks)
+    dls = np.array([len(tk) for tk in toks], dtype=np.float64)
+    avgdl = dls.sum() / n
+    df = {t: sum(t in tk for tk in toks) for t in terms}
+    df_b = max(df.values())
+    idf = np.log(1 + (n - df_b + 0.5) / (df_b + 0.5))
+    f = np.zeros(n)
+    for t, b in zip(terms, boosts):
+        f += b * np.array([tk.count(t) for tk in toks], dtype=np.float64)
+    m = f > 0
+    sc = np.zeros(n)
+    sc[m] = idf * f[m] / (f[m] + 1.2 * (1 - 0.75 + 0.75 * dls[m] / avgdl))
+    key = np.floor(sc * 1e9).astype(np.int64)
+    order = np.lexsort((np.arange(n), -key))
+    want = [i for i in order if m[i]][:15]
+    assert got.column("doc_id").to_pylist() == want
+
+
+def test_combined_field_vs_brute(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    terms = ["data", "merge"]
+    weights = {"text": 1.0, "title": 2.0}
+    got = sq.combined_field_topk(path, terms, weights, k=15)
+
+    toks = _toks(texts)
+    titles = [tk[:8] for tk in toks]
+    n = len(toks)
+    dls = np.array([len(tk) + 2 * len(ti)
+                    for tk, ti in zip(toks, titles)], dtype=np.float64)
+    doc_count = n
+    sum_ttf = dls.sum()
+    avgdl = sum_ttf / doc_count
+    dfs = []
+    for t in terms:
+        dfs.append(sum(t in tk for tk in toks))
+        dfs.append(sum(t in ti for ti in titles))
+    df_b = max(dfs)
+    idf = np.log(1 + (doc_count - df_b + 0.5) / (df_b + 0.5))
+    f = np.zeros(n)
+    for t in terms:
+        f += np.array([tk.count(t) for tk in toks], dtype=np.float64)
+        f += 2 * np.array([ti.count(t) for ti in titles], dtype=np.float64)
+    m = f > 0
+    sc = np.zeros(n)
+    sc[m] = idf * f[m] / (f[m] + 1.2 * (1 - 0.75 + 0.75 * dls[m] / avgdl))
+    key = np.floor(sc * 1e9).astype(np.int64)
+    order = np.lexsort((np.arange(n), -key))
+    want = [i for i in order if m[i]][:15]
+    assert got.column("doc_id").to_pylist() == want
+
+
+def test_phrase_wildcard_vs_brute(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    got = sq.phrase_wildcard_match(path, ["data", "mer*"])
+    want = []
+    for i, tk in enumerate(_toks(texts)):
+        if any(a == "data" and b.startswith("mer")
+               for a, b in zip(tk, tk[1:])):
+            want.append(i)
+    assert got.column("doc_id").to_pylist() == want
+    # a slot whose wildcard matches nothing matches no documents
+    empty = sq.phrase_wildcard_match(path, ["data", "zzz*"])
+    assert len(empty) == 0
+
+
+def test_multi_range_merges_overlaps(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, _, t = sbx_corpus
+    ranges = [(0, 60), (50, 90), (150, 170)]
+    got = sq.multi_range_match(path, "n_chars", ranges)
+    nc = t.column("n_chars").to_numpy()
+    want = np.nonzero(((nc >= 0) & (nc <= 90)) |
+                      ((nc >= 150) & (nc <= 170)))[0]
+    assert got.column("doc_id").to_pylist() == want.tolist()
+
+
+def test_high_freq_terms(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    got = sq.high_freq_terms(path, k=10)
+    from collections import Counter
+    df, ttf = Counter(), Counter()
+    for tk in _toks(texts):
+        ttf.update(tk)
+        df.update(set(tk))
+    want = sorted(df, key=lambda t: (-df[t], t))[:10]
+    assert got.column("term").to_pylist() == want
+    assert got.column("df").to_pylist() == [df[t] for t in want]
+    assert got.column("ttf").to_pylist() == [ttf[t] for t in want]
+
+
+def test_groups_and_facets(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, t = sbx_corpus
+    terms = ["spark", "merge", "window"]
+    match = [i for i, tk in enumerate(_toks(texts))
+             if any(w in tk for w in terms)]
+    srcs = t.column("source").to_pylist()
+    langs = t.column("lang").to_pylist()
+
+    ag = sq.all_groups(path, terms, "or", "source")
+    assert ag.column("source").to_pylist() == sorted(
+        {srcs[i] for i in match})
+
+    dv = sq.distinct_values_grouped(path, terms, "or", "source", "lang")
+    want = {}
+    for i in match:
+        want.setdefault(srcs[i], set()).add(langs[i])
+    assert dv.column("source").to_pylist() == sorted(want)
+    assert dv.column("n_distinct").to_pylist() == [
+        len(want[g]) for g in sorted(want)]
+
+    and_match = [i for i, tk in enumerate(_toks(texts))
+                 if all(w in tk for w in ["data", "merge", "window"])]
+    fv = sq.long_value_facet_counts(path, ["data", "merge", "window"],
+                                    "and", "n_chars")
+    nc = t.column("n_chars").to_numpy()
+    from collections import Counter
+    cnt = Counter(int(nc[i]) for i in and_match)
+    assert fv.column("value").to_pylist() == sorted(cnt)
+    assert fv.column("count").to_pylist() == [cnt[v] for v in sorted(cnt)]
