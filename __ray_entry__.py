@@ -796,6 +796,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["long_value_facet_counts"])
             .long_value_facet_counts(_docp(sf), _AND_TERMS, "and",
                                      "n_chars"),
+        # flexible StandardQueryParser fn: interval clauses
+        # (queryparser/flexible/standard, intervalfn package)
+        "interval_fn_atleast": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["interval_fn_match"])
+            .interval_fn_match(
+                _docp(sf), "fn:maxwidth(6 fn:atLeast(2 data merge spark))"),
+        "interval_fn_within": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["interval_fn_match"])
+            .interval_fn_match(
+                _docp(sf), "fn:within(data 3 fn:ordered(key merge))"),
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3), so order the surface so the flagship
@@ -2246,4 +2258,45 @@ m AS (SELECT doc_id FROM toks WHERE term IN ('data', 'merge', 'window')
 SELECT d.n_chars AS value, count(*) AS "count"
 FROM m JOIN documents d ON m.doc_id = d.doc_id
 GROUP BY d.n_chars ORDER BY value""",
+        # fn:maxwidth(6 fn:atLeast(2 data merge spark)) — a doc matches
+        # iff two DISTINCT terms occur within a width-6 window (every
+        # minimal atLeast(2) interval is spanned by two distinct terms)
+        "interval_fn_atleast": """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS toks FROM documents),
+tp AS (SELECT doc_id, unnest(toks) AS term,
+              unnest(range(1, len(toks) + 1)) AS p FROM tl),
+pos AS (SELECT doc_id, term, p FROM tp
+        WHERE term IN ('data', 'merge', 'spark'))
+SELECT DISTINCT a.doc_id AS doc_id
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND a.term < b.term
+                     AND abs(a.p - b.p) + 1 <= 6
+ORDER BY doc_id""",
+        # fn:within(data 3 fn:ordered(key merge)) — 'data' positions
+        # contained in a MINIMAL ordered (key..merge) interval extended
+        # by 3 on both sides, the extended list re-minimalized exactly
+        # as ExtendedIntervalsSource's minimal-iterator contract does
+        "interval_fn_within": """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS toks FROM documents),
+tp AS (SELECT doc_id, unnest(toks) AS term,
+              unnest(range(1, len(toks) + 1)) AS p FROM tl),
+kpos AS (SELECT doc_id, p FROM tp WHERE term = 'key'),
+mpos AS (SELECT doc_id, p FROM tp WHERE term = 'merge'),
+dpos AS (SELECT doc_id, p FROM tp WHERE term = 'data'),
+pairs AS (SELECT k.doc_id, k.p AS pa, min(m.p) AS pb FROM kpos k
+          JOIN mpos m ON k.doc_id = m.doc_id AND m.p > k.p
+          GROUP BY k.doc_id, k.p),
+minimal AS (SELECT doc_id, max(pa) AS pa, pb FROM pairs
+            GROUP BY doc_id, pb),
+ext AS (SELECT doc_id, greatest(pa - 3, 1) AS es, pb + 3 AS ee
+        FROM minimal),
+kept AS (SELECT * FROM ext e WHERE NOT EXISTS (
+           SELECT 1 FROM ext e2 WHERE e2.doc_id = e.doc_id
+             AND e2.es >= e.es AND e2.ee <= e.ee
+             AND (e2.es > e.es OR e2.ee < e.ee)))
+SELECT DISTINCT d.doc_id AS doc_id
+FROM dpos d JOIN kept k ON d.doc_id = k.doc_id
+                       AND d.p BETWEEN k.es AND k.ee
+ORDER BY doc_id""",
     }

@@ -1727,3 +1727,16 @@ def long_value_facet_counts(doc_path: str, terms: list[str], kind: str,
         "value": pa.array(uv, pa.int64()),
         "count": pa.array(cnt.astype(np.int64), pa.int64()),
     })
+
+
+def interval_fn_match(doc_path: str, expr: str) -> pa.Table:
+    """Flexible StandardQueryParser interval-function clause role
+    (``queryparser/flexible/standard/StandardQueryParser.java:204-220``;
+    function set ``.../nodes/intervalfn/*.java``): parse an ``fn:``
+    expression and match it through the minimal-interval algebra."""
+    from ..search.intervalparser import parse_interval_fn
+    from ..search.intervals import interval_match_docs
+
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    return interval_match_docs(s, parse_interval_fn(expr))

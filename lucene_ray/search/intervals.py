@@ -551,3 +551,108 @@ def interval_freqs(searcher, source: IntervalsSource):
 def interval_match_docs(searcher, source: IntervalsSource) -> pa.Table:
     docs, _ = interval_freqs(searcher, source)
     return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# round-4 additions: the remaining Intervals factory surface
+
+
+@dataclass(frozen=True)
+class AtLeast(IntervalsSource):
+    """Intervals.atLeast / MinimumShouldMatchIntervalsSource
+    (``queries/intervals/MinimumShouldMatchIntervalsSource.java``):
+    minimal intervals spanning at least ``min_match`` of the subs.
+
+    Sweep over all sub-intervals by end position: at each event the
+    narrowest span ending there starts at the ``min_match``-th largest
+    "current best start" across subs; non-minimal candidates are
+    dropped by the shared ``_minimalize``."""
+    subs: tuple = ()
+    min_match: int = 1
+
+    def __post_init__(self):
+        object.__setattr__(self, "subs", tuple(self.subs))
+
+    def leaf_terms(self):
+        return set().union(*(s.leaf_terms() for s in self.subs))
+
+    def candidate_docs(self, term_docs):
+        arrs = [np.unique(s.candidate_docs(term_docs)) for s in self.subs]
+        allv = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+        vals, cnt = np.unique(allv, return_counts=True)
+        return vals[cnt >= self.min_match]
+
+    def intervals(self, pos):
+        m = self.min_match
+        ivs = [s.intervals(pos) for s in self.subs]
+        if sum(1 for v in ivs if len(v)) < m:
+            return _EMPTY
+        events = []
+        for i, v in enumerate(ivs):
+            for s, e in v:
+                events.append((int(e), int(s), i))
+        events.sort()
+        cur = np.full(len(ivs), -1, dtype=np.int64)
+        out = []
+        for e, s, i in events:
+            if s > cur[i]:
+                cur[i] = s
+            have = cur[cur >= 0]
+            if len(have) >= m:
+                # m-th largest current start = narrowest span ending at e
+                start = np.partition(have, len(have) - m)[len(have) - m]
+                out.append((int(start), e))
+        if not out:
+            return _EMPTY
+        return _minimalize(np.asarray(out, dtype=np.int64).reshape(-1, 2))
+
+
+@dataclass(frozen=True)
+class MaxWidth(IntervalsSource):
+    """Intervals.maxwidth (FilteredIntervalsSource.maxWidth): keep the
+    sub's minimal intervals whose width (end - start + 1) is bounded."""
+    sub: IntervalsSource = None
+    max_width: int = 1
+
+    def leaf_terms(self):
+        return self.sub.leaf_terms()
+
+    def candidate_docs(self, term_docs):
+        return self.sub.candidate_docs(term_docs)
+
+    def intervals(self, pos):
+        iv = self.sub.intervals(pos)
+        if len(iv) == 0:
+            return iv
+        return iv[(iv[:, 1] - iv[:, 0] + 1) <= self.max_width]
+
+
+def at_least(min_match: int, *sources: IntervalsSource) -> IntervalsSource:
+    """Intervals.atLeast (``Intervals.java:476-488``): == len(subs)
+    degenerates to unordered; > len(subs) can never match."""
+    if min_match == len(sources):
+        return Unordered(tuple(sources))
+    if min_match > len(sources):
+        return Or(())  # NoMatchIntervalsSource analog
+    return AtLeast(tuple(sources), min_match)
+
+
+def within(source: IntervalsSource, positions: int,
+           reference: IntervalsSource) -> IntervalsSource:
+    """Intervals.within (``Intervals.java:418-421``): source intervals
+    within ``positions`` of a reference interval — containedBy the
+    reference extended both ways."""
+    return ContainedBy(source, Extend(reference, positions, positions))
+
+
+def not_within(minuend: IntervalsSource, positions: int,
+               subtrahend: IntervalsSource) -> IntervalsSource:
+    """Intervals.notWithin (``Intervals.java:403-407``)."""
+    return NonOverlapping(minuend, Extend(subtrahend, positions, positions))
+
+
+def unordered_no_overlaps(a: IntervalsSource,
+                          b: IntervalsSource) -> IntervalsSource:
+    """Intervals.unorderedNoOverlaps (``Intervals.java:355-357``):
+    or(ordered(a, b), ordered(b, a))."""
+    return Or((Ordered((a, b)), Ordered((b, a))))
