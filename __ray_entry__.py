@@ -808,6 +808,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["interval_fn_match"])
             .interval_fn_match(
                 _docp(sf), "fn:within(data 3 fn:ordered(key merge))"),
+        # FuzzyLikeThisQuery (sandbox/queries): fuzzy variants boosted
+        # by similarity^2 * idf(source df), artificial df=1 term stats
+        "fuzzy_like_this": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["fuzzy_like_this_topk"])
+            .fuzzy_like_this_topk(_docp(sf), ["data", "merg"], 12, 1, 20),
+        # GroupFacetCollector (grouping): distinct groups per facet val
+        "group_facets": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["group_facet_counts"])
+            .group_facet_counts(_docp(sf), _OR_TERMS, "or",
+                                "source", "lang"),
+        # benchmark/quality role: P@k / recall / MRR components per
+        # query as exact integers against derived judgments (tf >= 2)
+        "search_quality": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["search_quality"])
+            .search_quality(_docp(sf),
+                            ["data", "merge", "window", "spark", "key"],
+                            10, 2),
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3), so order the surface so the flagship
@@ -2299,4 +2319,85 @@ SELECT DISTINCT d.doc_id AS doc_id
 FROM dpos d JOIN kept k ON d.doc_id = k.doc_id
                        AND d.p BETWEEN k.es AND k.ee
 ORDER BY doc_id""",
+        # FuzzyLikeThisQuery: variants within Damerau distance 1 of
+        # ('data', 'merg'); st.score = boost^2 * Classic idf(src df,
+        # with integer-mean variant-df fallback); top 12 variants
+        # (score desc, term asc); clauses score exact64 BM25 with
+        # ARTIFICIAL df = 1
+        "fuzzy_like_this": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          GROUP BY term),
+src(st) AS (VALUES ('data'), ('merg')),
+vars AS (SELECT s.st, v.term, v.df,
+                1.0 - damerau_levenshtein(s.st, v.term) * 1.0 /
+                  least(length(s.st), length(v.term)) AS boost
+         FROM src s JOIN vocab v
+           ON damerau_levenshtein(s.st, v.term) <= 1),
+srcdf AS (SELECT s.st, coalesce(v.df, 0) AS df0
+          FROM src s LEFT JOIN vocab v ON v.term = s.st),
+avgdf AS (SELECT st, sum(df) // count(*) AS adf FROM vars GROUP BY st),
+dfe AS (SELECT s.st, CASE WHEN s.df0 > 0 THEN s.df0 ELSE a.adf END AS df
+        FROM srcdf s JOIN avgdf a USING (st)),
+st_scored AS (SELECT v.st, v.term,
+                     v.boost * v.boost *
+                       (ln((s.n + 1) / (d.df + 1.0)) + 1.0) AS tscore
+              FROM vars v JOIN dfe d USING (st) CROSS JOIN stats s),
+kept AS (SELECT row_number() OVER (ORDER BY tscore DESC, term) AS kid,
+                term, tscore
+         FROM st_scored ORDER BY tscore DESC, term LIMIT 12),
+tfk AS (SELECT t.doc_id, k.kid, k.tscore, count(*) AS tf
+        FROM toks t JOIN kept k ON t.term = k.term
+        GROUP BY t.doc_id, k.kid, k.tscore),
+contrib AS (SELECT f.doc_id,
+                   f.tscore * ln(1 + (s.n - 0.5) / 1.5) * f.tf /
+                     (f.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS c
+            FROM tfk f JOIN dl d USING (doc_id) CROSS JOIN stats s),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id,
+       row_number() OVER (ORDER BY floor(score * 1e9) DESC, doc_id) AS rank
+FROM scored ORDER BY floor(score * 1e9) DESC, doc_id LIMIT 20""",
+        "group_facets": f"""
+{_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ('spark', 'merge', 'window'))
+SELECT d.lang AS lang, count(DISTINCT d.source) AS n_groups
+FROM m JOIN documents d ON m.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY lang""",
+        # benchmark/quality QualityStats role: per-query top-10 BM25
+        # judged against derived relevance (tf >= 2) — exact integers
+        "search_quality": f"""
+{_TOKS},
+{_DL},
+{_STATS},
+q(query_term) AS (VALUES ('data'), ('merge'), ('window'), ('spark'),
+                         ('key')),
+pt AS (SELECT t.doc_id, t.term, count(*) AS tf FROM toks t
+       JOIN q ON t.term = q.query_term GROUP BY t.doc_id, t.term),
+dfs AS (SELECT term, count(*) AS df FROM pt GROUP BY term),
+sc AS (SELECT pt.doc_id, pt.term, pt.tf,
+              ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * pt.tf /
+                (pt.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS score
+       FROM pt JOIN dfs f USING (term) JOIN dl d USING (doc_id)
+            CROSS JOIN stats s),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY term
+             ORDER BY floor(score * 1e9) DESC, doc_id) AS rnk FROM sc),
+top AS (SELECT * FROM ranked WHERE rnk <= 10),
+agg AS (SELECT q.query_term,
+               coalesce(sum(CASE WHEN t.tf >= 2 THEN 1 ELSE 0 END), 0)
+                   AS n_rel_ret,
+               count(t.doc_id) AS n_ret,
+               coalesce(min(CASE WHEN t.tf >= 2 THEN t.rnk END), 0)
+                   AS first_rel_rank
+        FROM q LEFT JOIN top t ON t.term = q.query_term
+        GROUP BY q.query_term),
+rel AS (SELECT term, count(*) AS n_rel FROM pt WHERE tf >= 2
+        GROUP BY term)
+SELECT a.query_term, a.n_rel_ret, a.n_ret,
+       coalesce(r.n_rel, 0) AS n_rel, a.first_rel_rank
+FROM agg a LEFT JOIN rel r ON r.term = a.query_term
+ORDER BY a.query_term""",
     }

@@ -1740,3 +1740,172 @@ def interval_fn_match(doc_path: str, expr: str) -> pa.Table:
     s = Searcher(IndexReader(cached_index(doc_path)),
                  similarity="bm25_exact64")
     return interval_match_docs(s, parse_interval_fn(expr))
+
+
+def fuzzy_like_this_topk(doc_path: str, query_terms: list[str],
+                         max_num_terms: int = 12, max_edits: int = 1,
+                         k: int = 20) -> pa.Table:
+    """FuzzyLikeThisQuery role (``sandbox/queries/FuzzyLikeThisQuery
+    .java:193-336``): per source term, fuzzy variants carry boost
+    ``1 - d/min(|v|,|t|)`` (FuzzyTermsEnum boost att); variant score =
+    boost^2 * ClassicSimilarity.idf(df_source, N) where df_source
+    falls back to the INTEGER-mean variant df when the source term is
+    absent (:236-240); the global top ``max_num_terms`` variants (score
+    desc, term asc on ties — ScoreTermQueue order) form a SHOULD query
+    whose term clauses score with ARTIFICIAL df=ttf=1 stats (:262-270),
+    here exact64 BM25 with df=1. (doc_id, rank) on the quantized grid."""
+    from ..codecs.postings import unpack_postings
+    from ..search.bm25 import B, K1
+    from ..search.query import FuzzyQuery, _edit_distance, expand_terms, \
+        expansion_range
+
+    reader = IndexReader(cached_index(doc_path))
+    n = reader.doc_count
+    avgdl = reader.sum_total_term_freq / float(n)
+
+    # variant selection (addTerms)
+    scored_terms: list[tuple[float, str]] = []  # (st.score, variant)
+    seen_src = set()
+    for t in query_terms:
+        if t in seen_src:
+            continue
+        seen_src.add(t)
+        fq = FuzzyQuery(t, max_edits=max_edits, prefix_length=0,
+                        transpositions=True)
+        lo, hi = expansion_range(fq)
+        variants = expand_terms(fq, reader.vocab(lo, hi))
+        if not variants:
+            continue
+        stats = reader.term_stats(variants + [t])
+        df = stats.get(t, (0, 0))[0]
+        if df == 0:  # integer-mean variant df fallback (:236-240)
+            df = sum(stats[v][0] for v in variants) // len(variants)
+        idf_src = np.log((n + 1) / (df + 1.0)) + 1.0  # Classic idf
+        for v in variants:
+            d = _edit_distance(v, t, max_edits, True)
+            boost = 1.0 - d / min(len(v), len(t))
+            scored_terms.append((boost * boost * idf_src, v))
+    scored_terms.sort(key=lambda x: (-x[0], x[1]))
+    kept = scored_terms[:max_num_terms]
+    if not kept:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+
+    # artificial df=1 stats: one idf for every clause
+    idf1 = np.log(1 + (n - 1 + 0.5) / (1 + 0.5))
+    parts_d, parts_s = [], []
+    for sr in reader.segments():
+        ds, ss = [], []
+        for tscore, v in kept:
+            p = sr.get_postings(v)
+            if p is None:
+                continue
+            d, f = unpack_postings(p)
+            dl = sr.doc_lens_for(d).astype(np.float64)
+            f = f.astype(np.float64)
+            ss.append(tscore * idf1 * f /
+                      (f + K1 * (1 - B + B * dl / avgdl)))
+            ds.append(d)
+        if not ds:
+            continue
+        d = np.concatenate(ds)
+        s = np.concatenate(ss)
+        ud, inv = np.unique(d, return_inverse=True)
+        us = np.zeros(len(ud), dtype=np.float64)
+        np.add.at(us, inv, s)
+        parts_d.append(ud.astype(np.int64))
+        parts_s.append(us)
+    docs = np.concatenate(parts_d)
+    scores = np.concatenate(parts_s)
+    return _quantized_rank_table(docs, scores, k)
+
+
+def group_facet_counts(doc_path: str, terms: list[str], kind: str,
+                       group_col: str = "source",
+                       facet_col: str = "lang") -> pa.Table:
+    """GroupFacetCollector role (``grouping/TermGroupFacetCollector
+    .java``): per facet value, the number of DISTINCT groups among the
+    query's matches (each group counted once per facet value)."""
+    key = hashlib.md5(("grp:" + doc_path).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"grpidx-{key}")
+    if not os.path.exists(os.path.join(out, "manifest_0.json")):
+        build_index(doc_path, out, batch_size=2048,
+                    stored_cols=("source", "lang"))
+    s = Searcher(IndexReader(out), similarity="bm25_exact64")
+    docs = s.match_docs(_query(kind, terms))
+    pairs: set[tuple] = set()
+    for sr in s.reader.segments():
+        lo = np.searchsorted(docs, sr.doc_ids[0])
+        hi = np.searchsorted(docs, sr.doc_ids[-1], side="right")
+        if hi > lo:
+            gs = sr.stored(docs[lo:hi], group_col)
+            fs = sr.stored(docs[lo:hi], facet_col)
+            pairs.update((f, g) for g, f in zip(gs, fs)
+                         if g is not None and f is not None)
+    from collections import Counter
+    counts = Counter(f for f, _ in pairs)
+    facets = sorted(counts)
+    return pa.table({
+        facet_col: pa.array(facets, pa.large_string()),
+        "n_groups": pa.array([counts[f] for f in facets], pa.int64()),
+    })
+
+
+def search_quality(doc_path: str, query_terms: list[str],
+                   k: int = 10, rel_tf: int = 2) -> pa.Table:
+    """Search-quality evaluation role (``benchmark/.../quality/
+    QualityStats.java``: precision@k, recall, MRR): each single-term
+    query's top-k BM25 ranking is judged against derived relevance
+    (docs whose tf >= ``rel_tf``). INTEGER metric components per query
+    — (n_rel_ret, n_ret, n_rel, first_rel_rank) — so p@k = n_rel_ret/
+    n_ret, recall = n_rel_ret/n_rel, RR = 1/first_rel_rank are exact."""
+    from ..codecs.postings import unpack_postings
+    from ..search.bm25 import B, K1
+
+    reader = IndexReader(cached_index(doc_path))
+    n = reader.doc_count
+    avgdl = reader.sum_total_term_freq / float(n)
+    rows = []
+    for qt in query_terms:
+        ds, fs = [], []
+        for sr in reader.segments():
+            p = sr.get_postings(qt)
+            if p is None:
+                continue
+            d, f = unpack_postings(p)
+            ds.append(d)
+            fs.append(f.astype(np.int64))
+        if not ds:
+            rows.append((qt, 0, 0, 0, 0))
+            continue
+        docs = np.concatenate(ds)
+        tfs = np.concatenate(fs)
+        df = len(docs)
+        idf = np.log(1 + (n - df + 0.5) / (df + 0.5))
+        # doc lens per posting doc (segment-routed)
+        dls = []
+        for sr in reader.segments():
+            pp = sr.get_postings(qt)
+            if pp is None:
+                continue
+            d, _ = unpack_postings(pp)
+            dls.append(sr.doc_lens_for(d).astype(np.float64))
+        dl = np.concatenate(dls)
+        sc = idf * tfs / (tfs + K1 * (1 - B + B * dl / avgdl))
+        key = np.floor(sc * 1e9).astype(np.int64)
+        order = np.lexsort((docs, -key))[:k]
+        rel_mask_all = tfs >= rel_tf
+        n_rel = int(rel_mask_all.sum())
+        top_rel = rel_mask_all[order]
+        n_ret = len(order)
+        n_rel_ret = int(top_rel.sum())
+        first = int(np.argmax(top_rel)) + 1 if top_rel.any() else 0
+        rows.append((qt, n_rel_ret, n_ret, n_rel, first))
+    rows.sort()
+    return pa.table({
+        "query_term": pa.array([r[0] for r in rows], pa.large_string()),
+        "n_rel_ret": pa.array([r[1] for r in rows], pa.int64()),
+        "n_ret": pa.array([r[2] for r in rows], pa.int64()),
+        "n_rel": pa.array([r[3] for r in rows], pa.int64()),
+        "first_rel_rank": pa.array([r[4] for r in rows], pa.int64()),
+    })

@@ -185,3 +185,99 @@ def test_groups_and_facets(sbx_corpus, monkeypatch, tmp_path):
     cnt = Counter(int(nc[i]) for i in and_match)
     assert fv.column("value").to_pylist() == sorted(cnt)
     assert fv.column("count").to_pylist() == [cnt[v] for v in sorted(cnt)]
+
+
+def test_fuzzy_like_this_vs_brute(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    from lucene_ray.search.query import _edit_distance
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    got = sq.fuzzy_like_this_topk(path, ["merge", "datq"], 8, 1, 15)
+
+    toks = _toks(texts)
+    n = len(toks)
+    dls = np.array([len(tk) for tk in toks], dtype=np.float64)
+    avgdl = dls.sum() / n
+    vocab = sorted({t for tk in toks for t in tk})
+    df = {t: sum(t in tk for tk in toks) for t in vocab}
+    scored_terms = []
+    for st in ["merge", "datq"]:
+        variants = [(v, _edit_distance(v, st, 1, True)) for v in vocab]
+        variants = [(v, d) for v, d in variants if d <= 1]
+        if not variants:
+            continue
+        sdf = df.get(st, 0)
+        if sdf == 0:
+            sdf = sum(df[v] for v, _ in variants) // len(variants)
+        idf_src = np.log((n + 1) / (sdf + 1.0)) + 1.0
+        for v, d in variants:
+            boost = 1.0 - d / min(len(v), len(st))
+            scored_terms.append((boost * boost * idf_src, v))
+    scored_terms.sort(key=lambda x: (-x[0], x[1]))
+    kept = scored_terms[:8]
+    idf1 = np.log(1 + (n - 1 + 0.5) / 1.5)
+    sc = np.zeros(n)
+    for tscore, v in kept:
+        tf = np.array([tk.count(v) for tk in toks], dtype=np.float64)
+        m = tf > 0
+        sc[m] += tscore * idf1 * tf[m] / (
+            tf[m] + 1.2 * (1 - 0.75 + 0.75 * dls[m] / avgdl))
+    key = np.floor(sc * 1e9).astype(np.int64)
+    order = np.lexsort((np.arange(n), -key))
+    want = [i for i in order if sc[i] > 0][:15]
+    assert got.column("doc_id").to_pylist() == want
+
+
+def test_group_facets_vs_brute(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, t = sbx_corpus
+    terms = ["spark", "merge", "window"]
+    match = [i for i, tk in enumerate(_toks(texts))
+             if any(w in tk for w in terms)]
+    srcs = t.column("source").to_pylist()
+    langs = t.column("lang").to_pylist()
+    want = {}
+    for i in match:
+        want.setdefault(langs[i], set()).add(srcs[i])
+    gf = sq.group_facet_counts(path, terms, "or", "source", "lang")
+    assert gf.column("lang").to_pylist() == sorted(want)
+    assert gf.column("n_groups").to_pylist() == [
+        len(want[f]) for f in sorted(want)]
+
+
+def test_search_quality_vs_brute(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    qterms = ["data", "merge", "zzznope"]
+    got = sq.search_quality(path, qterms, k=10, rel_tf=2)
+
+    toks = _toks(texts)
+    n = len(toks)
+    dls = np.array([len(tk) for tk in toks], dtype=np.float64)
+    avgdl = dls.sum() / n
+    rows = {}
+    for qt in qterms:
+        tf = np.array([tk.count(qt) for tk in toks], dtype=np.float64)
+        m = tf > 0
+        dfv = int(m.sum())
+        if dfv == 0:
+            rows[qt] = (0, 0, 0, 0)
+            continue
+        idf = np.log(1 + (n - dfv + 0.5) / (dfv + 0.5))
+        sc = idf * tf[m] / (tf[m] + 1.2 * (1 - 0.75 + 0.75 * dls[m] / avgdl))
+        docs = np.nonzero(m)[0]
+        key = np.floor(sc * 1e9).astype(np.int64)
+        order = np.lexsort((docs, -key))[:10]
+        rel_all = tf >= 2
+        top_rel = rel_all[docs[order]]
+        first = int(np.argmax(top_rel)) + 1 if top_rel.any() else 0
+        rows[qt] = (int(top_rel.sum()), len(order),
+                    int(rel_all.sum()), first)
+    for i, qt in enumerate(sorted(qterms)):
+        assert got.column("query_term")[i].as_py() == qt
+        assert (got.column("n_rel_ret")[i].as_py(),
+                got.column("n_ret")[i].as_py(),
+                got.column("n_rel")[i].as_py(),
+                got.column("first_rel_rank")[i].as_py()) == rows[qt]
