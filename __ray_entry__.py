@@ -828,6 +828,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .search_quality(_docp(sf),
                             ["data", "merge", "window", "spark", "key"],
                             10, 2),
+        # SpanNotQuery (queries/spans): include spans not overlapping
+        # the exclude term widened by (pre=1, post=1)
+        "span_not_match": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["span_not_match"])
+            .span_not_match(_docp(sf), ["data", "merge"], "key", 1, 1),
+        # bigram-LM surprisal (CCNet-style quality signal one order up
+        # from surprisal_top20): -mean ln p(w2|w1), corpus-estimated
+        "bigram_surprisal_top20": lambda sf: __import__(
+            "lucene_ray.pipelines.webtext",
+            fromlist=["bigram_surprisal_topk"])
+            .bigram_surprisal_topk(_docp(sf), 20),
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3), so order the surface so the flagship
@@ -2400,4 +2412,39 @@ SELECT a.query_term, a.n_rel_ret, a.n_ret,
        coalesce(r.n_rel, 0) AS n_rel, a.first_rel_rank
 FROM agg a LEFT JOIN rel r ON r.term = a.query_term
 ORDER BY a.query_term""",
+        # SpanNot: phrase 'data merge' spans [p, p+1] with NO 'key'
+        # occurrence q whose widened span [q-1, q+1] overlaps, i.e.
+        # q-1 <= p+1 AND q+1 >= p -> q in [p-1, p+2]
+        "span_not_match": """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS toks FROM documents),
+tp AS (SELECT doc_id, unnest(toks) AS term,
+              unnest(range(1, len(toks) + 1)) AS p FROM tl),
+a AS (SELECT x.doc_id, x.p FROM tp x JOIN tp y
+        ON x.doc_id = y.doc_id AND y.p = x.p + 1
+      WHERE x.term = 'data' AND y.term = 'merge'),
+kq AS (SELECT doc_id, p FROM tp WHERE term = 'key')
+SELECT DISTINCT a.doc_id AS doc_id FROM a
+WHERE NOT EXISTS (SELECT 1 FROM kq WHERE kq.doc_id = a.doc_id
+                    AND kq.p BETWEEN a.p - 1 AND a.p + 2)
+ORDER BY doc_id""",
+        # bigram surprisal: -mean ln(c(w1,w2)/cprefix(w1)) per doc,
+        # ranked by the quantized integer key
+        "bigram_surprisal_top20": """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS toks FROM documents),
+tp AS (SELECT doc_id, unnest(toks) AS term,
+              unnest(range(1, len(toks) + 1)) AS p FROM tl),
+bg AS (SELECT x.doc_id, x.term AS w1, y.term AS w2 FROM tp x
+       JOIN tp y ON x.doc_id = y.doc_id AND y.p = x.p + 1),
+cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+cp AS (SELECT w1, sum(c) AS cpre FROM cb GROUP BY w1),
+lp AS (SELECT cb.w1, cb.w2, ln(cb.c * 1.0 / cp.cpre) AS lp
+       FROM cb JOIN cp USING (w1)),
+ds AS (SELECT bg.doc_id, sum(-lp.lp) AS s, count(*) AS nb
+       FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+       GROUP BY bg.doc_id)
+SELECT doc_id, row_number() OVER (
+         ORDER BY floor(s / nb * 1e9) DESC, doc_id) AS rank
+FROM ds ORDER BY floor(s / nb * 1e9) DESC, doc_id LIMIT 20""",
     }

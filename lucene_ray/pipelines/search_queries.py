@@ -1909,3 +1909,25 @@ def search_quality(doc_path: str, query_terms: list[str],
         "n_rel": pa.array([r[3] for r in rows], pa.int64()),
         "first_rel_rank": pa.array([r[4] for r in rows], pa.int64()),
     })
+
+
+def span_not_match(doc_path: str, include_terms: list[str],
+                   exclude_term: str, pre: int = 1,
+                   post: int = 1) -> pa.Table:
+    """SpanNotQuery role (``queries/spans/SpanNotQuery.java``): spans
+    of the include phrase that do NOT overlap the exclude term widened
+    by ``pre`` positions before / ``post`` after — evaluated as
+    NonOverlapping(include, Extend(exclude, pre, post)) on the
+    minimal-interval algebra (the spans and intervals modules agree on
+    this shape). Returns matching doc_ids."""
+    from ..search.intervals import (
+        Extend, NonOverlapping, Phrase as IPhrase, Term as ITerm,
+        interval_match_docs,
+    )
+
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    include = (ITerm(include_terms[0]) if len(include_terms) == 1
+               else IPhrase(tuple(include_terms)))
+    src = NonOverlapping(include, Extend(ITerm(exclude_term), pre, post))
+    return interval_match_docs(s, src)

@@ -489,3 +489,118 @@ def verify_extraction(pages_path: str) -> dict:
     got = ds.aggregate(agg.Sum("n"), agg.Sum("bad"))
     return {"n_rows": int(got["sum(n)"]),
             "n_mismatch": int(got["sum(bad)"])}
+
+
+def _batch_bigrams(batch: "pa.Table"):
+    """(bigram strings 'w1 w2', doc index) for one batch — vectorized
+    adjacent-pair extraction over the flat token stream."""
+    flat, didx, _ = _split_words(batch["text"])
+    if len(flat) < 2:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    import pyarrow.compute as pc
+    same = didx[1:] == didx[:-1]
+    if not same.any():
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+    w2 = flat.slice(1).filter(pa.array(same))
+    bg = pc.binary_join_element_wise(w1, w2, " ")
+    return (np.asarray(bg.to_pylist(), dtype=object),
+            didx[:-1][same].astype(np.int64))
+
+
+class _BigramCounts:
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        bg, _ = _batch_bigrams(batch)
+        if len(bg) == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(bg, return_counts=True)
+        return pa.table({"bigram": pa.array(uniq.astype(str)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+
+def bigram_surprisal_topk(path: str, k: int = 20,
+                          top_v: int = 1_000_000) -> "pa.Table":
+    """Top-k docs by mean BIGRAM surprisal ``-mean(ln p(w2|w1))`` with
+    ``p(w2|w1) = c(w1,w2) / c_prefix(w1)`` estimated from the corpus
+    itself — the CCNet-style LM-quality signal one order up from
+    :func:`surprisal_topk`. Three combiner-shaped passes: a
+    (bigram, count) aggregate, a (prefix, count) reduction of it, and
+    a per-doc scoring pass against the broadcast log-prob table.
+
+    Driver/broadcast memory is bounded to the ``top_v`` highest-count
+    bigrams (OOV floor = rarest kept bigram's log-prob) — exact when
+    the true bigram vocabulary fits (always at test scale). A kept
+    bigram's prefix count is always available because a prefix is at
+    least as frequent as any bigram it heads."""
+    from ray.data.aggregate import Sum
+
+    cb = (_read_docs(path).map_batches(_BigramCounts, batch_format="pyarrow",
+                                       concurrency=(1, 8))
+          .groupby("bigram").aggregate(Sum("n", alias_name="c"))
+          .materialize())
+
+    def _prefix(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        w1 = pc.list_element(pc.split_pattern(batch["bigram"], " "), 0)
+        return pa.table({"w1": w1, "n": batch["c"]})
+
+    cp = (cb.map_batches(_prefix, batch_format="pyarrow")
+          .groupby("w1").aggregate(Sum("n", alias_name="cp")))
+    rows = (cb.sort("c", descending=True).limit(top_v).take_all())
+    bgs = np.array([r["bigram"] for r in rows])
+    c = np.array([r["c"] for r in rows], dtype=np.float64)
+    w1_needed = sorted({b.split(" ", 1)[0] for b in bgs})
+    nref = ray.put(pa.array(w1_needed))  # <= top_v prefixes
+
+    def _only_needed(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch["w1"], value_set=ray.get(nref)))
+
+    # driver pull bounded to the kept bigrams' prefixes (never the
+    # whole unigram vocabulary)
+    prows = cp.map_batches(_only_needed, batch_format="pyarrow").take_all()
+    pmap = {r["w1"]: float(r["cp"]) for r in prows}
+    order = np.argsort(bgs)
+    bgs = bgs[order]
+    c = c[order]
+    logp = np.log(c / np.array([pmap[b.split(" ", 1)[0]] for b in bgs]))
+    oov = float(logp.min()) if len(logp) else 0.0
+    ref = ray.put((bgs, logp, oov))
+
+    class Score:
+        def __init__(self):
+            self.bgs, self.logp, self.oov = ray.get(ref)
+
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
+            bg, didx = _batch_bigrams(batch)
+            n = len(batch)
+            tot = np.zeros(n, dtype=np.float64)
+            nb = np.zeros(n, dtype=np.int64)
+            if len(bg):
+                idx = np.searchsorted(self.bgs, bg)
+                idx_c = np.minimum(idx, len(self.bgs) - 1)
+                lp = np.where(self.bgs[idx_c] == bg, self.logp[idx_c],
+                              self.oov)
+                np.add.at(tot, didx, lp)
+                np.add.at(nb, didx, 1)
+            mean_s = np.where(nb > 0, -tot / np.maximum(nb, 1), -np.inf)
+            # quantized integer rank key (ULP-proof vs the SQL oracle)
+            key = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+            has = nb > 0
+            key[has] = np.floor(mean_s[has] * 1e9).astype(np.int64)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "skey": pa.array(key),
+                "has": pa.array(has),
+            })
+
+    got = (_read_docs(path).map_batches(Score, batch_format="pyarrow",
+                                        concurrency=(1, 8))
+           .filter(lambda r: bool(r["has"]))
+           .sort(["skey", "doc_id"], descending=[True, False])
+           .limit(k).to_pandas())
+    return pa.table({
+        "doc_id": pa.array(got["doc_id"].astype("int64")),
+        "rank": pa.array(np.arange(1, len(got) + 1, dtype=np.int64)),
+    })

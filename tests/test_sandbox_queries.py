@@ -281,3 +281,48 @@ def test_search_quality_vs_brute(sbx_corpus, monkeypatch, tmp_path):
                 got.column("n_ret")[i].as_py(),
                 got.column("n_rel")[i].as_py(),
                 got.column("first_rel_rank")[i].as_py()) == rows[qt]
+
+
+def test_span_not_vs_brute(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    got = sq.span_not_match(path, ["data", "merge"], "key", 1, 1)
+    want = []
+    for i, tk in enumerate(_toks(texts)):
+        kq = {j for j, w in enumerate(tk) if w == "key"}
+        ok = False
+        for p in range(len(tk) - 1):
+            if tk[p] == "data" and tk[p + 1] == "merge":
+                # widened exclude [q-1, q+1] overlaps [p, p+1]?
+                if not any(p - 1 <= q <= p + 2 for q in kq):
+                    ok = True
+        if ok:
+            want.append(i)
+    assert got.column("doc_id").to_pylist() == want
+
+
+def test_bigram_surprisal_vs_brute(sbx_corpus):
+    from collections import Counter
+
+    from lucene_ray.pipelines.webtext import bigram_surprisal_topk
+    path, texts, _ = sbx_corpus
+    got = bigram_surprisal_topk(path, k=15)
+
+    toks = _toks(texts)
+    cb, cp = Counter(), Counter()
+    for tk in toks:
+        for a, b in zip(tk, tk[1:]):
+            cb[(a, b)] += 1
+            cp[a] += 1
+    keys, docs = [], []
+    for i, tk in enumerate(toks):
+        pairs = list(zip(tk, tk[1:]))
+        if not pairs:
+            continue
+        s = sum(-np.log(cb[p] / cp[p[0]]) for p in pairs)
+        keys.append(int(np.floor(s / len(pairs) * 1e9)))
+        docs.append(i)
+    order = np.lexsort((np.asarray(docs), -np.asarray(keys)))[:15]
+    want = [docs[j] for j in order]
+    assert got.column("doc_id").to_pylist() == want
