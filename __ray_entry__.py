@@ -840,6 +840,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.webtext",
             fromlist=["bigram_surprisal_topk"])
             .bigram_surprisal_topk(_docp(sf), 20),
+        # BlendedInfixSuggester: weight * 1/(1 + first match position)
+        "suggest_blended_infix": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["suggest_blended_infix"])
+            .suggest_blended_infix(_docp(sf), "merge", 10, "reciprocal"),
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3), so order the surface so the flagship
@@ -2447,4 +2452,19 @@ ds AS (SELECT bg.doc_id, sum(-lp.lp) AS s, count(*) AS nb
 SELECT doc_id, row_number() OVER (
          ORDER BY floor(s / nb * 1e9) DESC, doc_id) AS rank
 FROM ds ORDER BY floor(s / nb * 1e9) DESC, doc_id LIMIT 20""",
+        # BlendedInfixSuggester POSITION_RECIPROCAL: doc weight (token
+        # count) * 1/(1 + first 0-based position of 'merge')
+        "suggest_blended_infix": """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS toks FROM documents),
+tp AS (SELECT doc_id, unnest(toks) AS term,
+              unnest(range(1, len(toks) + 1)) AS p FROM tl),
+f AS (SELECT doc_id, min(p) - 1 AS pos0 FROM tp WHERE term = 'merge'
+      GROUP BY doc_id),
+w AS (SELECT doc_id, len(toks) AS dl FROM tl),
+scored AS (SELECT f.doc_id, w.dl * 1.0 / (1 + f.pos0) AS score
+           FROM f JOIN w ON f.doc_id = w.doc_id)
+SELECT doc_id,
+       row_number() OVER (ORDER BY floor(score * 1e9) DESC, doc_id) AS rank
+FROM scored ORDER BY floor(score * 1e9) DESC, doc_id LIMIT 10""",
     }

@@ -1931,3 +1931,40 @@ def span_not_match(doc_path: str, include_terms: list[str],
                else IPhrase(tuple(include_terms)))
     src = NonOverlapping(include, Extend(ITerm(exclude_term), pre, post))
     return interval_match_docs(s, src)
+
+
+def suggest_blended_infix(doc_path: str, token: str, k: int = 10,
+                          blender: str = "reciprocal") -> pa.Table:
+    """BlendedInfixSuggester role (``suggest/analyzing/BlendedInfix
+    Suggester.java:58-81``): suggestions ranked by
+    ``weight * coefficient(first matched-token position)`` —
+    POSITION_RECIPROCAL ``1/(1+p)`` or POSITION_LINEAR ``1-0.10*p``.
+    Suggestion entries here are the documents themselves with weight =
+    token length (the suggester's stored weight slot); first position
+    comes from the positional postings. (doc_id, rank) quantized."""
+    reader = IndexReader(cached_index(doc_path))
+    parts_d, parts_s = [], []
+    for sr in reader.segments():
+        got = sr.get_positions(token)
+        if got is None:
+            continue
+        docs, freqs, pos = got
+        offs = np.concatenate([[0], np.cumsum(freqs)[:-1]])
+        first = pos[offs].astype(np.float64)
+        w = sr.doc_lens_for(docs).astype(np.float64)
+        if blender == "reciprocal":
+            sc = w / (1.0 + first)
+        elif blender == "linear":
+            sc = w * (1.0 - 0.10 * first)
+        else:
+            raise ValueError(blender)
+        if sr.deleted is not None and len(sr.deleted):
+            keep = ~np.isin(docs, sr.deleted)
+            docs, sc = docs[keep], sc[keep]
+        parts_d.append(docs.astype(np.int64))
+        parts_s.append(sc)
+    if not parts_d:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    return _quantized_rank_table(np.concatenate(parts_d),
+                                 np.concatenate(parts_s), k)

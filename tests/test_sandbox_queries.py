@@ -326,3 +326,24 @@ def test_bigram_surprisal_vs_brute(sbx_corpus):
     order = np.lexsort((np.asarray(docs), -np.asarray(keys)))[:15]
     want = [docs[j] for j in order]
     assert got.column("doc_id").to_pylist() == want
+
+
+def test_blended_infix_vs_brute(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    for blender in ("reciprocal", "linear"):
+        got = sq.suggest_blended_infix(path, "merge", 10, blender)
+        keys, docs = [], []
+        for i, tk in enumerate(_toks(texts)):
+            if "merge" not in tk:
+                continue
+            p = tk.index("merge")
+            w = float(len(tk))
+            s = w / (1.0 + p) if blender == "reciprocal" \
+                else w * (1.0 - 0.10 * p)
+            keys.append(int(np.floor(s * 1e9)))
+            docs.append(i)
+        order = np.lexsort((np.asarray(docs), -np.asarray(keys)))[:10]
+        want = [docs[j] for j in order]
+        assert got.column("doc_id").to_pylist() == want, blender
