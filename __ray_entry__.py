@@ -845,6 +845,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["suggest_blended_infix"])
             .suggest_blended_infix(_docp(sf), "merge", 10, "reciprocal"),
+        # flexible StandardSyntaxParser group min-should-match "@N"
+        "standard_msm_query": lambda sf: parsed_query_docs(
+            _docp(sf), "(data merge spark window)@3"),
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3), so order the surface so the flagship
@@ -2467,4 +2470,11 @@ scored AS (SELECT f.doc_id, w.dl * 1.0 / (1 + f.pos0) AS score
 SELECT doc_id,
        row_number() OVER (ORDER BY floor(score * 1e9) DESC, doc_id) AS rank
 FROM scored ORDER BY floor(score * 1e9) DESC, doc_id LIMIT 10""",
+        # "(data merge spark window)@3": at least 3 distinct terms
+        "standard_msm_query": f"""
+{_TOKS}
+SELECT doc_id FROM toks
+WHERE term IN ('data', 'merge', 'spark', 'window')
+GROUP BY doc_id HAVING count(DISTINCT term) >= 3
+ORDER BY doc_id""",
     }

@@ -235,8 +235,15 @@ class QueryParser:
             self._next()
             # boost directly after the group
             boost = self._group_boost()
+            # flexible-parser group min-should-match: "(a b c)@2"
+            # (queryparser/flexible/standard/StandardSyntaxParser.jj
+            # <AT> NumberToken -> setMinimumNumberShouldMatch)
+            msm = self._group_msm()
             if q is None:
                 return None
+            if msm is not None and isinstance(q, BooleanQuery):
+                from dataclasses import replace as _rep
+                q = _rep(q, min_should_match=msm)
             return BoostQuery(q, boost) if boost is not None else q
         if kind in ("phrase", "regex", "range", "term"):
             self._next()
@@ -252,6 +259,17 @@ class QueryParser:
         if t is not None and t[0] == "gboost":
             self._next()
             return float(t[1][1:])
+        return None
+
+    def _group_msm(self):
+        # "@N" right after a group lexes as a term token; consume it
+        # ONLY in that position (elsewhere '@' stays a term character,
+        # so emails etc. are unaffected)
+        t = self._peek()
+        if t is not None and t[0] == "term" and \
+                re.fullmatch(r"@\d+", t[1]):
+            self._next()
+            return int(t[1][1:])
         return None
 
     def _norm_field(self, fld):

@@ -347,3 +347,22 @@ def test_blended_infix_vs_brute(sbx_corpus, monkeypatch, tmp_path):
         order = np.lexsort((np.asarray(docs), -np.asarray(keys)))[:10]
         want = [docs[j] for j in order]
         assert got.column("doc_id").to_pylist() == want, blender
+
+
+def test_group_msm_syntax():
+    from lucene_ray.search import BooleanQuery
+    from lucene_ray.search.queryparser import parse_query
+    q = parse_query("(data merge spark window)@3")
+    assert isinstance(q, BooleanQuery)
+    assert q.min_should_match == 3
+    assert len(q.should) == 4
+    # '@' stays an ordinary term character at the LEXER (the standard
+    # analyzer then splits the token, pre-existing behavior) — it must
+    # NOT be consumed as a min-should-match marker mid-expression
+    q2 = parse_query("user@example.com")
+    assert getattr(q2, "terms", None) == ("user", "example.com")
+    # boost and msm compose: (...)^2@2 / (...)@2 with boost first
+    q3 = parse_query("(data merge)^2@2")
+    from lucene_ray.search.query import BoostQuery
+    assert isinstance(q3, BoostQuery) and q3.boost == 2.0
+    assert q3.inner.min_should_match == 2
