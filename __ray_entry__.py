@@ -848,6 +848,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flexible StandardSyntaxParser group min-should-match "@N"
         "standard_msm_query": lambda sf: parsed_query_docs(
             _docp(sf), "(data merge spark window)@3"),
+        # QueryProfiler (sandbox): per-node breakdown, deterministic
+        # (node, type, n_matches) columns; wall_ns stays diagnostic
+        "profile_counts": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["profile_query_counts"])
+            .profile_query_counts(_docp(sf), ["data"], ["merge", "spark"]),
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3), so order the surface so the flagship
@@ -2477,4 +2483,25 @@ SELECT doc_id FROM toks
 WHERE term IN ('data', 'merge', 'spark', 'window')
 GROUP BY doc_id HAVING count(DISTINCT term) >= 3
 ORDER BY doc_id""",
+        # profiler breakdown of AND(data, OR(merge, spark)): five nodes
+        # preorder with standalone match counts
+        "profile_counts": f"""
+{_TOKS},
+d AS (SELECT count(DISTINCT doc_id) AS n FROM toks WHERE term = 'data'),
+m AS (SELECT count(DISTINCT doc_id) AS n FROM toks WHERE term = 'merge'),
+s AS (SELECT count(DISTINCT doc_id) AS n FROM toks WHERE term = 'spark'),
+o AS (SELECT count(DISTINCT doc_id) AS n FROM toks
+      WHERE term IN ('merge', 'spark')),
+r AS (SELECT count(*) AS n FROM (
+        SELECT doc_id FROM toks WHERE term IN ('data', 'merge', 'spark')
+        GROUP BY doc_id
+        HAVING count(CASE WHEN term = 'data' THEN 1 END) > 0
+           AND count(CASE WHEN term IN ('merge', 'spark') THEN 1 END) > 0))
+SELECT * FROM (
+  SELECT 'root' AS node, 'BooleanQuery' AS type, n AS n_matches FROM r
+  UNION ALL SELECT 'root.must[0]', 'TermQuery', n FROM d
+  UNION ALL SELECT 'root.must[1]', 'BooleanQuery', n FROM o
+  UNION ALL SELECT 'root.must[1].should[0]', 'TermQuery', n FROM m
+  UNION ALL SELECT 'root.must[1].should[1]', 'TermQuery', n FROM s)
+ORDER BY node""",
     }

@@ -1968,3 +1968,21 @@ def suggest_blended_infix(doc_path: str, token: str, k: int = 10,
                          "rank": pa.array([], pa.int64())})
     return _quantized_rank_table(np.concatenate(parts_d),
                                  np.concatenate(parts_s), k)
+
+
+def profile_query_counts(doc_path: str, terms_and: list[str],
+                         terms_or: list[str]) -> pa.Table:
+    """QueryProfiler role (sandbox QueryProfilerIndexSearcher /
+    QueryProfilerBreakdown): per-node breakdown of
+    ``AND(terms_and..., OR(terms_or...))`` — the deterministic
+    (node, type, n_matches) columns only (wall-clock stays a local
+    diagnostic; see ``search/profiler.py``)."""
+    from ..search.profiler import profile_query
+
+    s = Searcher(IndexReader(cached_index(doc_path)),
+                 similarity="bm25_exact64")
+    q = BooleanQuery(must=tuple(TermQuery(t) for t in terms_and) +
+                     (BooleanQuery(should=tuple(
+                         TermQuery(t) for t in terms_or)),))
+    t = profile_query(s, q)
+    return t.select(["node", "type", "n_matches"])

@@ -366,3 +366,36 @@ def test_group_msm_syntax():
     from lucene_ray.search.query import BoostQuery
     assert isinstance(q3, BoostQuery) and q3.boost == 2.0
     assert q3.inner.min_should_match == 2
+
+
+def test_profiler_breakdown(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    got = sq.profile_query_counts(path, ["data"], ["merge", "spark"])
+    toks = _toks(texts)
+    nd = sum("data" in tk for tk in toks)
+    nm = sum("merge" in tk for tk in toks)
+    ns = sum("spark" in tk for tk in toks)
+    no = sum(("merge" in tk or "spark" in tk) for tk in toks)
+    nr = sum(("data" in tk and ("merge" in tk or "spark" in tk))
+             for tk in toks)
+    rows = dict(zip(got.column("node").to_pylist(),
+                    got.column("n_matches").to_pylist()))
+    assert rows == {"root": nr, "root.must[0]": nd, "root.must[1]": no,
+                    "root.must[1].should[0]": nm,
+                    "root.must[1].should[1]": ns}
+    types = dict(zip(got.column("node").to_pylist(),
+                     got.column("type").to_pylist()))
+    assert types["root"] == "BooleanQuery"
+    assert types["root.must[0]"] == "TermQuery"
+    # the full profile (with wall clock) has the same shape
+    from lucene_ray.search import IndexReader, Searcher
+    from lucene_ray.search.profiler import profile_query
+    s = Searcher(IndexReader(sq.cached_index(path)),
+                 similarity="bm25_exact64")
+    from lucene_ray.search import BooleanQuery, TermQuery
+    q = BooleanQuery(must=(TermQuery("data"),))
+    full = profile_query(s, q)
+    assert full.column_names == ["node", "type", "n_matches", "wall_ns"]
+    assert all(w >= 0 for w in full.column("wall_ns").to_pylist())
