@@ -229,12 +229,18 @@ def decode_png(blob: bytes) -> np.ndarray:
     pos = 8
     ihdr = None
     idat = []
+    plte = None
+    trns = None
     while pos + 8 <= len(blob):
         size, tag = struct.unpack_from(">I4s", blob, pos)
         payload = blob[pos + 8:pos + 8 + size]
         pos += 12 + size
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, np.uint8)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
@@ -245,9 +251,11 @@ def decode_png(blob: bytes) -> np.ndarray:
     if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
         raise ValueError(
             f"unsupported PNG: depth={depth} interlace={interlace}")
-    planes = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    planes = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if planes is None:
         raise ValueError(f"unsupported PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
     bpp = planes
     stride = w * planes
     data = np.frombuffer(_zlib.decompress(b"".join(idat)), np.uint8)
@@ -291,6 +299,16 @@ def decode_png(blob: bytes) -> np.ndarray:
         out[y] = rec
         prev = rec
     img = out.reshape(h, w, planes)
+    if color == 3:  # indexed-color: map through PLTE (+ optional tRNS)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb.copy()
     if planes == 1:
         return img[:, :, 0].copy()
     if planes == 2:  # gray+alpha -> gray

@@ -164,3 +164,73 @@ def test_synth_table_mixes_formats_and_features_match():
         assert img.dtype == np.uint8 and img.ndim == 3
         f = fx._features(blob)
         assert f.shape == (64,) and np.isfinite(f).all()
+
+
+def test_png_palette_roundtrip():
+    """Indexed-color (type 3) PNG: PLTE mapping + optional tRNS alpha,
+    filters over the 1-byte index stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lucene_ray.pipelines.mm_codecs import decode_image, decode_png
+
+    rng = np.random.default_rng(5)
+    h, w, npal = 13, 17, 7
+    palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload +
+                struct.pack(">I", zlib.crc32(tag + payload)))
+
+    # per-row filter types 0..4 exercise every filter on bpp=1 data
+    raw = b""
+    prev = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        ft = y % 5
+        line = idx[y].astype(np.int64)
+        pv = prev.astype(np.int64)
+        if ft == 0:
+            enc = idx[y]
+        elif ft == 1:
+            enc = np.diff(line, prepend=0) & 0xFF
+        elif ft == 2:
+            enc = (line - pv) & 0xFF
+        elif ft == 3:
+            enc = np.zeros(w, dtype=np.int64)
+            for x in range(w):
+                a = line[x - 1] if x else 0
+                enc[x] = (line[x] - (a + pv[x]) // 2) & 0xFF
+        else:
+            enc = np.zeros(w, dtype=np.int64)
+            for x in range(w):
+                a = line[x - 1] if x else 0
+                c = pv[x - 1] if x else 0
+                p = a + pv[x] - c
+                pa_, pb, pc = abs(p - a), abs(p - pv[x]), abs(p - c)
+                pred = a if pa_ <= pb and pa_ <= pc else (
+                    pv[x] if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = idx[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+           chunk(b"PLTE", palette.tobytes()) +
+           chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.shape == (h, w, 3)
+    assert (got == palette[idx]).all()
+    assert (decode_image(png) == palette[idx]).all()
+
+    # tRNS alpha channel
+    trns = np.arange(npal, dtype=np.uint8) * 30
+    png_a = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+             chunk(b"PLTE", palette.tobytes()) +
+             chunk(b"tRNS", bytes(trns)) +
+             chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got_a = decode_png(png_a)
+    assert got_a.shape == (h, w, 4)
+    assert (got_a[:, :, :3] == palette[idx]).all()
+    assert (got_a[:, :, 3] == trns[idx]).all()
