@@ -527,3 +527,119 @@ def decode_gif(blob: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("GIF contains no image data")
+
+
+def decode_gif_frames(blob: bytes, max_frames: int = 256) -> list:
+    """ALL frames of a (possibly animated) GIF composed onto the
+    logical screen -> list of HxWx3 uint8 RGB canvases.
+
+    Honors per-frame Graphic Control Extensions: transparency index
+    (transparent pixels keep the underlying canvas) and disposal
+    methods 2 (restore background) / 3 (restore previous); frames may
+    be partial (l, t, w, h sub-rects), as animation deltas usually are.
+    """
+    if blob[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, size * 3, pos).reshape(size, 3)
+        pos += size * 3
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else \
+        np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames = []
+    transparent = None
+    disposal = 0
+    while pos < len(blob) and len(frames) < max_frames:
+        b = blob[pos]
+        if b == 0x21:
+            label = blob[pos + 1]
+            pos += 2
+            sub0 = pos
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            if label == 0xF9 and blob[sub0] >= 4:  # GCE
+                gpk = blob[sub0 + 1]
+                disposal = (gpk >> 2) & 0x7
+                transparent = blob[sub0 + 4] if gpk & 0x01 else None
+        elif b == 0x2C:
+            left, top, w, h, ipk = struct.unpack_from("<HHHHB", blob,
+                                                      pos + 1)
+            pos += 10
+            ct = gct
+            if ipk & 0x80:
+                size = 2 << (ipk & 0x07)
+                ct = np.frombuffer(blob, np.uint8, size * 3, pos) \
+                    .reshape(size, 3)
+                pos += size * 3
+            mcs = blob[pos]
+            pos += 1
+            parts = []
+            while blob[pos] != 0:
+                ln = blob[pos]
+                parts.append(blob[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(parts), mcs, w * h)
+            if len(idx) < w * h:
+                idx = np.pad(idx, (0, w * h - len(idx)))
+            img = idx.reshape(h, w)
+            if ipk & 0x40:
+                rows = np.concatenate([np.arange(start, h, step)
+                                       for start, step in
+                                       _INTERLACE_PASSES])
+                deinter = np.empty_like(img)
+                deinter[rows] = img
+                img = deinter
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top:top + h, left:left + w]
+            rgb = ct[img]
+            if transparent is not None:
+                opaque = img != transparent
+                region[opaque] = rgb[opaque]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top:top + h, left:left + w] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            transparent = None
+            disposal = 0
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def encode_gif_animation(frame_indices: list, palette: np.ndarray) -> bytes:
+    """List of (H, W) uint8 index images + shared palette -> animated
+    GIF89a (full-frame replacement, no transparency)."""
+    h, w = frame_indices[0].shape
+    n = len(palette)
+    bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    mcs = max(2, bits)
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0),
+           pal.tobytes()]
+    for fi in frame_indices:
+        out.append(b"\x21\xf9\x04\x00\x04\x00\x00\x00")  # GCE delay=4
+        out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+        data = _lzw_encode_uncompressed(fi.reshape(-1), mcs)
+        out.append(bytes([mcs]))
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(bytes([len(chunk)]) + chunk)
+        out.append(b"\x00")
+    out.append(b";")
+    return b"".join(out)

@@ -234,3 +234,62 @@ def test_png_palette_roundtrip():
     assert got_a.shape == (h, w, 4)
     assert (got_a[:, :, :3] == palette[idx]).all()
     assert (got_a[:, :, 3] == trns[idx]).all()
+
+
+def test_gif_animation_frames_and_sampler():
+    """Animated GIF decode: full-frame replacement roundtrip, partial
+    frames with transparency, disposal=2; VideoFrameSampler plumbing."""
+    import numpy as np
+
+    from lucene_ray.pipelines.mm_codecs import (
+        decode_gif_frames, encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(9)
+    palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, size=(10, 12), dtype=np.uint8)
+              for _ in range(5)]
+    blob = encode_gif_animation(frames, palette)
+    got = decode_gif_frames(blob)
+    assert len(got) == 5
+    for fi, g in zip(frames, got):
+        assert (g == palette[fi]).all()
+
+    # hand-built partial frame with transparency over a first frame
+    import struct
+    h, w = 4, 4
+    base = np.zeros((h, w), dtype=np.uint8)
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                   dtype=np.uint8)
+    blob1 = encode_gif_animation([base], pal)
+    # append a 2x2 sub-rect at (1,1) with index 2, transparent idx 3
+    from lucene_ray.pipelines.mm_codecs import _lzw_encode_uncompressed
+    sub = np.array([[2, 3], [3, 2]], dtype=np.uint8)
+    gce = b"\x21\xf9\x04\x01\x04\x00\x03\x00"  # transparency on, idx 3
+    desc = b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0)
+    lzw = _lzw_encode_uncompressed(sub.reshape(-1), 2)
+    frame2 = gce + desc + bytes([2]) + bytes([len(lzw)]) + lzw + b"\x00"
+    blob2 = blob1[:-1] + frame2 + b";"
+    got2 = decode_gif_frames(blob2)
+    assert len(got2) == 2
+    want = pal[base].copy()
+    want[1, 1] = pal[2]
+    want[2, 2] = pal[2]  # transparent cells keep the underlying canvas
+    assert (got2[1] == want).all()
+
+    # sampler: one row per (doc, frame), even sampling
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.multimodal import VideoFrameSampler
+    batch = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "video": pa.array([blob], pa.binary())})
+    out = VideoFrameSampler(n_frames=3)(batch)
+    assert out.column("doc_id").to_pylist() == [7, 7, 7]
+    assert out.column("frame").to_pylist() == [0, 2, 4]
+    assert out.column("n_frames").to_pylist() == [5, 5, 5]
+    assert all(len(f) == 64 for f in out.column("feature").to_pylist())
+    # fake decoder keeps the plumbing runnable for non-GIF containers
+    fake = VideoFrameSampler(n_frames=2, decoder="fake")(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "video": pa.array([b"mp4-bytes"], pa.binary())}))
+    assert len(fake) == 2
