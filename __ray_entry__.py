@@ -135,6 +135,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pq.write_table(synth_image_table(64), p)
         return image_features(p, batch_size=16)
 
+    def _mm_video(sf_dir):
+        # deterministic animated-GIF clips (real encoder); REAL
+        # multi-frame decode (GCE composition) -> evenly-sampled frame
+        # features; rows-only but content-derived and hash-stable
+        import os
+        import pyarrow.parquet as pq
+        from lucene_ray.pipelines.multimodal import (synth_video_table,
+                                                     video_frame_features)
+        p = "/tmp/lucene_ray_cache/mm_video.parquet"
+        if not os.path.exists(p):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            pq.write_table(synth_video_table(48), p)
+        return video_frame_features(p, n_frames=3, batch_size=16)
+
     def _mm_audio(sf_dir):
         import os
         import pyarrow.parquet as pq
@@ -722,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal (real BMP/WAV codecs; deterministic synth input) ---
         "image_grid_features": lambda sf: _mm_images(sf),
         "audio_band_spectra": lambda sf: _mm_audio(sf),
+        "video_frame_features": lambda sf: _mm_video(sf),
         "knn_ivf_top10": lambda sf: __import__(
             "lucene_ray.pipelines.ivf", fromlist=["knn_ivf"]).knn_ivf(
             _embp(sf), range(10), 10, nprobe=22),  # partitioned ANN index

@@ -332,3 +332,45 @@ class VideoFrameSampler:
             "feature": pa.array(feats,
                                 pa.list_(pa.float32(), self.feature_dim)),
         })
+
+
+def synth_video_table(n: int, seed: int = 11, n_frames: int = 6) -> pa.Table:
+    """Deterministic animated-GIF clip corpus (real encoded bytes:
+    shared palette, moving-block frames)."""
+    from .mm_codecs import encode_gif_animation
+    rng = np.random.default_rng(seed)
+    blobs, nf = [], []
+    for i in range(n):
+        h = int(rng.integers(12, 24))
+        w = int(rng.integers(12, 24))
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        k = int(rng.integers(2, n_frames + 1))
+        frames = []
+        for f in range(k):
+            fr = np.zeros((h, w), dtype=np.uint8)
+            y = (f * 3) % max(h - 4, 1)
+            x = (f * 5) % max(w - 4, 1)
+            fr[y:y + 4, x:x + 4] = 1 + (f % 7)
+            frames.append(fr)
+        blobs.append(encode_gif_animation(frames, pal))
+        nf.append(k)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "video": pa.array(blobs, pa.binary()),
+        "mime": pa.array(["image/gif"] * n, pa.string()),
+        "n_frames": pa.array(nf, pa.int32()),
+    })
+
+
+def video_frame_features(ds_or_path, *, n_frames: int = 4,
+                         batch_size: int = 16,
+                         decoder: str = "gif") -> ray.data.Dataset:
+    """video table -> one feature row per sampled (doc, frame). Small
+    batches: clip payloads are large; decode state lives per actor."""
+    ds = (ray.data.read_parquet(ds_or_path)
+          if isinstance(ds_or_path, str) else ds_or_path)
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames, "decoder": decoder},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=default_concurrency())
