@@ -31,8 +31,12 @@ an affix), or decomposes as ``stem+sfx``, ``pfx+stem``,
 ``pfx+stem+sfx`` (both cross-product), or ``stem+sfx_inner+sfx_outer``
 where the outer suffix's flag appears in the inner suffix's
 continuation classes (hunspell's twofold suffix stripping). Homonyms
-yield one stem per dictionary entry. Unknown-case words fall back to
-a lowercase lookup.
+yield one stem per dictionary entry. Case handling follows
+``Stemmer.varyCase`` (Stemmer.java:111-140): UPPER words union the
+title- and lower-case variants' stems, TITLE words the lower-case
+variant's (conformance: the transcribed ``TestCaseSensitive``
+36-golden suite); MIXED words additionally fall back to a lowercase
+lookup when nothing matched (the Dictionary ``ignoreCase`` role).
 
 Scale shape: the parsed dictionary is a plain picklable object built
 once per actor in a ``map_batches`` stage's ``__init__`` (the
@@ -266,12 +270,44 @@ class HunspellStemmer:
             word = word.translate(self._ign)
         if not word:
             return []
-        out = self._forms(word)
+        # Stemmer.analyze (Stemmer.java:96-105): the exact-case form
+        # ALWAYS stems; UPPER words also try the title and lower case
+        # variants, TITLE words the lower variant (varyCase:111-140,
+        # union of all variants' stems — duplicates kept, one stem per
+        # dictionary entry); MIXED words (first char lowercase, or
+        # interior capitals) get no case folding in the reference
+        # unless the dictionary was loaded ignoreCase — that role is
+        # played by the lowercase fallback when nothing else matched.
+        out = list(self._forms(word))
+        for v in self._case_variants(word):
+            out.extend(self._forms(v))
         if not out:
             low = word.lower()
             if low != word:
                 out = self._forms(low)
         return out
+
+    def _case_variants(self, word: str) -> list[str]:
+        """Title/lower variants per WordCase.caseOf: UPPER = no
+        lowercase letters at all; TITLE = first char upper, no other
+        uppercase; anything else (incl. lowercase-first) is MIXED."""
+        if not word or word[0].islower():
+            return []
+        has_lower = any(c.islower() for c in word)
+        n_upper = sum(1 for c in word if c.isupper())
+        variants = []
+        if not has_lower and n_upper >= 1:  # UPPER
+            title = word[0] + word[1:].lower()
+            if title != word:
+                variants.append(title)
+            low = word.lower()
+            if low != word and low != title:
+                variants.append(low)
+        elif word[0].isupper() and n_upper == 1:  # TITLE
+            low = word.lower()
+            if low != word:
+                variants.append(low)
+        return variants
 
     def _forms(self, word: str) -> list[str]:
         d = self.d

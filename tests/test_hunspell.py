@@ -228,3 +228,46 @@ def test_filter_plugs_into_analyzer_chain():
 
     a = HunspellAnalyzer(stop_words=frozenset())
     assert a("Trees and Baking") == ["tree", "and", "bake"]
+
+
+@needs_ref
+def test_case_sensitive_variants():
+    """TestCaseSensitive.java testAllPossibilities transcribed — the
+    UPPER/TITLE case-variant union semantics of Stemmer.varyCase
+    (duplicates kept, one stem per matching dictionary entry)."""
+    st = _stemmer("casesensitive")
+    check(st, "drink", "drink")
+    check(st, "drinks", "drink")
+    check(st, "drinkS", "drink")
+    check(st, "gooddrinks", "drink")
+    check(st, "Gooddrinks", "drink", "drink")
+    check(st, "GOODdrinks", "drink")
+    check(st, "gooddrinkS", "drink")
+    check(st, "GooddrinkS", "drink")
+    check(st, "gooddrink", "drink")
+    check(st, "Gooddrink", "drink", "drink")
+    check(st, "GOODdrink", "drink")
+    check(st, "Drink", "drink", "Drink")
+    check(st, "Drinks", "drink", "Drink")
+    check(st, "DrinkS", "Drink")
+    check(st, "goodDrinks", "Drink")
+    check(st, "GoodDrinks", "Drink")
+    check(st, "GOODDrinks", "Drink")
+    check(st, "goodDrinkS", "Drink")
+    check(st, "GoodDrinkS", "Drink")
+    check(st, "GOODDrinkS", "Drink")
+    check(st, "goodDrink", "Drink")
+    check(st, "GoodDrink", "Drink")
+    check(st, "GOODDrink", "Drink")
+    check(st, "DRINK", "DRINK", "drink", "Drink")
+    check(st, "DRINKs", "DRINK")
+    check(st, "DRINKS", "DRINK", "drink", "Drink")
+    check(st, "goodDRINKs", "DRINK")
+    check(st, "GoodDRINKs", "DRINK")
+    check(st, "GOODDRINKs", "DRINK")
+    check(st, "goodDRINKS", "DRINK")
+    check(st, "GoodDRINKS", "DRINK")
+    check(st, "GOODDRINKS", "DRINK", "drink", "drink")
+    check(st, "goodDRINK", "DRINK")
+    check(st, "GoodDRINK", "DRINK")
+    check(st, "GOODDRINK", "DRINK", "drink", "drink")
