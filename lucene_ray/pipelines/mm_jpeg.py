@@ -1,12 +1,16 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy.
+"""JPEG (ITU-T T.81 / JFIF) codec in pure numpy.
 
-Decoder: baseline sequential DCT, 8-bit, Huffman entropy coding —
-markers SOI/APP*/COM/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI; 4:4:4, 4:2:2 and
-4:2:0 chroma subsampling; restart-interval DC-predictor resets.
-Encoder: 4:4:4 baseline with the Annex K example quantization and
-Huffman tables (quality-scaled per the IJG convention), byte-stuffed
-entropy stream. Round-trips are lossy by design; tests bound the
-reconstruction error on smooth images and check marker structure.
+Decoder: baseline sequential DCT (SOF0/1) — 4:4:4, 4:2:2 and 4:2:0
+chroma subsampling, restart-interval DC-predictor resets — AND
+progressive DCT (SOF2, Annex G): spectral-selection bands,
+successive-approximation DC/AC first + refinement scans (G.1.2.3
+correction-bit walk), EOB runs, multi-scan coefficient accumulation.
+Encoders: 4:4:4/4:2:0 baseline with the Annex K example tables
+(quality-scaled per the IJG convention) and a progressive SS+SA
+scan-script encoder; both share the quantized-coefficient front end,
+so progressive-encode -> decode is PIXEL-IDENTICAL to the baseline
+round trip at the same quality (the conformance gate in
+``tests/test_jpeg.py::TestProgressive``).
 
 The reference treats image payloads through third-party decoders; this
 repo keeps multimodal columns opaque ``binary`` and implements the
@@ -197,9 +201,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for c in range(n):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: progressive DCT
+            return _decode_progressive(blob)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG is supported")
+            raise ValueError(
+                "only baseline/extended sequential and progressive "
+                "Huffman JPEG are supported")
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -470,5 +478,498 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
             + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
             + b"\x00\x3f\x00")
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive DCT (SOF2) --------------------------------------------------
+# Multi-scan decode per T.81 Annex G: spectral selection (Ss..Se bands)
+# and successive approximation (Ah/Al bit planes) for both DC and AC,
+# EOB runs, per-scan Huffman tables, restart intervals. Coefficients
+# accumulate across scans into per-component arrays; dequantize + IDCT
+# once at the end.
+
+
+def _destuff_entropy(blob: bytes, start: int):
+    """(destuffed bytes, restart bit positions, index of the next
+    marker's 0xFF) from a raw entropy-coded segment."""
+    out = bytearray()
+    rst_bitpos = []
+    j = start
+    while j < len(blob):
+        b = blob[j]
+        if b == 0xFF:
+            nxt = blob[j + 1] if j + 1 < len(blob) else 0xD9
+            if nxt == 0x00:
+                out.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                rst_bitpos.append(len(out) * 8)
+                j += 2
+                continue
+            break
+        out.append(b)
+        j += 1
+    return bytes(out), rst_bitpos, j
+
+
+def _decode_progressive(blob: bytes) -> np.ndarray:
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    comps: list[tuple] = []
+    width = height = 0
+    restart = 0
+    coef: dict[int, np.ndarray] = {}  # cid -> (nby_pad, nbx_pad, 64)
+    pred: dict[int, int] = {}
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    i = 2
+    while i + 1 < len(blob):
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        marker = blob[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", blob[i + 2:i + 4])[0]
+        seg = blob[i + 4:i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq_, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq_ == 0:
+                    qt[tq] = np.frombuffer(seg[j + 1:j + 65],
+                                           dtype=np.uint8).astype(np.float64)
+                    j += 65
+                else:
+                    qt[tq] = np.frombuffer(seg[j + 1:j + 129],
+                                           dtype=">u2").astype(np.float64)
+                    j += 129
+        elif marker == 0xC2:
+            height, width = struct.unpack(">HH", seg[1:5])
+            n = seg[5]
+            comps = []
+            for c in range(n):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for cid, h, v, tq in comps:
+                coef[cid] = np.zeros((mcuy * v, mcux * h, 64),
+                                     dtype=np.int64)
+                pred[cid] = 0
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _HuffDecoder(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
+                           seg[2 + 2 * c] & 0xF) for c in range(ns)]
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            data, rst_bitpos, nxt = _destuff_entropy(blob, i + 2 + ln)
+            _progressive_scan(
+                coef, pred, comps, scan_comps, huff_dc, huff_ac,
+                ss, se, ahal >> 4, ahal & 0xF, data, rst_bitpos,
+                restart, width, height, hmax, vmax, mcux, mcuy)
+            i = nxt
+            continue
+        i += 2 + ln
+    if not comps or not coef:
+        raise ValueError("truncated progressive JPEG")
+
+    planes = {}
+    for cid, h, v, tq in comps:
+        cz = coef[cid]
+        nby, nbx = cz.shape[:2]
+        blk = (cz.astype(np.float64) * qt[tq][None, None, :])
+        blk = blk[:, :, _UNZIGZAG].reshape(nby, nbx, 8, 8)
+        pix = np.einsum("ji,xyjk,kl->xyil", _DCT, blk, _DCT) + 128.0
+        planes[cid] = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    full = []
+    for cid, h, v, tq in comps:
+        p = planes[cid]
+        if h < hmax or v < vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+def _progressive_scan(coef, pred, comps, scan_comps, huff_dc, huff_ac,
+                      ss, se, ah, al, data, rst_bitpos, restart,
+                      width, height, hmax, vmax, mcux, mcuy):
+    reader = _BitReader(data)
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    state = {"eobrun": 0}
+
+    def dc_first(cz, by, bx, cs, td):
+        s = reader.decode(huff_dc[td])
+        diff = _extend(reader.read(s), s) if s else 0
+        pred[cs] += diff
+        cz[by, bx, 0] = pred[cs] << al
+
+    def dc_refine(cz, by, bx):
+        cz[by, bx, 0] |= reader.read(1) << al
+
+    def ac_first(zz, ta):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode(huff_ac[ta])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + (reader.read(r) if r
+                                                  else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            zz[k] = _extend(reader.read(s), s) << al
+            k += 1
+
+    def ac_refine(zz, ta):
+        # T.81 G.1.2.3 / the canonical successive-approximation
+        # refinement walk: newly-significant coefficients arrive as
+        # (run, 1) symbols; every already-nonzero coefficient crossed
+        # (or remaining after EOB) consumes one correction bit.
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode(huff_ac[ta])
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        # FULL count here (no -1): the current block
+                        # decrements in the correction-bit tail below
+                        state["eobrun"] = (1 << r) + (
+                            reader.read(r) if r else 0)
+                        break
+                else:
+                    val = p1 if reader.read(1) else m1
+                while k <= se:
+                    c = int(zz[k])
+                    if c != 0:
+                        if reader.read(1) and (c & p1) == 0:
+                            zz[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                c = int(zz[k])
+                if c != 0 and reader.read(1) and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def maybe_restart(n_unit, rst_i):
+        if restart and n_unit and n_unit % restart == 0:
+            if rst_i < len(rst_bitpos):
+                reader.pos = rst_bitpos[rst_i]
+                rst_i += 1
+            for c in pred:
+                pred[c] = 0
+            state["eobrun"] = 0
+        return rst_i
+
+    rst_i = 0
+    if len(scan_comps) > 1:
+        # interleaved: DC scans only (T.81 G.1.1.1.1)
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan")
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                rst_i = maybe_restart(n_mcu, rst_i)
+                n_mcu += 1
+                for cs, td, ta in scan_comps:
+                    h, v, tq = by_id[cs]
+                    for by in range(v):
+                        for bx in range(h):
+                            if ah == 0:
+                                dc_first(coef[cs], my * v + by,
+                                         mx * h + bx, cs, td)
+                            else:
+                                dc_refine(coef[cs], my * v + by,
+                                          mx * h + bx)
+    else:
+        cs, td, ta = scan_comps[0]
+        h, v, tq = by_id[cs]
+        # non-interleaved dims: ceil of the COMPONENT size (T.81 A.2.2)
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        nbx = -(-cw // 8)
+        nby = -(-ch // 8)
+        cz = coef[cs]
+        n_blk = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                rst_i = maybe_restart(n_blk, rst_i)
+                n_blk += 1
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(cz, by, bx, cs, td)
+                    else:
+                        dc_refine(cz, by, bx)
+                else:
+                    if ah == 0:
+                        ac_first(cz[by, bx], ta)
+                    else:
+                        ac_refine(cz[by, bx], ta)
+
+
+# progressive AC scans need EOBn symbols the Annex K baseline tables
+# lack: one flat table with every (run, size<=10) symbol at 9 bits
+_AC_P = ([0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+         sorted((r << 4) | s for r in range(16) for s in range(11)))
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """HxWx3 RGB (or HxW gray) uint8 -> progressive JFIF bytes (SOF2,
+    4:4:4): the canonical spectral-selection + successive-approximation
+    scan script — DC first at Al=1 (interleaved), AC bands 1-5 / 6-63
+    first at Al=1 per component, then DC and AC refinement scans at
+    Al=0 (T.81 Annex G; AC refinement per G.1.2.3's buffered
+    correction-bit algorithm). Fully decodable by ``decode_jpeg`` and
+    coefficient-identical to ``encode_jpeg`` at the same quality."""
+    gray = img.ndim == 2
+    if gray:
+        planes_in = [img.astype(np.float64)]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = (128 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1]
+              + 0.5 * f[..., 2])
+        cr = (128 + 0.5 * f[..., 0] - 0.418688 * f[..., 1]
+              - 0.081312 * f[..., 2])
+        planes_in = [y, cb, cr]
+    h, w = img.shape[:2]
+    ql = _quality_scale(_QL, quality)
+    qc = _quality_scale(_QC, quality)
+    qs = [ql] + [qc, qc][:len(planes_in) - 1]
+    ph = -(-h // 8) * 8
+    pw = -(-w // 8) * 8
+    coefs = [_block_coefs(_pad_plane(p, ph, pw) - 128.0, q)
+             for p, q in zip(planes_in, qs)]
+    nby, nbx = ph // 8, pw // 8
+    nc = len(coefs)
+
+    dc_codes = [_canonical_codes(*_DC_L)] + \
+        [_canonical_codes(*_DC_C)] * (nc - 1)
+    ac_codes = _canonical_codes(*_AC_P)
+
+    scans = []  # (sos_payload, entropy bytes)
+
+    def sos(comp_specs, ss, se, ah, al, bw):
+        payload = bytes([len(comp_specs)])
+        for cs, td, ta in comp_specs:
+            payload += bytes([cs, (td << 4) | ta])
+        payload += bytes([ss, se, (ah << 4) | al])
+        scans.append((payload, bytes(bw.out)))
+
+    # --- scan 1: DC first, interleaved, Al=1 (arithmetic shift) ---
+    bw = _BitWriter()
+    pred = [0] * nc
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(nc):
+                dc = int(coefs[ci][by, bx, 0]) >> 1
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                s = _csize(diff)
+                code, lnc = dc_codes[ci][s]
+                bw.write(code, lnc)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)],
+        0, 0, 0, 1, bw)
+
+    def ac_first(cz, lo, hi, al):
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, lnc = ac_codes[nbits << 4]
+                bw.write(code, lnc)
+                if nbits:
+                    bw.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = cz[by, bx]
+                pts = [(1 if int(v) >= 0 else -1) * (abs(int(v)) >> al)
+                       for v in zz[lo:hi + 1]]
+                nz = [i for i, v in enumerate(pts) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = pts[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, lnc = ac_codes[0xF0]
+                        bw.write(code, lnc)
+                        run -= 16
+                    s = _csize(v)
+                    code, lnc = ac_codes[(run << 4) | s]
+                    bw.write(code, lnc)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if nz[-1] < hi - lo:
+                    eobrun = 1
+        flush_eob()
+        bw.flush()
+        return bw
+
+    def ac_refine(cz, lo, hi, al):
+        # G.1.2.3 encoder: pool = correction bits owed to the pending
+        # EOB run (flushed after its EOBn), cur = bits since the last
+        # emitted symbol in this block (flushed after symbol + sign)
+        bw = _BitWriter()
+        eobrun = 0
+        pool: list[int] = []
+        cur: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, lnc = ac_codes[nbits << 4]
+                bw.write(code, lnc)
+                if nbits:
+                    bw.write(eobrun - (1 << nbits), nbits)
+                for b in pool:
+                    bw.write(b, 1)
+                pool.clear()
+                eobrun = 0
+
+        def flush_cur():
+            for b in cur:
+                bw.write(b, 1)
+            cur.clear()
+
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = cz[by, bx]
+                absv = [abs(int(v)) >> al for v in zz[lo:hi + 1]]
+                eob = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i
+                r = 0
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eob()
+                        code, lnc = ac_codes[0xF0]
+                        bw.write(code, lnc)
+                        r -= 16
+                        flush_cur()
+                    if t > 1:
+                        cur.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, lnc = ac_codes[(r << 4) | 1]
+                    bw.write(code, lnc)
+                    bw.write(0 if int(zz[lo + i]) < 0 else 1, 1)
+                    flush_cur()
+                    r = 0
+                if r > 0 or cur:
+                    eobrun += 1
+                    pool.extend(cur)
+                    cur.clear()
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        return bw
+
+    for ci in range(nc):  # AC first passes, per component per band
+        ta = 0
+        for lo, hi in ((1, 5), (6, 63)):
+            sos([(ci + 1, 0, ta)], lo, hi, 0, 1,
+                ac_first(coefs[ci], lo, hi, 1))
+
+    # DC refinement (raw bits, interleaved, Ah=1 -> Al=0)
+    bw = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(nc):
+                bw.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0, bw)
+
+    for ci in range(nc):  # AC refinement passes
+        for lo, hi in ((1, 5), (6, 63)):
+            sos([(ci + 1, 0, 0)], lo, hi, 1, 0,
+                ac_refine(coefs[ci], lo, hi, 0))
+
+    # --- assemble ---
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for tq, tbl in list(((0, ql), (1, qc)))[:min(nc, 2)]:
+        out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+                + bytes(tbl.astype(np.uint8)[_ZIGZAG]))
+    out += (b"\xff\xc2" + struct.pack(">H", 8 + 3 * nc) + b"\x08"
+            + struct.pack(">HH", h, w) + bytes([nc]))
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _dht_segment(0, 0, *_DC_L)
+    if nc > 1:
+        out += _dht_segment(0, 1, *_DC_C)
+    out += _dht_segment(1, 0, *_AC_P)
+    for payload, data in scans:
+        out += (b"\xff\xda" + struct.pack(">H", len(payload) + 2)
+                + payload + data)
     out += b"\xff\xd9"
     return bytes(out)

@@ -94,10 +94,11 @@ class TestStructure:
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG\r\n")
 
-    def test_progressive_rejected(self):
+    def test_lossless_rejected(self):
+        # progressive (SOF2) is now supported; lossless (SOF3) is not
         blob = bytearray(encode_jpeg(_gradient(8, 8), 85))
         i = bytes(blob).index(b"\xff\xc0")
-        blob[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        blob[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
         with pytest.raises(ValueError):
             decode_jpeg(bytes(blob))
 
@@ -108,3 +109,61 @@ class TestDispatch:
         dec = decode_image(encode_jpeg(img, 90))
         assert dec.shape == (16, 16, 3)
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+class TestProgressive:
+    """SOF2 progressive (T.81 Annex G): spectral selection +
+    successive approximation, DC/AC first + refinement scans, EOB
+    runs. The progressive encoder shares `_block_coefs` with the
+    baseline encoder, so decoding its output must give PIXEL-IDENTICAL
+    results to the baseline round trip at the same quality — an exact
+    equivalence gate over every scan type."""
+
+    def _eq(self, img, quality):
+        from lucene_ray.pipelines.mm_jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+        )
+        base = decode_jpeg(encode_jpeg(img, quality))
+        blob = encode_jpeg_progressive(img, quality)
+        # really progressive: SOF2 marker + >= 6 SOS scans
+        assert b"\xff\xc2" in blob and blob.count(b"\xff\xda") >= 6
+        assert (decode_jpeg(blob) == base).all()
+
+    def test_gradient_rgb(self):
+        yy, xx = np.mgrid[0:45, 0:61]
+        rng = np.random.default_rng(3)
+        img = np.stack([
+            xx * 255 // 60, yy * 255 // 44,
+            (xx + yy) * 127 // 104 + rng.integers(0, 30, (45, 61)),
+        ], axis=2).astype(np.uint8)
+        self._eq(img, 85)
+
+    def test_grayscale(self):
+        yy, xx = np.mgrid[0:33, 0:40]
+        self._eq((xx * 6 + yy * 2).astype(np.uint8), 70)
+
+    def test_noise_stresses_zrl_and_refinement(self):
+        rng = np.random.default_rng(7)
+        self._eq(rng.integers(0, 256, (32, 40, 3), dtype=np.uint8), 95)
+
+    def test_flat_long_eob_runs(self):
+        img = np.full((64, 72, 3), 130, dtype=np.uint8)
+        img[10, 11] = [200, 20, 90]
+        self._eq(img, 30)
+
+    def test_low_quality_sparse(self):
+        rng = np.random.default_rng(11)
+        self._eq(rng.integers(100, 140, (24, 17, 3), dtype=np.uint8), 5)
+
+    def test_multiple_qualities_and_sizes(self):
+        rng = np.random.default_rng(13)
+        for q, (h, w) in [(50, (8, 8)), (75, (9, 23)), (92, (17, 16))]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            self._eq(img, q)
+
+    def test_decode_image_dispatch(self):
+        from lucene_ray.pipelines.mm_codecs import decode_image
+        from lucene_ray.pipelines.mm_jpeg import encode_jpeg_progressive
+        img = np.full((16, 16, 3), 99, dtype=np.uint8)
+        out = decode_image(encode_jpeg_progressive(img, 90))
+        assert out.shape == (16, 16, 3)
