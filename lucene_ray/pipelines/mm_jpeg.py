@@ -760,15 +760,21 @@ _AC_P = ([0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
          sorted((r << 4) | s for r in range(16) for s in range(11)))
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsampling: str = "4:4:4") -> bytes:
     """HxWx3 RGB (or HxW gray) uint8 -> progressive JFIF bytes (SOF2,
-    4:4:4): the canonical spectral-selection + successive-approximation
-    scan script — DC first at Al=1 (interleaved), AC bands 1-5 / 6-63
-    first at Al=1 per component, then DC and AC refinement scans at
-    Al=0 (T.81 Annex G; AC refinement per G.1.2.3's buffered
-    correction-bit algorithm). Fully decodable by ``decode_jpeg`` and
-    coefficient-identical to ``encode_jpeg`` at the same quality."""
+    4:4:4 or 4:2:0): the canonical spectral-selection + successive-
+    approximation scan script — DC first at Al=1 (interleaved MCU
+    order), AC bands 1-5 / 6-63 first at Al=1 per component (over the
+    ceil-of-component-size block grid, T.81 A.2.2), then DC and AC
+    refinement scans at Al=0 (Annex G; AC refinement per G.1.2.3's
+    buffered correction-bit algorithm). Fully decodable by
+    ``decode_jpeg`` and coefficient-identical to ``encode_jpeg`` at
+    the same quality over the visible (cropped) region."""
     gray = img.ndim == 2
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    sub = subsampling == "4:2:0" and not gray
     if gray:
         planes_in = [img.astype(np.float64)]
     else:
@@ -783,12 +789,33 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     ql = _quality_scale(_QL, quality)
     qc = _quality_scale(_QC, quality)
     qs = [ql] + [qc, qc][:len(planes_in) - 1]
-    ph = -(-h // 8) * 8
-    pw = -(-w // 8) * 8
-    coefs = [_block_coefs(_pad_plane(p, ph, pw) - 128.0, q)
-             for p, q in zip(planes_in, qs)]
-    nby, nbx = ph // 8, pw // 8
+    mcu = 16 if sub else 8
+    ph = -(-h // mcu) * mcu
+    pw = -(-w // mcu) * mcu
+    if sub:
+        yp = _pad_plane(planes_in[0], ph, pw) - 128.0
+        cbp = _pad_plane(planes_in[1], ph, pw)
+        crp = _pad_plane(planes_in[2], ph, pw)
+        cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+        crp = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+        coefs = [_block_coefs(yp, ql), _block_coefs(cbp, qc),
+                 _block_coefs(crp, qc)]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        coefs = [_block_coefs(_pad_plane(p, ph, pw) - 128.0, q)
+                 for p, q in zip(planes_in, qs)]
+        samp = [(1, 1)] * len(coefs)
     nc = len(coefs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcuy, mcux = ph // (8 * vmax), pw // (8 * hmax)
+    # non-interleaved (AC) scan grid: ceil of the COMPONENT size
+    ac_dims = []
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        ac_dims.append((-(-ch // 8), -(-cw // 8)))
 
     dc_codes = [_canonical_codes(*_DC_L)] + \
         [_canonical_codes(*_DC_C)] * (nc - 1)
@@ -803,25 +830,30 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
         payload += bytes([ss, se, (ah << 4) | al])
         scans.append((payload, bytes(bw.out)))
 
-    # --- scan 1: DC first, interleaved, Al=1 (arithmetic shift) ---
+    # --- scan 1: DC first, interleaved MCU order, Al=1 (arith shift) ---
     bw = _BitWriter()
     pred = [0] * nc
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(nc):
-                dc = int(coefs[ci][by, bx, 0]) >> 1
-                diff = dc - pred[ci]
-                pred[ci] = dc
-                s = _csize(diff)
-                code, lnc = dc_codes[ci][s]
-                bw.write(code, lnc)
-                if s:
-                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(coefs[ci][my * sv + by,
+                                           mx * sh + bx, 0]) >> 1
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        s = _csize(diff)
+                        code, lnc = dc_codes[ci][s]
+                        bw.write(code, lnc)
+                        if s:
+                            bw.write(diff if diff >= 0
+                                     else diff + (1 << s) - 1, s)
     bw.flush()
     sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)],
         0, 0, 0, 1, bw)
 
-    def ac_first(cz, lo, hi, al):
+    def ac_first(cz, lo, hi, al, nby, nbx):
         bw = _BitWriter()
         eobrun = 0
 
@@ -868,7 +900,7 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
         bw.flush()
         return bw
 
-    def ac_refine(cz, lo, hi, al):
+    def ac_refine(cz, lo, hi, al, nby, nbx):
         # G.1.2.3 encoder: pool = correction bits owed to the pending
         # EOB run (flushed after its EOBn), cur = bits since the last
         # emitted symbol in this block (flushed after symbol + sign)
@@ -934,24 +966,27 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
         return bw
 
     for ci in range(nc):  # AC first passes, per component per band
-        ta = 0
         for lo, hi in ((1, 5), (6, 63)):
-            sos([(ci + 1, 0, ta)], lo, hi, 0, 1,
-                ac_first(coefs[ci], lo, hi, 1))
+            sos([(ci + 1, 0, 0)], lo, hi, 0, 1,
+                ac_first(coefs[ci], lo, hi, 1, *ac_dims[ci]))
 
-    # DC refinement (raw bits, interleaved, Ah=1 -> Al=0)
+    # DC refinement (raw bits, interleaved MCU order, Ah=1 -> Al=0)
     bw = _BitWriter()
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(nc):
-                bw.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(int(coefs[ci][my * sv + by,
+                                               mx * sh + bx, 0]) & 1, 1)
     bw.flush()
     sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0, bw)
 
     for ci in range(nc):  # AC refinement passes
         for lo, hi in ((1, 5), (6, 63)):
             sos([(ci + 1, 0, 0)], lo, hi, 1, 0,
-                ac_refine(coefs[ci], lo, hi, 0))
+                ac_refine(coefs[ci], lo, hi, 0, *ac_dims[ci]))
 
     # --- assemble ---
     out = bytearray(b"\xff\xd8")
@@ -963,7 +998,8 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     out += (b"\xff\xc2" + struct.pack(">H", 8 + 3 * nc) + b"\x08"
             + struct.pack(">HH", h, w) + bytes([nc]))
     for ci in range(nc):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sh, sv = samp[ci]
+        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
     out += _dht_segment(0, 0, *_DC_L)
     if nc > 1:
         out += _dht_segment(0, 1, *_DC_C)

@@ -167,3 +167,22 @@ class TestProgressive:
         img = np.full((16, 16, 3), 99, dtype=np.uint8)
         out = decode_image(encode_jpeg_progressive(img, 90))
         assert out.shape == (16, 16, 3)
+
+    def test_progressive_420_subsampled(self):
+        # odd dims exercise the ceil-of-component-size AC grid vs the
+        # MCU-padded DC grid (T.81 A.2.2)
+        from lucene_ray.pipelines.mm_jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+        )
+        rng = np.random.default_rng(17)
+        for (h, w) in [(17, 23), (32, 48)]:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([
+                xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+                rng.integers(0, 256, (h, w)),
+            ], axis=2).astype(np.uint8)
+            for q in (85, 40):
+                base = decode_jpeg(encode_jpeg(img, q, "4:2:0"))
+                blob = encode_jpeg_progressive(img, q, "4:2:0")
+                assert b"\xff\xc2" in blob
+                assert (decode_jpeg(blob) == base).all(), (h, w, q)
