@@ -761,7 +761,8 @@ _AC_P = ([0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
 
 
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
-                            subsampling: str = "4:4:4") -> bytes:
+                            subsampling: str = "4:4:4",
+                            restart_interval: int = 0) -> bytes:
     """HxWx3 RGB (or HxW gray) uint8 -> progressive JFIF bytes (SOF2,
     4:4:4 or 4:2:0): the canonical spectral-selection + successive-
     approximation scan script — DC first at Al=1 (interleaved MCU
@@ -823,7 +824,15 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
 
     scans = []  # (sos_payload, entropy bytes)
 
+    rst_n = [0]
+
+    def emit_rst(bw):
+        bw.flush()
+        bw.out += bytes([0xFF, 0xD0 + (rst_n[0] & 7)])
+        rst_n[0] += 1
+
     def sos(comp_specs, ss, se, ah, al, bw):
+        rst_n[0] = 0
         payload = bytes([len(comp_specs)])
         for cs, td, ta in comp_specs:
             payload += bytes([cs, (td << 4) | ta])
@@ -833,8 +842,14 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
     # --- scan 1: DC first, interleaved MCU order, Al=1 (arith shift) ---
     bw = _BitWriter()
     pred = [0] * nc
+    n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                emit_rst(bw)
+                pred = [0] * nc
+            n_mcu += 1
             for ci in range(nc):
                 sh, sv = samp[ci]
                 for by in range(sv):
@@ -867,8 +882,14 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
                     bw.write(eobrun - (1 << nbits), nbits)
                 eobrun = 0
 
+        n_blk = 0
         for by in range(nby):
             for bx in range(nbx):
+                if restart_interval and n_blk and \
+                        n_blk % restart_interval == 0:
+                    flush_eob()
+                    emit_rst(bw)
+                n_blk += 1
                 zz = cz[by, bx]
                 pts = [(1 if int(v) >= 0 else -1) * (abs(int(v)) >> al)
                        for v in zz[lo:hi + 1]]
@@ -927,8 +948,14 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
                 bw.write(b, 1)
             cur.clear()
 
+        n_blk = 0
         for by in range(nby):
             for bx in range(nbx):
+                if restart_interval and n_blk and \
+                        n_blk % restart_interval == 0:
+                    flush_eob()
+                    emit_rst(bw)
+                n_blk += 1
                 zz = cz[by, bx]
                 absv = [abs(int(v)) >> al for v in zz[lo:hi + 1]]
                 eob = -1
@@ -972,8 +999,13 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
 
     # DC refinement (raw bits, interleaved MCU order, Ah=1 -> Al=0)
     bw = _BitWriter()
+    n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                emit_rst(bw)
+            n_mcu += 1
             for ci in range(nc):
                 sh, sv = samp[ci]
                 for by in range(sv):
@@ -1004,6 +1036,8 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
     if nc > 1:
         out += _dht_segment(0, 1, *_DC_C)
     out += _dht_segment(1, 0, *_AC_P)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     for payload, data in scans:
         out += (b"\xff\xda" + struct.pack(">H", len(payload) + 2)
                 + payload + data)

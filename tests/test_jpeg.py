@@ -186,3 +186,25 @@ class TestProgressive:
                 blob = encode_jpeg_progressive(img, q, "4:2:0")
                 assert b"\xff\xc2" in blob
                 assert (decode_jpeg(blob) == base).all(), (h, w, q)
+
+    def test_progressive_restart_intervals(self):
+        # RSTn inside EVERY progressive scan type: byte realign +
+        # DC-predictor and EOB-run resets
+        import re
+
+        from lucene_ray.pipelines.mm_jpeg import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+        )
+        rng = np.random.default_rng(5)
+        for (h, w), sub in [((45, 61), "4:4:4"), ((33, 49), "4:2:0")]:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([
+                xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+                rng.integers(0, 256, (h, w)),
+            ], axis=2).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(img, 80, sub))
+            for ri in (1, 7):
+                blob = encode_jpeg_progressive(img, 80, sub,
+                                               restart_interval=ri)
+                assert re.search(b"\xff[\xd0-\xd7]", blob)
+                assert (decode_jpeg(blob) == base).all(), (sub, ri)
