@@ -863,6 +863,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flexible StandardSyntaxParser group min-should-match "@N"
         "standard_msm_query": lambda sf: parsed_query_docs(
             _docp(sf), "(data merge spark window)@3"),
+        # WARC ingestion (ISO 28500 / Common Crawl layout): package the
+        # documents into gzip-membered WARC files, read back via
+        # sources.warc.read_warc, report extracted html byte counts
+        "warc_ingest": lambda sf: __import__(
+            "lucene_ray.pipelines.webtext",
+            fromlist=["warc_ingest_table"]).warc_ingest_table(_docp(sf)),
         # QueryProfiler (sandbox): per-node breakdown, deterministic
         # (node, type, n_matches) columns; wall_ns stays diagnostic
         "profile_counts": lambda sf: __import__(
@@ -2498,6 +2504,12 @@ SELECT doc_id FROM toks
 WHERE term IN ('data', 'merge', 'spark', 'window')
 GROUP BY doc_id HAVING count(DISTINCT term) >= 3
 ORDER BY doc_id""",
+        # WARC round trip: extracted html == the deterministic wrapper
+        "warc_ingest": """
+SELECT 'https://synth.test/doc/' || doc_id AS url,
+       length('<html><body><p>' || text || '</p></body></html>')
+           AS n_bytes
+FROM documents ORDER BY url""",
         # profiler breakdown of AND(data, OR(merge, spark)): five nodes
         # preorder with standalone match counts
         "profile_counts": f"""

@@ -604,3 +604,56 @@ def bigram_surprisal_topk(path: str, k: int = 20,
         "doc_id": pa.array(got["doc_id"].astype("int64")),
         "rank": pa.array(np.arange(1, len(got) + 1, dtype=np.int64)),
     })
+
+
+def warc_ingest_table(doc_path: str,
+                      cache_root: str = "/tmp/lucene_ray_cache") -> pa.Table:
+    """WARC ingestion round trip (ISO 28500 / Common Crawl layout):
+    the documents table is packaged into per-partition gzip-membered
+    WARC files once (deterministic bytes), read back through
+    ``sources.warc.read_warc`` (file-parallel actor-pool extraction),
+    and reported as (url, n_bytes of extracted html) — value-exact
+    against a SQL oracle deriving the same html wrapper."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.warc import read_warc, write_warc
+
+    key = hashlib.md5(("warc:" + doc_path).encode()).hexdigest()[:12]
+    d = os.path.join(cache_root, f"warc-{key}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(doc_path, columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        order = np.argsort(ids)
+        n_parts = 8
+        parts: list[list] = [[] for _ in range(n_parts)]
+        for j in order:
+            did = int(ids[j])
+            html = f"<html><body><p>{texts[j]}</p></body></html>".encode()
+            parts[did % n_parts].append(
+                (f"https://synth.test/doc/{did}",
+                 "2026-01-01T00:00:00Z", html))
+        for p_i, recs in enumerate(parts):
+            write_warc(os.path.join(d, f"part{p_i}.warc.gz"), recs)
+        open(marker, "w").write("1")
+    paths = sorted(os.path.join(d, f) for f in os.listdir(d)
+                   if f.endswith(".warc.gz"))
+
+    def measure(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "url": batch.column("url"),
+            "n_bytes": pc.binary_length(batch.column("html")),
+        })
+
+    got = (read_warc(paths).map_batches(measure, batch_format="pyarrow")
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    return pa.table({
+        "url": pa.array(got["url"], pa.large_string()),
+        "n_bytes": pa.array(got["n_bytes"].astype("int64")),
+    })
