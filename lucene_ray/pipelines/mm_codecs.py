@@ -248,7 +248,8 @@ def decode_png(blob: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt_method, interlace = ihdr
-    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt_method != 0 \
+            or interlace != 0:
         raise ValueError(
             f"unsupported PNG: depth={depth} interlace={interlace}")
     planes = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
@@ -256,8 +257,11 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {color}")
     if color == 3 and plte is None:
         raise ValueError("palette PNG without PLTE chunk")
-    bpp = planes
-    stride = w * planes
+    if color == 3 and depth != 8:
+        raise ValueError("palette PNG must be 8-bit here")
+    nb = depth // 8
+    bpp = planes * nb  # filters operate on BYTES with pixel offset bpp
+    stride = w * bpp
     data = np.frombuffer(_zlib.decompress(b"".join(idat)), np.uint8)
     if data.size != h * (1 + stride):
         raise ValueError("corrupt PNG scanline data")
@@ -298,7 +302,12 @@ def decode_png(blob: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ft}")
         out[y] = rec
         prev = rec
-    img = out.reshape(h, w, planes)
+    if nb == 2:
+        # 16-bit samples are big-endian; take the high byte (the exact
+        # floor of value/257-free 8-bit scale used for feature work)
+        img = out.reshape(h, w, planes, 2)[:, :, :, 0].copy()
+    else:
+        img = out.reshape(h, w, planes)
     if color == 3:  # indexed-color: map through PLTE (+ optional tRNS)
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):

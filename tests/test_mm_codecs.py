@@ -293,3 +293,38 @@ def test_gif_animation_frames_and_sampler():
         pa.table({"doc_id": pa.array([1], pa.int64()),
                   "video": pa.array([b"mp4-bytes"], pa.binary())}))
     assert len(fake) == 2
+
+
+def test_png_16bit_depth():
+    """16-bit PNG decode: big-endian samples, filters over 2-byte
+    pixels, output scaled to 8-bit via the high byte."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lucene_ray.pipelines.mm_codecs import decode_png
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload +
+                struct.pack(">I", zlib.crc32(tag + payload)))
+
+    rng = np.random.default_rng(21)
+    for color, planes in ((0, 1), (2, 3)):
+        h, w = 9, 11
+        img16 = rng.integers(0, 65536, size=(h, w, planes),
+                             dtype=np.uint16)
+        raw = b""
+        be = img16.astype(">u2").tobytes()
+        stride = w * planes * 2
+        for y in range(h):
+            raw += b"\x00" + be[y * stride:(y + 1) * stride]
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+               chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        got = decode_png(png)
+        want = (img16 >> 8).astype(np.uint8)
+        if color == 0:
+            assert (got == want[:, :, 0]).all()
+        else:
+            assert (got == want).all()
