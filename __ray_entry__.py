@@ -886,11 +886,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats", "collection_stats", "doc_lengths", "quality_stats",
         "fingerprints", "topk_longest_docs",
         "bm25_term_a", "bm25_term_b", "bm25_and", "bm25_or", "bm25_and_or",
-        "grep_and", "bm25_dismax", "phrase_match", "phrase_slop_match",
+        "combined_field", "bm25_dismax", "phrase_match", "phrase_slop_match",
         "prefix_match", "wildcard_match", "range_match", "fuzzy_match",
         "incremental_build", "dedup_update",
-        # dedup family
-        "dedup_exact", "dedup_first_per_group", "jaccard_pairs",
+        # ingestion + dedup family
+        "warc_ingest",
+        "dedup_exact", "jaccard_pairs",
         "minhash_keepers", "winnow_fps", "embedding_neardup",
         "fingerprint_clusters",
         # similarity search / ANN
