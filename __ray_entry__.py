@@ -875,6 +875,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lucene_ray.pipelines.search_queries",
             fromlist=["profile_query_counts"])
             .profile_query_counts(_docp(sf), ["data"], ["merge", "spark"]),
+        # LatLonShape.newDistanceQuery role: circle INTERSECTS shapes
+        # over the tessellated rect index (planar analog)
+        "shape_distance": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["shape_distance"]).shape_distance(sf),
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3), so order the surface so the flagship
@@ -2511,6 +2516,20 @@ SELECT 'https://synth.test/doc/' || doc_id AS url,
        length('<html><body><p>' || text || '</p></body></html>')
            AS n_bytes
 FROM documents ORDER BY url""",
+        # circle-rect min distance via coordinate clamp (derived rects)
+        "shape_distance": """
+WITH r AS (SELECT c_custkey,
+                  (c_custkey * 7919 % 1000) / 10.0 AS cx,
+                  (c_custkey * 104729 % 1000) / 10.0 AS cy,
+                  (1 + c_custkey % 7) * 1.0 AS w,
+                  (1 + c_custkey % 5) * 1.0 AS h
+           FROM customer),
+d AS (SELECT c_custkey,
+             greatest(cx - w - 47.13, 47.13 - (cx + w), 0) AS dx,
+             greatest(cy - h - 52.81, 52.81 - (cy + h), 0) AS dy
+      FROM r)
+SELECT c_custkey FROM d
+WHERE dx * dx + dy * dy <= 9.37 * 9.37 ORDER BY c_custkey""",
         # profiler breakdown of AND(data, OR(merge, spark)): five nodes
         # preorder with standalone match counts
         "profile_counts": f"""

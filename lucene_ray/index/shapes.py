@@ -454,3 +454,51 @@ def shapes_intersecting_box(index_dir: str, minx: float, maxx: float,
                    for a, b in tri_edges for c, d in box_edges):
                 hit[i] = True
     return np.unique(cols["doc_id"][hit]).astype(np.int64)
+
+
+def _point_tri_dist2(px: float, py: float, t: pa.Table) -> np.ndarray:
+    """Squared euclidean distance from (px, py) to each triangle row
+    (0 when the point is inside) — vectorized over candidates."""
+    inside = _points_in_tris(px, py, t)
+    ax = t.column("ax").to_numpy()
+    ay = t.column("ay").to_numpy()
+    bx = t.column("bx").to_numpy()
+    by = t.column("by").to_numpy()
+    cx = t.column("cx").to_numpy()
+    cy = t.column("cy").to_numpy()
+    best = np.full(len(ax), np.inf)
+    for (x0, y0, x1, y1) in ((ax, ay, bx, by), (bx, by, cx, cy),
+                             (cx, cy, ax, ay)):
+        dx = x1 - x0
+        dy = y1 - y0
+        ll = dx * dx + dy * dy
+        tt = np.zeros_like(ll)
+        nz = ll > 0
+        tt[nz] = ((px - x0[nz]) * dx[nz] + (py - y0[nz]) * dy[nz]) / ll[nz]
+        tt = np.clip(tt, 0.0, 1.0)
+        qx = x0 + tt * dx
+        qy = y0 + tt * dy
+        d2 = (px - qx) ** 2 + (py - qy) ** 2
+        best = np.minimum(best, d2)
+    best[inside] = 0.0
+    return best
+
+
+def shapes_within_distance(index_dir: str, px: float, py: float,
+                           radius: float) -> np.ndarray:
+    """LatLonShape.newDistanceQuery role (planar analog, consistent
+    with this index's coordinate plane): doc_ids of shapes whose
+    minimum distance to (px, py) is <= radius. Candidates via the
+    circle's bounding box pushed into the Parquet scan (row-group
+    min/max stats = the BKD inner nodes), then an exact vectorized
+    point-triangle distance; per-shape min over its triangles."""
+    t = pq.read_table(
+        os.path.join(index_dir, "tris"),
+        filters=[("minx", "<=", px + radius), ("maxx", ">=", px - radius),
+                 ("miny", "<=", py + radius), ("maxy", ">=", py - radius)])
+    if t.num_rows == 0:
+        return np.empty(0, np.int64)
+    d2 = _point_tri_dist2(px, py, t)
+    ids = t.column("doc_id").to_numpy()
+    hit = d2 <= radius * radius
+    return np.unique(ids[hit])

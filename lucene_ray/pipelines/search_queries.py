@@ -1986,3 +1986,19 @@ def profile_query_counts(doc_path: str, terms_and: list[str],
                          TermQuery(t) for t in terms_or)),))
     t = profile_query(s, q)
     return t.select(["node", "type", "n_matches"])
+
+
+def shape_distance(sf_dir: str, px: float = 47.13, py: float = 52.81,
+                   radius: float = 9.37) -> pa.Table:
+    """LatLonShape.newDistanceQuery role (planar analog over the rect
+    shape index): shapes whose minimum distance to the query point is
+    <= radius — circle-bbox row-group pruning + exact vectorized
+    point-triangle distances, per-shape min. Query params chosen with
+    a verified >= 0.005 boundary margin at every sf, so the engine's
+    edge-projection arithmetic and the oracle's rect-clamp arithmetic
+    can never disagree on a knife-edge shape."""
+    from ..index.shapes import shapes_within_distance
+
+    idx = _rect_shape_index(sf_dir)
+    ids = shapes_within_distance(idx, px, py, radius)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})

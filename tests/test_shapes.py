@@ -253,3 +253,59 @@ def test_line_index_box_intersects_vs_brute(tmp_path_factory, ray_session):
                        if any(seg_box_brute(*pts[j], *pts[j + 1], *box)
                               for j in range(len(pts) - 1))})
         assert got == want, box
+
+
+def test_shapes_within_distance_vs_brute(ray_session, tmp_path):
+    """Distance query vs a brute per-vertex/edge-sampled oracle over
+    constructed polygons (incl. concave), random query circles."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from lucene_ray.index.shapes import (
+        build_shape_index, point_in_polygon, shapes_within_distance,
+    )
+
+    rng = np.random.default_rng(23)
+    polys = []
+    for i in range(60):
+        cx, cy = rng.uniform(10, 90, 2)
+        if i % 3 == 0:  # concave arrow
+            ring = [[cx - 4, cy - 3], [cx + 4, cy - 3], [cx, cy],
+                    [cx + 4, cy + 3], [cx - 4, cy + 3]]
+        else:
+            w, h = rng.uniform(1, 5, 2)
+            ring = [[cx - w, cy - h], [cx + w, cy - h],
+                    [cx + w, cy + h], [cx - w, cy + h]]
+        polys.append(ring)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "vertices": pa.array(polys, pa.list_(pa.list_(pa.float64()))),
+    })
+    out = str(tmp_path / "distidx")
+    build_shape_index(ray.data.from_arrow(t), out)
+
+    def brute_dist(px, py, ring):
+        if point_in_polygon(px, py, ring):
+            return 0.0
+        best = np.inf
+        n = len(ring)
+        for a in range(n):
+            x0, y0 = ring[a]
+            x1, y1 = ring[(a + 1) % n]
+            dx, dy = x1 - x0, y1 - y0
+            ll = dx * dx + dy * dy
+            tt = 0.0 if ll == 0 else np.clip(
+                ((px - x0) * dx + (py - y0) * dy) / ll, 0, 1)
+            best = min(best, (px - (x0 + tt * dx)) ** 2
+                       + (py - (y0 + tt * dy)) ** 2)
+        return np.sqrt(best)
+
+    for _ in range(25):
+        px, py = rng.uniform(0, 100, 2)
+        r = float(rng.uniform(1, 20))
+        got = shapes_within_distance(out, px, py, r).tolist()
+        want = [i for i, ring in enumerate(polys)
+                if brute_dist(px, py, ring) <= r]
+        assert got == want, (px, py, r)
