@@ -243,3 +243,79 @@ def suggest_context(index_dir: str, prefix: str, context: str,
         "term": pa.array([t for t, _ in ranked], pa.string()),
         "df": pa.array([int(n) for _, n in ranked], pa.int64()),
     })
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1,
+                 boost_threshold: float = 0.7) -> float:
+    """Jaro-Winkler similarity (Winkler 1990) — the
+    ``JaroWinklerDistance`` StringDistance of the spellchecker module
+    (``suggest/spell/JaroWinklerDistance.java``): standard Jaro with
+    the common-prefix (<= 4) bonus applied above the 0.7 threshold.
+    Matches DuckDB's ``jaro_winkler_similarity`` bit-for-bit on
+    non-empty strings (the oracle kernel)."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i in range(l1):
+        lo, hi = max(0, i - md), min(i + md + 1, l2)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    if j > boost_threshold:
+        pre = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pre += 1
+        j += pre * p * (1 - j)
+    return j
+
+
+def spell_correct_jw(reader: IndexReader, word: str, k: int = 5,
+                     max_edits: int = 2) -> pa.Table:
+    """DirectSpellChecker with the JaroWinkler StringDistance
+    (``setDistance(new JaroWinklerDistance())`` configuration):
+    candidates within ``max_edits`` plain Levenshtein of the word,
+    ranked by Jaro-Winkler similarity desc (quantized integer grid),
+    term asc on ties; the word itself excluded."""
+    import numpy as np
+
+    from .query import FuzzyQuery, expand_terms, expansion_range
+
+    fq = FuzzyQuery(word, max_edits=max_edits, prefix_length=0,
+                    transpositions=False)
+    lo, hi = expansion_range(fq)
+    cands = [t for t in expand_terms(fq, reader.vocab(lo, hi))
+             if t != word]
+    if not cands:
+        return pa.table({"term": pa.array([], pa.large_string()),
+                         "rank": pa.array([], pa.int64())})
+    keys = np.array([int(np.floor(jaro_winkler(word, t) * 1e9))
+                     for t in cands], dtype=np.int64)
+    terms = np.array(cands)
+    order = np.lexsort((terms, -keys))[:k]
+    return pa.table({
+        "term": pa.array(terms[order].tolist(), pa.large_string()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })

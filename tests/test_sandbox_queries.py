@@ -399,3 +399,45 @@ def test_profiler_breakdown(sbx_corpus, monkeypatch, tmp_path):
     full = profile_query(s, q)
     assert full.column_names == ["node", "type", "n_matches", "wall_ns"]
     assert all(w >= 0 for w in full.column("wall_ns").to_pylist())
+
+
+def test_jaro_winkler_matches_duckdb():
+    import duckdb
+
+    from lucene_ray.search.suggest import jaro_winkler
+    con = duckdb.connect()
+    words = ["merge", "merg", "mere", "spark", "spank", "window",
+             "widow", "data", "dart", "abc", "abcd", "kitten",
+             "sitting", "a", "dat"]
+    for a in words:
+        for b in words:
+            d = con.execute("select jaro_winkler_similarity(?, ?)",
+                            [a, b]).fetchone()[0]
+            assert abs(jaro_winkler(a, b) - d) < 1e-12, (a, b)
+
+
+def test_spell_correct_jw(sbx_corpus, monkeypatch, tmp_path):
+    from lucene_ray.pipelines import search_queries as sq
+    from lucene_ray.search import IndexReader
+    from lucene_ray.search.suggest import jaro_winkler, spell_correct_jw
+    monkeypatch.setattr(sq, "_CACHE_ROOT", str(tmp_path))
+    path, texts, _ = sbx_corpus
+    reader = IndexReader(sq.cached_index(path))
+    got = spell_correct_jw(reader, "merg", 5)
+    vocab = sorted({t for tk in _toks(texts) for t in tk})
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cands = [t for t in vocab if t != "merg" and lev("merg", t) <= 2]
+    keys = [(-(int(np.floor(jaro_winkler("merg", t) * 1e9))), t)
+            for t in cands]
+    want = [t for _, t in sorted(keys)][:5]
+    assert got.column("term").to_pylist() == want
