@@ -61,10 +61,13 @@ def corpus_word_counts(path: str, *, text_col: str = "text",
     — partial counts per batch, one groupby('word') combine."""
     ds = (ray.data.read_parquet(path, columns=[text_col])
           .map_batches(_word_count_partials, batch_format="pyarrow")
-          .groupby("word").sum("n"))
+          .groupby("word").sum("n")
+          # distributed top-V: sort+limit runs in the cluster, so the
+          # driver only ever receives max_words rows (never the full
+          # distinct-word table — at web scale that is 1e8+ rows)
+          .sort(["sum(n)", "word"], descending=[True, False])
+          .limit(max_words))
     t = ds.to_pandas()
-    t = t.sort_values(["sum(n)", "word"], ascending=[False, True]) \
-        .head(max_words)
     return list(zip(t["word"], (int(x) for x in t["sum(n)"])))
 
 

@@ -337,26 +337,70 @@ class _Winnow:
         self.k, self.w = k, w
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib as _h
-        out_doc, out_fp = [], []
-        ids = batch["doc_id"].to_pylist()
-        for did, text in zip(ids, batch["text"].to_pylist()):
-            ws = [x for x in (text or "").split(" ") if x]
-            n = len(ws) - self.k + 1
-            if n <= 0:
-                continue
-            grams = [" ".join(ws[i:i + self.k]) for i in range(n)]
-            h = np.array([int(_h.md5(g.encode()).hexdigest()[:8], 16)
-                          for g in grams], dtype=np.int64)
-            if len(h) >= self.w:
-                win = np.lib.stride_tricks.sliding_window_view(h, self.w)
-                fps = np.unique(win.min(axis=1))
-            else:
-                fps = np.unique(h.min(keepdims=True))
-            out_doc.extend([did] * len(fps))
-            out_fp.extend(fps.tolist())
-        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                         "fp": pa.array(out_fp, pa.int64())})
+        # Fully vectorized: Arrow split -> flat word array, gram strings
+        # via binary_join_element_wise over k shifted takes, md5 once per
+        # UNIQUE gram (dictionary_encode), ONE global sliding-window min
+        # with cross-doc windows masked out. Hash values are bit-exact
+        # with int(md5(gram).hexdigest()[:8], 16) — the big-endian first
+        # 4 digest bytes.
+        k, w = self.k, self.w
+        n = len(batch)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        la = pc.split_pattern(
+            pc.coalesce(batch["text"], ""), " ").combine_chunks()
+        offs = la.offsets.to_numpy()
+        flat = la.values
+        doc_of = np.repeat(np.arange(n), np.diff(offs))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_of = doc_of[nonempty]
+        wc = np.bincount(doc_of, minlength=n)
+        wstarts = np.concatenate(([0], np.cumsum(wc)))[:-1]
+        ng = np.maximum(wc - k + 1, 0)          # grams per doc
+        total = int(ng.sum())
+        if total == 0:
+            return empty
+        gstarts = np.concatenate(([0], np.cumsum(ng)))[:-1]
+        gdoc = np.repeat(np.arange(n), ng)
+        gpos = (np.arange(total) - np.repeat(gstarts, ng)) + wstarts[gdoc]
+        cols = [flat.take(pa.array(gpos + j)) for j in range(k)]
+        enc = pc.dictionary_encode(pc.binary_join_element_wise(*cols, " "))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dig = np.frombuffer(
+            b"".join(hashlib.md5(u.encode()).digest()[:4]
+                     for u in enc.dictionary.to_pylist()),
+            dtype=">u4").astype(np.int64)
+        h = dig[codes]
+        # global sliding-window minima; a window is valid iff it lies
+        # entirely within one doc's gram run
+        if len(h) >= w:
+            wmin = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            valid = gdoc[:len(wmin)] == gdoc[w - 1:]
+            vd, vm = gdoc[:len(wmin)][valid], wmin[valid]
+        else:
+            vd = np.array([], np.int64)
+            vm = np.array([], np.int64)
+        # docs with 0 < n_grams < w contribute their single overall min
+        has = ng > 0
+        small = has & (ng < w)
+        if small.any():
+            doc_min = np.minimum.reduceat(h, gstarts[has])
+            sd = np.flatnonzero(small)
+            sm = doc_min[np.searchsorted(np.flatnonzero(has), sd)]
+            vd = np.concatenate((vd, sd))
+            vm = np.concatenate((vm, sm))
+        if len(vd) == 0:
+            return empty
+        order = np.lexsort((vm, vd))
+        vd, vm = vd[order], vm[order]
+        keep = np.ones(len(vd), bool)
+        keep[1:] = (vd[1:] != vd[:-1]) | (vm[1:] != vm[:-1])
+        return pa.table({"doc_id": pa.array(ids[vd[keep]], pa.int64()),
+                         "fp": pa.array(vm[keep], pa.int64())})
 
 
 def winnowing_fingerprints(path: str, k: int = 5,

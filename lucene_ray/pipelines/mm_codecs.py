@@ -607,10 +607,15 @@ def decode_gif_frames(blob: bytes, max_frames: int = 256) -> list:
             if ct is None:
                 raise ValueError("GIF image without a color table")
             prev = canvas.copy() if disposal == 3 else None
-            region = canvas[top:top + h, left:left + w]
-            rgb = ct[img]
+            # clip the frame rect to the logical screen: a malformed
+            # GIF may declare left+w / top+h beyond it, and numpy's
+            # clamped slice would otherwise shape-mismatch on the blit
+            ch = min(h, max(sh - top, 0))
+            cw = min(w, max(sw - left, 0))
+            region = canvas[top:top + ch, left:left + cw]
+            rgb = ct[img][:ch, :cw]
             if transparent is not None:
-                opaque = img != transparent
+                opaque = (img != transparent)[:ch, :cw]
                 region[opaque] = rgb[opaque]
             else:
                 region[:] = rgb

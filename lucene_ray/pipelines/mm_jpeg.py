@@ -508,6 +508,11 @@ def _destuff_entropy(blob: bytes, start: int):
                 rst_bitpos.append(len(out) * 8)
                 j += 2
                 continue
+            if nxt == 0xFF:
+                # T.81 B.1.1.2: 0xFF fill bytes may pad before a marker;
+                # skip the run so the caller resumes at the marker's 0xFF
+                j += 1
+                continue
             break
         out.append(b)
         j += 1

@@ -1813,6 +1813,9 @@ def fuzzy_like_this_topk(doc_path: str, query_terms: list[str],
         ud, inv = np.unique(d, return_inverse=True)
         us = np.zeros(len(ud), dtype=np.float64)
         np.add.at(us, inv, s)
+        if sr.deleted is not None and len(sr.deleted):
+            keep = ~np.isin(ud, sr.deleted)
+            ud, us = ud[keep], us[keep]
         parts_d.append(ud.astype(np.int64))
         parts_s.append(us)
     docs = np.concatenate(parts_d)
@@ -1873,6 +1876,9 @@ def search_quality(doc_path: str, query_terms: list[str],
             if p is None:
                 continue
             d, f = unpack_postings(p)
+            if sr.deleted is not None and len(sr.deleted):
+                keep = ~np.isin(d, sr.deleted)
+                d, f = d[keep], f[keep]
             ds.append(d)
             fs.append(f.astype(np.int64))
         if not ds:
@@ -1882,13 +1888,15 @@ def search_quality(doc_path: str, query_terms: list[str],
         tfs = np.concatenate(fs)
         df = len(docs)
         idf = np.log(1 + (n - df + 0.5) / (df + 0.5))
-        # doc lens per posting doc (segment-routed)
+        # doc lens per posting doc (segment-routed, same deleted mask)
         dls = []
         for sr in reader.segments():
             pp = sr.get_postings(qt)
             if pp is None:
                 continue
             d, _ = unpack_postings(pp)
+            if sr.deleted is not None and len(sr.deleted):
+                d = d[~np.isin(d, sr.deleted)]
             dls.append(sr.doc_lens_for(d).astype(np.float64))
         dl = np.concatenate(dls)
         sc = idf * tfs / (tfs + K1 * (1 - B + B * dl / avgdl))
