@@ -431,13 +431,65 @@ def _merge_group_docs(index_dir: str, seg_ids: list[str],
     return norms, live_stats
 
 
+# A term whose merged posting payload exceeds this many bytes is "hot":
+# its chunks would all land on ONE reducer of the term-hash shuffle, so
+# the merge engages the two-level salted exchange automatically. ~12
+# bytes/posting is the measured packed docs+freqs+positions rate on the
+# bench corpus; 64 MB keeps any single reducer's per-term buffer small.
+HOT_TERM_PAYLOAD_BYTES = 64 << 20
+EST_BYTES_PER_POSTING = 12
+
+
+def _max_global_df(index_dir: str, generation: int) -> int:
+    """Largest per-term doc freq, read from the global term-stats
+    PARQUET COLUMN STATISTICS only (no data scan — the BKD/blocktree
+    stats role; reference reads the same df from the terms dict,
+    ``index/TermStates.java``). 0 when no stats exist yet."""
+    import glob as _glob
+    d = os.path.join(index_dir, "global", f"term_stats_gen{generation}")
+    mx = 0
+    for p in _glob.glob(os.path.join(d, "part-*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "df" not in names:
+            return 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names["df"]).statistics
+            if st is not None and st.has_min_max:
+                mx = max(mx, int(st.max))
+    return mx
+
+
+def auto_salt_buckets(index_dir: str, m, groups) -> int:
+    """Derive the salted-shuffle level from the Zipf head: if the
+    hottest term's estimated merged payload exceeds
+    ``HOT_TERM_PAYLOAD_BYTES``, split each group's segments across
+    enough level-1 buckets that every partial stays under it."""
+    if not groups:
+        return 1
+    max_df = _max_global_df(index_dir, m.generation)
+    payload = max_df * EST_BYTES_PER_POSTING
+    if payload <= HOT_TERM_PAYLOAD_BYTES:
+        return 1
+    want = -(-payload // HOT_TERM_PAYLOAD_BYTES)  # ceil
+    return int(min(max(len(g) for g in groups), want))
+
+
 def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
-                   max_merged_docs: int = 10_000_000, salt_buckets: int = 1,
+                   max_merged_docs: int = 10_000_000,
+                   salt_buckets: int | None = None,
                    repack: bool = False, min_group: int = 2) -> IndexManifest:
     """One round of tiered merging (single distributed job over all
-    groups); returns the new manifest generation."""
+    groups); returns the new manifest generation.
+
+    ``salt_buckets=None`` (default) auto-detects Zipf-head skew from the
+    global df stats and engages the two-level salted shuffle only when a
+    term's merged payload would overload one reducer; pass an int to
+    force a level."""
     m = read_manifest(index_dir)
     groups = plan_merges(m.segments, segs_per_tier, max_merged_docs)
+    if salt_buckets is None:
+        salt_buckets = auto_salt_buckets(index_dir, m, groups)
     # singleton segments with tombstones still merge (reclaim deletes)
     merge_jobs = [g for g in groups
                   if len(g) >= min_group or any(s.del_count for s in g)]
@@ -490,7 +542,16 @@ def merge_segments(index_dir: str, *, segs_per_tier: int = 10,
                      for _, g, _, _, _ in group_meta for s in g
                      for f in _expand(os.path.join(
                          index_dir, "segments", s.seg_id, "postings.parquet"))]
-        ds = ray.data.read_parquet(all_paths)
+        # RIGHT-SIZE the read blocks: Ray's sort-based groupby cost is
+        # dominated by block COUNT, not bytes (measured at sf0.1: 288
+        # per-row-group blocks -> 13.7s shuffle; the same 230 MB in 32
+        # blocks -> ~1s). Target ~64 MB decoded per block (disk bytes
+        # x2 for Arrow decode), floored at cluster parallelism — the
+        # ratio holds at 100 TB where blocks are naturally large.
+        in_bytes = sum(os.path.getsize(p) for p in all_paths)
+        n_blocks = max(cpus, (in_bytes * 2) // (128 << 20) + 1)
+        ds = ray.data.read_parquet(all_paths,
+                                   override_num_blocks=int(n_blocks))
 
         group_max_docs = np.array(
             [g[-1].max_doc for _, g, _, _, _ in group_meta], dtype=np.int64)
