@@ -889,6 +889,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["shape_distance"]).shape_distance(sf),
         # DirectSpellChecker + JaroWinklerDistance StringDistance
         "suggest_spell_jw": _suggest_spell_jw,
+        # analyzer-chain forms (EdgeNGramTokenFilter.java:33,
+        # path/PathHierarchyTokenizer.java:45, minhash/MinHashFilter
+        # .java:47): each runs its REAL filter chain distributed
+        "edge_ngram_prefix": lambda sf: __import__(
+            "lucene_ray.pipelines.chain_queries",
+            fromlist=["edge_ngram_prefix_counts"])
+            .edge_ngram_prefix_counts(_docp(sf)),
+        "path_hierarchy_counts": lambda sf: __import__(
+            "lucene_ray.pipelines.chain_queries",
+            fromlist=["path_hierarchy_counts"])
+            .path_hierarchy_counts(_docp(sf)),
+        "minhash_sig_count": lambda sf: __import__(
+            "lucene_ray.pipelines.chain_queries",
+            fromlist=["minhash_sig_counts"])
+            .minhash_sig_counts(_docp(sf)),
     }
     # The driver's CORRECTNESS gate records only the first ~50 entries
     # (observed cap at r2/r3). Round 5 ROTATES the window (per the r4
@@ -2578,4 +2593,28 @@ SELECT * FROM (
   UNION ALL SELECT 'root.must[1].should[0]', 'TermQuery', n FROM m
   UNION ALL SELECT 'root.must[1].should[1]', 'TermQuery', n FROM s)
 ORDER BY node""",
+        # EdgeNGramFilter(3,3): the gram 'dat' is emitted once per
+        # token of length>=3 starting with 'dat'
+        "edge_ngram_prefix": f"""
+{_TOKS}
+SELECT doc_id, count(*) AS n FROM toks
+WHERE length(term) >= 3 AND substr(term, 1, 3) = 'dat'
+GROUP BY doc_id ORDER BY doc_id""",
+        # PathHierarchyTokenizer over source '/' lang: every doc counts
+        # once under its level-1 prefix and once under the full path
+        "path_hierarchy_counts": """
+SELECT source AS path, count(*) AS n FROM documents GROUP BY source
+UNION ALL
+SELECT source || '/' || lang AS path, count(*) AS n
+FROM documents GROUP BY source, lang
+ORDER BY path""",
+        # MinHashFilter(1, 512, 1, rotation) emits exactly 512 tokens
+        # for any doc with >=1 5-word shingle (>=5 tokens), else 0;
+        # hash VALUES are gated by transcribed murmur3 goldens
+        "minhash_sig_count": f"""
+{_TOKS},
+c AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN coalesce(c.n, 0) >= 5 THEN 512 ELSE 0 END AS n_sig
+FROM documents d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id""",
     }

@@ -199,6 +199,39 @@ class NGramFilter:
         return out
 
 
+class EdgeNGramFilter:
+    """Token filter: emit the leading edge n-grams of each term for
+    min_gram <= n <= min(max_gram, len) — the search-as-you-type
+    staple (``analysis/common/.../ngram/EdgeNGramTokenFilter.java:33``
+    semantics: grams in increasing length, all at the token's position;
+    ``preserve_original`` keeps terms whose codepoint length falls
+    outside [min_gram, max_gram]). Python ``len``/slicing already
+    counts codepoints, matching Java's codePointCount/offsetByCodePoints
+    handling of supplementary characters."""
+
+    def __init__(self, min_gram: int = 1, max_gram: int = 2,
+                 preserve_original: bool = False):
+        if min_gram < 1:
+            raise ValueError("minGram must be greater than zero")
+        if min_gram > max_gram:
+            raise ValueError("minGram must not be greater than maxGram")
+        self.min_gram, self.max_gram = min_gram, max_gram
+        self.preserve_original = preserve_original
+
+    def __call__(self, terms):
+        out = []
+        for t in terms:
+            n = len(t)
+            if self.preserve_original and n < self.min_gram:
+                out.append(t)
+                continue
+            for g in range(self.min_gram, min(self.max_gram, n) + 1):
+                out.append(t[:g])
+            if self.preserve_original and n > self.max_gram:
+                out.append(t)
+        return out
+
+
 class SynonymFilter:
     """Token filter: expand terms by a synonym map
     (``analysis/common/.../synonym/SynonymGraphFilter.java`` role,
