@@ -28,6 +28,7 @@ actor (``__init__`` of the indexing stage / the ``analyzer=`` hook of
 
 from __future__ import annotations
 
+import os
 import unicodedata
 from dataclasses import dataclass
 
@@ -184,6 +185,94 @@ MINI_CONN = {
 
 def mini_dictionary() -> JapaneseDictionary:
     return load_dictionary(MINI_LEXICON, MINI_CONN, default_conn=0)
+
+
+def load_matrix_def(lines) -> dict:
+    """MeCab ``matrix.def``: header ``L R`` then ``left right cost``
+    triplets; lookup key is (right_id of previous, left_id of next) —
+    the ConnectionCosts.get(forwardId, backwardId) contract
+    (``kuromoji/.../dict/ConnectionCosts.java``)."""
+    conn = {}
+    it = iter(lines)
+    header = next(it, "").split()
+    if len(header) != 2 or not all(x.isdigit() for x in header):
+        raise ValueError("matrix.def must start with 'L R' header")
+    for line in it:
+        line = line.strip()
+        if not line:
+            continue
+        l, r, c = line.split()
+        conn[(int(l), int(r))] = int(c)
+    return conn
+
+
+def parse_char_def(lines) -> dict[str, list[tuple[int, int]]]:
+    """MeCab ``char.def``: category declarations + codepoint ranges
+    ``0xLO..0xHI CATEGORY``. Returns {category: [(lo, hi), ...]}."""
+    ranges: dict[str, list[tuple[int, int]]] = {}
+    for line in lines:
+        line = line.split("#")[0].strip()
+        if not line or not line.startswith("0x"):
+            continue
+        parts = line.split()
+        span, cat = parts[0], parts[1]
+        if ".." in span:
+            lo, hi = span.split("..")
+        else:
+            lo = hi = span
+        ranges.setdefault(cat, []).append((int(lo, 16), int(hi, 16)))
+    return ranges
+
+
+def parse_unk_def(lines) -> dict[str, tuple[int, int, int, str]]:
+    """MeCab ``unk.def``: per-category unknown-word entries in the same
+    CSV shape (CATEGORY,left,right,cost,features...)."""
+    out = {}
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        p = line.split(",")
+        out.setdefault(p[0], (int(p[1]), int(p[2]), int(p[3]),
+                              p[4] if len(p) > 4 else ""))
+    return out
+
+
+def load_mecab_dir(path: str, encoding: str = "utf-8") \
+        -> JapaneseDictionary:
+    """Production-dictionary load path: build a JapaneseDictionary from
+    a REAL-format MeCab/IPADIC (or mecab-ko-dic) directory — ``*.csv``
+    morpheme entries (13-field IPADIC rows work as-is), ``matrix.def``
+    connection costs, and optional ``char.def``/``unk.def`` (parsed and
+    attached as ``.char_ranges``/``.unk_entries``; the tokenizer's
+    built-in unknown-word model already implements the IPADIC char.def
+    semantics, so those files are validated rather than re-wired).
+    Mirrors the reference's own external-dictionary flow
+    (``kuromoji/.../dict/TestExternalDictionary.java:40-71``,
+    ``DictionaryBuilder.build(IPADIC, dir, ...)``). A full IPADIC /
+    mecab-ko-dic download drops in unchanged."""
+    import glob as _glob
+    csv_lines: list[str] = []
+    for p in sorted(_glob.glob(os.path.join(path, "*.csv"))):
+        with open(p, encoding=encoding) as f:
+            csv_lines.extend(f.read().splitlines())
+    if not csv_lines:
+        raise ValueError(f"no *.csv dictionary entries under {path}")
+    conn = {}
+    mpath = os.path.join(path, "matrix.def")
+    if os.path.exists(mpath):
+        with open(mpath, encoding=encoding) as f:
+            conn = load_matrix_def(f.read().splitlines())
+    d = load_dictionary(csv_lines, conn, default_conn=0)
+    for name, parser, attr in (("char.def", parse_char_def,
+                                "char_ranges"),
+                               ("unk.def", parse_unk_def,
+                                "unk_entries")):
+        fp = os.path.join(path, name)
+        if os.path.exists(fp):
+            with open(fp, encoding=encoding) as f:
+                setattr(d, attr, parser(f.read().splitlines()))
+    return d
 
 
 @dataclass(frozen=True)
