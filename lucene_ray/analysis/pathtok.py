@@ -96,3 +96,44 @@ class PathHierarchyTokenizer:
 
     def __call__(self, text: str) -> list[str]:
         return [t.term for t in self.tokenize(text)]
+
+
+class ReversePathHierarchyTokenizer:
+    """Domain-like hierarchies (``path/ReversePathHierarchyTokenizer
+    .java:48``): ``www.site.co.uk`` -> ``www.site.co.uk``,
+    ``site.co.uk``, ``co.uk``, ``uk`` — suffixes starting after each
+    delimiter, all ending at the last kept position; ``skip`` drops the
+    trailing N components."""
+
+    def __init__(self, delimiter: str = DEFAULT_DELIMITER,
+                 replacement: str | None = None, skip: int = DEFAULT_SKIP):
+        if skip < 0:
+            raise ValueError("skip cannot be negative")
+        if len(delimiter) != 1:
+            raise ValueError("delimiter must be a single char")
+        self.delimiter = delimiter
+        self.replacement = delimiter if replacement is None else replacement
+        self.skip = skip
+
+    def tokenize(self, text: str) -> list[PathToken]:
+        buf = text.replace(self.delimiter, self.replacement)
+        positions = [0]
+        for i, c in enumerate(text):
+            if c == self.delimiter:
+                positions.append(i + 1)
+        if positions[-1] < len(text):
+            positions.append(len(text))
+        count = len(positions)
+        idx = count - 1 - self.skip
+        if idx < 0:
+            return []
+        end = positions[idx]
+        out = []
+        for si in range(count - self.skip - 1):
+            start = positions[si]
+            out.append(PathToken(buf[start:end], start, end,
+                                 1 if si == 0 else 0))
+        return out
+
+    def __call__(self, text: str) -> list[str]:
+        return [t.term for t in self.tokenize(text)]

@@ -160,6 +160,44 @@ def test_path_windows():
         [0, 0, 0, 0], [2, 4, 6, 8], [1, 0, 0, 0])
 
 
+def _rfull(text, **kw):
+    from lucene_ray.analysis.pathtok import ReversePathHierarchyTokenizer
+    toks = ReversePathHierarchyTokenizer(**kw).tokenize(text)
+    return ([t.term for t in toks], [t.start for t in toks],
+            [t.end for t in toks], [t.pos_inc for t in toks])
+
+
+def test_reverse_path_basic():
+    # TestReversePathHierarchyTokenizer.java goldens
+    assert _rfull("/a/b/c") == (["/a/b/c", "a/b/c", "b/c", "c"],
+                                [0, 1, 3, 5], [6, 6, 6, 6], [1, 0, 0, 0])
+    assert _rfull("/a/b/c/") == (["/a/b/c/", "a/b/c/", "b/c/", "c/"],
+                                 [0, 1, 3, 5], [7, 7, 7, 7], [1, 0, 0, 0])
+    assert _rfull("a/b/c") == (["a/b/c", "b/c", "c"],
+                               [0, 2, 4], [5, 5, 5], [1, 0, 0])
+    assert _rfull("a/b/c/") == (["a/b/c/", "b/c/", "c/"],
+                                [0, 2, 4], [6, 6, 6], [1, 0, 0])
+    assert _rfull("/") == (["/"], [0], [1], [1])
+    assert _rfull("//") == (["//", "/"], [0, 1], [2, 2], [1, 0])
+
+
+def test_reverse_path_skip():
+    assert _rfull("/a/b/c/", skip=1) == (["/a/b/", "a/b/", "b/"],
+                                         [0, 1, 3], [5, 5, 5], [1, 0, 0])
+    assert _rfull("a/b/c", skip=1) == (["a/b/", "b/"],
+                                       [0, 2], [4, 4], [1, 0])
+    assert _rfull("a/b/c/", skip=1) == (["a/b/", "b/"],
+                                        [0, 2], [4, 4], [1, 0])
+    assert _rfull("/", skip=1) == ([], [], [], [])
+
+
+def test_reverse_path_domain():
+    from lucene_ray.analysis.pathtok import ReversePathHierarchyTokenizer
+    t = ReversePathHierarchyTokenizer(delimiter=".")
+    assert t("www.site.co.uk") == ["www.site.co.uk", "site.co.uk",
+                                   "co.uk", "uk"]
+
+
 def test_path_skip():
     assert _full("/a/b/c", skip=1) == (["/b", "/b/c"],
                                        [2, 2], [4, 6], [1, 0])
