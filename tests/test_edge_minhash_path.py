@@ -56,6 +56,54 @@ def test_edge_supplementary_codepoints():
     assert EdgeNGramFilter(1, 2)([t]) == ["\U0001F600", "\U0001F600b"]
 
 
+# --- NGram / EdgeNGram TOKENIZERS (TestNGramTokenizer.java,
+# TestEdgeNGramTokenizer.java) ------------------------------------------------
+
+def _gfull(text, tok):
+    ts = tok.tokenize(text)
+    return ([t.term for t in ts], [t.start for t in ts],
+            [t.end for t in ts])
+
+
+def test_ngram_tokenizer_goldens():
+    from lucene_ray.analysis.ngram_tokenizer import NGramTokenizer
+    assert _gfull("abcde", NGramTokenizer(1, 1)) == (
+        ["a", "b", "c", "d", "e"], [0, 1, 2, 3, 4], [1, 2, 3, 4, 5])
+    assert _gfull("abcde", NGramTokenizer(2, 2)) == (
+        ["ab", "bc", "cd", "de"], [0, 1, 2, 3], [2, 3, 4, 5])
+    # testNgrams: increasing start offset, then length
+    assert _gfull("abcde", NGramTokenizer(1, 3)) == (
+        ["a", "ab", "abc", "b", "bc", "bcd", "c", "cd", "cde",
+         "d", "de", "e"],
+        [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4],
+        [1, 2, 3, 2, 3, 4, 3, 4, 5, 4, 5, 5])
+    assert NGramTokenizer(6, 7)("abcde") == []
+    with pytest.raises(ValueError):
+        NGramTokenizer(0, 1)
+    with pytest.raises(ValueError):
+        NGramTokenizer(2, 1)
+
+
+def test_edge_ngram_tokenizer_goldens():
+    from lucene_ray.analysis.ngram_tokenizer import EdgeNGramTokenizer
+    assert _gfull("abcde", EdgeNGramTokenizer(1, 1)) == (
+        ["a"], [0], [1])
+    assert EdgeNGramTokenizer(6, 6)("abcde") == []
+    assert _gfull("abcde", EdgeNGramTokenizer(1, 3)) == (
+        ["a", "ab", "abc"], [0, 0, 0], [1, 2, 3])
+
+
+def test_ngram_tokenizer_token_chars():
+    # isTokenChar pre-tokenization: grams never cross a non-token char,
+    # edges restart at each run
+    from lucene_ray.analysis.ngram_tokenizer import (EdgeNGramTokenizer,
+                                                     NGramTokenizer)
+    assert NGramTokenizer(2, 2, str.isalpha)("ab cd") \
+        == ["ab", "cd"]
+    assert EdgeNGramTokenizer(1, 2, str.isalpha)("ab cd") \
+        == ["a", "ab", "c", "cd"]
+
+
 # --- MinHashFilter (TestMinHashFilter.java) ----------------------------------
 
 def test_murmur_int_hash_golden():
