@@ -116,6 +116,28 @@ class Searcher:
         self.avgdl = bm25.avg_field_length(max(reader.sum_total_term_freq, 1), n)
         self.avgdl64 = max(reader.sum_total_term_freq, 1) / float(n)
         self.cache = bm25.norm_inverse_cache(self.avgdl, k1, b)
+        # MaxScoreCache role (search/MaxScoreCache.java:34): per-block
+        # impact upper bounds memoized per (segment, term, weight) so
+        # repeated hot terms skip the skyline recompute
+        self._ub_cache: dict[tuple, np.ndarray] = {}
+
+    def _block_ubs(self, sr: SegmentReader, p, term: str,
+                   weight: np.float32) -> np.ndarray:
+        """Cached ``bm25.max_block_scores`` — the EXACT float32 output
+        array (read-only by convention), so every pruning decision is
+        bit-identical to the uncached path. Impacts are immutable per
+        segment dir (deletes/dv-updates never touch skylines), so the
+        (segment, term, weight) key is stable."""
+        key = (sr._seg_dir, term, float(weight))
+        ub = self._ub_cache.get(key)
+        if ub is None:
+            ub = bm25.max_block_scores(
+                np.asarray(p.imp_freqs), np.asarray(p.imp_norms),
+                np.asarray(p.imp_offsets), weight, self.cache)
+            if len(self._ub_cache) >= 65536:
+                self._ub_cache.clear()
+            self._ub_cache[key] = ub
+        return ub
 
     def _norm_data(self, sr: SegmentReader, cand: np.ndarray) -> np.ndarray:
         return sr.doc_lens_for(cand) if self.exact64 else sr.norms_for(cand)
@@ -1321,9 +1343,7 @@ class Searcher:
         p = sr.get_postings(t.term)
         if p is None:
             return None, None
-        bounds = bm25.max_block_scores(
-            np.asarray(p.imp_freqs), np.asarray(p.imp_norms),
-            np.asarray(p.imp_offsets), t.weight, self.cache)
+        bounds = self._block_ubs(sr, p, t.term, t.weight)
         nblocks = len(bounds)
         if nblocks <= 8:
             docs, freqs = self._live(sr, *sr.get_decoded(t.term))
@@ -1390,27 +1410,22 @@ class Searcher:
                  and np.isfinite(threshold) and plan["msm"] <= 1)
         cand = None
         if prune and len(p0.imp_freqs):
-            lead_ub = bm25.max_block_scores(
-                np.asarray(p0.imp_freqs), np.asarray(p0.imp_norms),
-                np.asarray(p0.imp_offsets), t0.weight if s0 else np.float32(0),
-                self.cache).astype(np.float64)
+            lead_ub = self._block_ubs(
+                sr, p0, t0.term,
+                t0.weight if s0 else np.float32(0)).astype(np.float64)
             rest = 0.0
             for i, (t, scores_q, p) in enumerate(loaded):
                 if i == order[0] or not scores_q or not self._scores_term(t):
                     continue
-                ub = bm25.max_block_scores(
-                    np.asarray(p.imp_freqs), np.asarray(p.imp_norms),
-                    np.asarray(p.imp_offsets), t.weight, self.cache)
+                ub = self._block_ubs(sr, p, t.term, t.weight)
                 rest += float(ub.max()) if len(ub) else 0.0
             for t in should:  # optional clauses add score on matches
                 if not self._scores_term(t):
                     continue
                 p = sr.get_postings(t.term)
                 if p is not None and len(p.imp_freqs):
-                    rest += float(bm25.max_block_scores(
-                        np.asarray(p.imp_freqs), np.asarray(p.imp_norms),
-                        np.asarray(p.imp_offsets), t.weight,
-                        self.cache).max())
+                    rest += float(self._block_ubs(sr, p, t.term,
+                                                  t.weight).max())
             theta_low = float(np.nextafter(np.float32(threshold),
                                            np.float32(-np.inf)))
             keep = lead_ub + rest >= theta_low
@@ -1506,24 +1521,30 @@ class Searcher:
         if sr._contiguous:
             # dense per-doc accumulators (a term's docs are unique, so
             # fancy-indexed += is exact); accumulation in clause order
-            # keeps scores bit-identical to every other path
+            # keeps scores bit-identical to every other path. Sums
+            # accumulate directly into a dense n-length array (no
+            # candidate position map): same adds in the same order per
+            # doc, one less gather per clause
             n = len(sr)
             base = sr._base
             cnt = np.zeros(n, dtype=np.int32)
+            idxs = []
             for docs, _f in decoded:
-                cnt[docs - base] += 1
+                idx = docs - base
+                idxs.append(idx)
+                cnt[idx] += 1
             cand_idx = np.nonzero(cnt)[0]
             cand = cand_idx + base
             counts = cnt[cand_idx].astype(np.int64)
-            sums = np.zeros(len(cand), dtype=np.float64) if scoring else None
-            norms_cand = self._norm_data(sr, cand) if scoring else None
-            posmap = np.empty(n, dtype=np.int64)
-            posmap[cand_idx] = np.arange(len(cand))
+            sums = None
             if scoring:
-                for (t, p), (docs, freqs) in zip(postings, decoded):
+                sums_full = np.zeros(n, dtype=np.float64)
+                for (t, p), (docs, freqs), idx in zip(postings, decoded,
+                                                      idxs):
                     if self._scores_term(t):
-                        pos = posmap[docs - base]
-                        sums[pos] += self._contrib(t, freqs, norms_cand[pos])
+                        sums_full[idx] += self._contrib(
+                            t, freqs, self._norm_data(sr, docs))
+                sums = sums_full[cand_idx]
             return cand, sums, counts
 
         cand = np.unique(np.concatenate([d for d, _ in decoded]))
@@ -1550,9 +1571,7 @@ class Searcher:
         """
         blasts, ubs = [], []
         for t, p in postings:
-            ub = bm25.max_block_scores(
-                np.asarray(p.imp_freqs), np.asarray(p.imp_norms),
-                np.asarray(p.imp_offsets), t.weight, self.cache)
+            ub = self._block_ubs(sr, p, t.term, t.weight)
             blasts.append(np.asarray(p.block_last_docs, dtype=np.int64))
             ubs.append(ub.astype(np.float64))
         edges = np.unique(np.concatenate(blasts))
