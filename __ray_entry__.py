@@ -889,6 +889,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["shape_distance"]).shape_distance(sf),
         # DirectSpellChecker + JaroWinklerDistance StringDistance
         "suggest_spell_jw": _suggest_spell_jw,
+        # spatial3d Geo3DPoint role: unit-sphere xyz point index with
+        # chord-bound row-group pruning (spatial3d/Geo3DPoint.java:44)
+        "geo3d_distance": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["geo3d_distance"]).geo3d_distance(sf),
+        "geo3d_box": lambda sf: __import__(
+            "lucene_ray.pipelines.search_queries",
+            fromlist=["geo3d_box"]).geo3d_box(sf),
         # analyzer-chain forms (EdgeNGramTokenFilter.java:33,
         # path/PathHierarchyTokenizer.java:45, minhash/MinHashFilter
         # .java:47): each runs its REAL filter chain distributed
@@ -2608,6 +2616,31 @@ UNION ALL
 SELECT source || '/' || lang AS path, count(*) AS n
 FROM documents GROUP BY source, lang
 ORDER BY path""",
+        # Geo3DPoint distance: same unit-sphere chord/asin arithmetic
+        # on both sides; radius chosen with >= 1.5e-4 boundary margin
+        "geo3d_distance": """
+WITH p AS (SELECT c_custkey,
+                  radians((c_custkey * 7919 % 1700) / 10.0 - 85.0) AS lat,
+                  radians((c_custkey * 104729 % 3600) / 10.0 - 180.0) AS lon
+           FROM customer),
+v AS (SELECT c_custkey, cos(lat) * cos(lon) AS x,
+             cos(lat) * sin(lon) AS y, sin(lat) AS z FROM p),
+c AS (SELECT cos(radians(42.57)) * cos(radians(12.53)) AS cx,
+             cos(radians(42.57)) * sin(radians(12.53)) AS cy,
+             sin(radians(42.57)) AS cz)
+SELECT c_custkey FROM v, c
+WHERE 2 * asin(least(sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy)
+                          + (z - cz) * (z - cz)) / 2, 1)) <= 0.35
+ORDER BY c_custkey""",
+        # Geo3DPoint box: bounds sit mid-cell on the 0.1-degree grid
+        "geo3d_box": """
+SELECT c_custkey FROM (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 1700) / 10.0 - 85.0 AS lat,
+         (c_custkey * 104729 % 3600) / 10.0 - 180.0 AS lon
+  FROM customer)
+WHERE lat BETWEEN 10.05 AND 45.05 AND lon BETWEEN -20.05 AND 60.05
+ORDER BY c_custkey""",
         # MinHashFilter(1, 512, 1, rotation) emits exactly 512 tokens
         # for any doc with >=1 5-word shingle (>=5 tokens), else 0;
         # hash VALUES are gated by transcribed murmur3 goldens

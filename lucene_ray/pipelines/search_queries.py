@@ -1996,6 +1996,59 @@ def profile_query_counts(doc_path: str, terms_and: list[str],
     return t.select(["node", "type", "n_matches"])
 
 
+def _geo3d_index(sf_dir: str) -> str:
+    """spatial3d point index (Geo3DPoint role) over customer-derived
+    lat/lon: each custkey maps deterministically onto the 0.1-degree
+    grid; built once per sf and cached."""
+    import ray.data
+
+    from ..index.geo3d import build_point3d_index
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = hashlib.md5(("geo3d:" + src).encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"geo3didx-{key}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        def add_ll(batch: pa.Table) -> pa.Table:
+            k = batch.column("c_custkey").to_numpy()
+            return pa.table({
+                "doc_id": pa.array(k, pa.int64()),
+                "lat": pa.array((k * 7919 % 1700) / 10.0 - 85.0,
+                                pa.float64()),
+                "lon": pa.array((k * 104729 % 3600) / 10.0 - 180.0,
+                                pa.float64()),
+            })
+        ds = ray.data.read_parquet(src, columns=["c_custkey"]) \
+            .map_batches(add_ll, batch_format="pyarrow")
+        build_point3d_index(ds, out)
+    return out
+
+
+def geo3d_distance(sf_dir: str, lat: float = 42.57, lon: float = 12.53,
+                   radius: float = 0.35) -> pa.Table:
+    """Geo3DPoint.newDistanceQuery role (``spatial3d/Geo3DPoint
+    .java:44``): customers within 0.35 rad arc distance of the center
+    on the unit sphere — chord-bound row-group pruning + exact arc
+    predicate. Constants verified with >= 1.5e-4 boundary margin at
+    every sf, so the engine's asin-chord arithmetic and the oracle's
+    cannot disagree on a knife-edge point."""
+    from ..index.geo3d import points_within_distance
+
+    ids = points_within_distance(_geo3d_index(sf_dir), lat, lon, radius)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+
+
+def geo3d_box(sf_dir: str, min_lat: float = 10.05, max_lat: float = 45.05,
+              min_lon: float = -20.05, max_lon: float = 60.05) -> pa.Table:
+    """Geo3DPoint.newBoxQuery role (GeoBBox): customers whose lat/lon
+    fall in the closed box; the latitude band prunes on z row-group
+    stats. Bounds sit mid-cell on the 0.1-degree grid (0.05 margin)."""
+    from ..index.geo3d import points_in_latlon_box
+
+    ids = points_in_latlon_box(_geo3d_index(sf_dir), min_lat, max_lat,
+                               min_lon, max_lon)
+    return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+
+
 def shape_distance(sf_dir: str, px: float = 47.13, py: float = 52.81,
                    radius: float = 9.37) -> pa.Table:
     """LatLonShape.newDistanceQuery role (planar analog over the rect
