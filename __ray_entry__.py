@@ -167,6 +167,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return spell_correct_jw(IndexReader(cached_index(_docp(sf))),
                                 "dat", 5)
 
+    def _thai_term_stats(sf):
+        # ThaiAnalyzer role end-to-end: dictionary-Viterbi segmentation
+        # of spaceless Thai -> build_index -> global (term, df, ttf);
+        # rows-only (SQL cannot segment Thai) but deterministic
+        import os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from lucene_ray.analysis.thai import ThaiAnalyzer
+        from lucene_ray.index import build_index
+        from lucene_ray.index.manifest import read_manifest
+        p = "/tmp/lucene_ray_cache/th_docs.parquet"
+        if not os.path.exists(p):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            base = ["การที่ได้ต้องแสดงว่างานดี", "ภาษาไทยสวยงาม",
+                    "บริษัทชื่อดีขายข้าว", "คนเดินไปตลาดซื้ออาหาร",
+                    "นักเรียนอ่านหนังสือในโรงเรียน", "รถวิ่งเร็วในเมืองใหญ่",
+                    "เราเรียนภาษาไทยที่มหาวิทยาลัย", "น้ำร้อนและข้าวเย็น"]
+            texts = [base[i % len(base)] + base[(i * 5 + 2) % len(base)]
+                     for i in range(256)]
+            pq.write_table(pa.table({
+                "doc_id": pa.array(range(256), pa.int64()),
+                "text": pa.array(texts, pa.string())}), p)
+        idx = "/tmp/lucene_ray_cache/th_idx"
+        if not os.path.exists(os.path.join(idx, "manifest_0.json")):
+            build_index(p, idx, analyzer=ThaiAnalyzer(), batch_size=64)
+        gen = read_manifest(idx).generation
+        return pq.read_table(
+            os.path.join(idx, "global", f"term_stats_gen{gen}")) \
+            .sort_by([("term", "ascending")])
+
     def _japanese_term_stats(sf):
         # kuromoji-role Viterbi segmentation end-to-end: deterministic
         # synthetic Japanese pages -> build_index(analyzer=Japanese
@@ -773,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kuromoji role (analysis/ja/JapaneseTokenizer.java:58): Viterbi
         # lattice segmentation drives a full index build; rows-only
         "japanese_term_stats": _japanese_term_stats,
+        "thai_term_stats": _thai_term_stats,  # rows-only (no SQL segmentation)
         # SynonymQuery (core search/SynonymQuery.java): blended
         # pseudo-term df=max, freq=sum(boost_i*tf_i)
         "synonym_blended": lambda sf: __import__(
