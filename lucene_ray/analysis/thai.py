@@ -73,9 +73,14 @@ class ThToken:
 
 
 class ThaiTokenizer:
+    #: codepoint predicate for the script this segmenter owns; other
+    #: runs go to the UAX#29 tokenizer. Subclasses (Khmer/Lao/Myanmar,
+    #: ``analysis/sea.py``) override this — the Viterbi core is shared.
+    _in_script = staticmethod(is_thai)
+
     def __init__(self, lexicon=None):
         self.lexicon = frozenset(lexicon) if lexicon is not None \
-            else MINI_LEXICON_TH
+            else self._default_lexicon()
         self.by_first: dict[str, list[str]] = {}
         for w in self.lexicon:
             self.by_first.setdefault(w[0], []).append(w)
@@ -129,20 +134,25 @@ class ThaiTokenizer:
             out.append(tok)
         return out
 
+    @staticmethod
+    def _default_lexicon():
+        return MINI_LEXICON_TH
+
     def tokenize(self, text: str) -> list[ThToken]:
         from .tokenizer import tokenize as std_tokenize
+        ins = self._in_script
         out: list[ThToken] = []
         i, n = 0, len(text)
         while i < n:
-            if is_thai(text[i]):
+            if ins(text[i]):
                 j = i
-                while j < n and is_thai(text[j]):
+                while j < n and ins(text[j]):
                     j += 1
                 out.extend(self._segment_thai(text[i:j], i))
                 i = j
             else:
                 j = i
-                while j < n and not is_thai(text[j]):
+                while j < n and not ins(text[j]):
                     j += 1
                 for t in std_tokenize(text[i:j]):
                     out.append(ThToken(t.text, i + t.start, i + t.end))
