@@ -114,3 +114,53 @@ def test_simhash_batch_matches_scalar(ray_session):
     got = sh._batch_simhash(batch)
     for i, t in enumerate(texts):
         assert int(got[i]) == sh.simhash(t), (i, t)
+
+
+def test_winnow_vectorized_matches_scalar(ray_session):
+    """r5: the vectorized _Winnow batch kernel must be bit-exact with
+    the per-row reference algorithm (per-gram md5, per-doc sliding
+    window) for every (k, w) shape — the same A/B gate the minhash and
+    simhash batch kernels have."""
+    import hashlib
+    import random
+
+    from lucene_ray.pipelines.dedup import _Winnow
+
+    def scalar(batch, k, w):
+        out = set()
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            ws = [x for x in (text or "").split(" ") if x]
+            n = len(ws) - k + 1
+            if n <= 0:
+                continue
+            grams = [" ".join(ws[i:i + k]) for i in range(n)]
+            h = np.array([int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                          for g in grams], dtype=np.int64)
+            if len(h) >= w:
+                fps = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(h, w)
+                    .min(axis=1))
+            else:
+                fps = np.unique(h.min(keepdims=True))
+            out |= {(did, int(f)) for f in fps}
+        return out
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "the", "a", "x1"]
+    texts = []
+    for _ in range(120):
+        t = " ".join(rng.choice(words) for _ in range(rng.randint(0, 25)))
+        if rng.random() < 0.2:
+            t = "  " + t + "   " + t  # extra spaces + repetition
+        if rng.random() < 0.05:
+            t = None
+        texts.append(t)
+    batch = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string())})
+    for k, w in [(5, 4), (3, 2), (1, 1), (2, 7)]:
+        got_t = _Winnow(k, w)(batch)
+        got = set(zip(got_t["doc_id"].to_pylist(),
+                      got_t["fp"].to_pylist()))
+        assert got == scalar(batch, k, w), (k, w)
